@@ -1,0 +1,136 @@
+"""LWW merge appliers (O-CDC5, O-CDC8, O-CDC9).
+
+The applier is the engine's one genuinely stateful stage (the reference's
+only per-worker state is an Edm metadata cache,
+``reference src/main/java/io/cdap/plugin/sap/odata/odata2/OData2Client.java:60-62``;
+ours holds per-partition upsert state). State lives in the lake
+partition snapshots — each apply task reads its partition's committed
+snapshot, merges the new max-seq-per-key events (last-writer-wins,
+deletes remove), and commits atomically through the manifest sink, so a
+retried task is idempotent and the per-partition watermark is monotonic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sapray.config import CDCConfig
+from sapray.hashing import composite_key, sha256_hex_column, table_state_sha
+from sapray.partition import lww_reduce
+from sapray.sink import commit_partition, read_manifests, read_partition_state
+from sapray.transform import STATE_SCHEMA
+
+METRICS_SCHEMA = pa.schema(
+    [
+        pa.field("part", pa.int32()),
+        pa.field("n_candidates", pa.int64()),
+        pa.field("n_upserts", pa.int64()),
+        pa.field("n_deletes", pa.int64()),
+        pa.field("prior_rows", pa.int64()),
+        pa.field("final_rows", pa.int64()),
+        pa.field("watermark", pa.int64()),
+    ]
+)
+
+_EVENT_STATE_COLS = [
+    "repo",
+    "path",
+    "commit",
+    "commit_ts",
+    "lang",
+    "content",
+    "size_bytes",
+    "seq",
+]
+
+
+def partial_lww(group: pa.Table, cfg: CDCConfig) -> pa.Table:
+    """Partial reduce per (part, salt): at most one event per key survives.
+
+    This is the combiner of the two-stage skew plan: a hot key's events
+    are spread over ``num_salts`` of these reducers; the final applier
+    re-merges the <= num_salts candidates per hot key.
+    """
+    out = lww_reduce(group, cfg.key_columns, cfg.seq_column)
+    return out.drop_columns(["salt"]) if "salt" in out.column_names else out
+
+
+def _upsert_state_rows(events: pa.Table) -> pa.Table:
+    """Project winning non-delete events into STATE_SCHEMA rows."""
+    cols = []
+    for f in STATE_SCHEMA:
+        if f.name == "content_sha256":
+            cols.append(sha256_hex_column(events.column("content")))
+        else:
+            col = events.column(f.name)
+            if not col.type.equals(f.type):
+                col = col.cast(f.type)
+            cols.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    return pa.Table.from_arrays(cols, schema=STATE_SCHEMA)
+
+
+def apply_partition(group: pa.Table, cfg: CDCConfig) -> pa.Table:
+    """Final applier for one partition: merge events into the committed
+    snapshot, write the new snapshot exactly-once, emit one metrics row."""
+    if group.num_rows == 0:
+        return pa.table([], schema=METRICS_SCHEMA)
+    part = int(group.column("part")[0].as_py())
+    n_candidates = group.num_rows
+
+    winners = lww_reduce(group, cfg.key_columns, cfg.seq_column)
+    is_del = pc.equal(winners.column(cfg.op_column), "D")
+    upserts_ev = winners.filter(pc.invert(is_del))
+    deletes_ev = winners.filter(is_del)
+
+    manifest = read_manifests(cfg.lake_dir).get(part)
+    prior = read_partition_state(cfg.lake_dir, part, manifest)
+    prior_watermark = manifest["watermark"] if manifest else -1
+    prior_rows = prior.num_rows if prior is not None else 0
+
+    upserts = _upsert_state_rows(upserts_ev.select(_EVENT_STATE_COLS))
+
+    touched = composite_key(winners, cfg.key_columns).to_pandas()
+    if prior is not None and prior.num_rows:
+        from sapray.schema import normalize_table
+
+        prior = normalize_table(prior, STATE_SCHEMA)
+        prior_keys = composite_key(prior, cfg.key_columns).to_pandas()
+        keep = ~pd.Index(prior_keys).isin(set(touched))
+        prior_kept = prior.filter(pa.array(keep.to_numpy()))
+        state = pa.concat_tables([prior_kept, upserts])
+    else:
+        state = upserts
+
+    # deterministic row order -> content-addressed snapshot is retry-stable
+    order = np.argsort(
+        np.asarray(composite_key(state, cfg.key_columns).to_pandas(), dtype=object),
+        kind="stable",
+    )
+    state = state.take(pa.array(order)).combine_chunks()
+
+    seq_max = pc.max(group.column(cfg.seq_column)).as_py()
+    watermark = max(int(seq_max), prior_watermark)
+    state_sha = table_state_sha(state, cfg.key_columns)
+    commit_partition(
+        cfg.lake_dir,
+        part,
+        state,
+        watermark,
+        state_sha,
+        extra={"reference_name": cfg.reference_name},
+    )
+    return pa.table(
+        {
+            "part": pa.array([part], pa.int32()),
+            "n_candidates": pa.array([n_candidates], pa.int64()),
+            "n_upserts": pa.array([upserts.num_rows], pa.int64()),
+            "n_deletes": pa.array([deletes_ev.num_rows], pa.int64()),
+            "prior_rows": pa.array([prior_rows], pa.int64()),
+            "final_rows": pa.array([state.num_rows], pa.int64()),
+            "watermark": pa.array([watermark], pa.int64()),
+        },
+        schema=METRICS_SCHEMA,
+    )

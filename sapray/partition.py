@@ -1,0 +1,91 @@
+"""Key partitioning + explicit salt-based skew splitting (O-CDC4).
+
+Every change event is routed by ``part = stable_hash(repo, path) % P``
+so all events for one upsert key meet a single applier (the LWW merge is
+per-key, SURVEY.md §7.3). Hot keys — detected from a driver-side sample
+— additionally get ``salt = seq % S`` so their (potentially huge) event
+stream is split across S partial reducers and re-merged in the final
+applier; cold keys keep ``salt = 0``.
+
+The reference has no partitioner at all (single ``NoOpSplit``,
+``reference src/main/java/io/cdap/plugin/sap/ODataEntityInputFormat.java:33-36``);
+this module is the explicit scale-out design replacing it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sapray.config import CDCConfig
+from sapray.hashing import composite_key, hash_key
+
+
+def detect_hot_key_hashes(sample: pa.Table, cfg: CDCConfig) -> np.ndarray:
+    """Return sorted uint64 hashes of keys whose share of the sample
+    exceeds ``cfg.hot_key_threshold`` (driver-side, sample-sized)."""
+    if sample.num_rows == 0:
+        return np.empty(0, dtype=np.uint64)
+    kh = hash_key(sample, cfg.key_columns)
+    vals, counts = np.unique(kh, return_counts=True)
+    hot = vals[counts / len(kh) > cfg.hot_key_threshold]
+    return np.sort(hot.astype(np.uint64))
+
+
+def assign_partitions(
+    batch: pa.Table,
+    cfg: CDCConfig,
+    hot_hashes: np.ndarray,
+    watermarks: np.ndarray | None = None,
+) -> pa.Table:
+    """Append ``part``/``salt`` columns; drop events at-or-below the
+    partition watermark (idempotent re-delivery skip, O-CDC7/8).
+
+    Fully vectorized: stable siphash over the composite key, modulo for
+    the partition id, ``searchsorted`` membership test against the hot
+    set, and a numpy mask for the watermark filter.
+    """
+    kh = hash_key(batch, cfg.key_columns)
+    part = (kh % np.uint64(cfg.num_partitions)).astype(np.int32)
+    seq = batch.column(cfg.seq_column).to_numpy(zero_copy_only=False)
+    if watermarks is not None:
+        keep = seq > watermarks[part]
+        if not keep.all():
+            idx = np.nonzero(keep)[0]
+            batch = batch.take(pa.array(idx))
+            kh, part, seq = kh[idx], part[idx], seq[idx]
+    if len(hot_hashes):
+        pos = np.searchsorted(hot_hashes, kh)
+        pos[pos == len(hot_hashes)] = 0
+        is_hot = hot_hashes[pos] == kh
+        salt = np.where(is_hot, (seq % cfg.num_salts), 0).astype(np.int32)
+    else:
+        salt = np.zeros(len(part), dtype=np.int32)
+    return batch.append_column("part", pa.array(part)).append_column(
+        "salt", pa.array(salt)
+    )
+
+
+def lww_reduce(batch: pa.Table, key_columns: tuple[str, ...], seq_column: str = "seq") -> pa.Table:
+    """Exact within-batch last-writer-wins reduction.
+
+    Dictionary-encode the composite key (exact C-speed grouping — no
+    hash-collision risk), lexsort by (key code, seq), keep the last row
+    of each run. Collapses duplicate ``(key, seq)`` events (O-CDC8) and
+    repeated updates to one key, shrinking the shuffle.
+    """
+    if batch.num_rows <= 1:
+        return batch
+    key = composite_key(batch, key_columns)
+    codes = pc.dictionary_encode(key).indices.to_numpy(zero_copy_only=False)
+    seq = batch.column(seq_column).to_numpy(zero_copy_only=False)
+    order = np.lexsort((seq, codes))
+    sorted_codes = codes[order]
+    # last index of each code run
+    run_end = np.nonzero(np.diff(sorted_codes))[0]
+    last = np.concatenate([run_end, [len(order) - 1]])
+    idx = order[last]
+    if len(idx) == batch.num_rows:
+        return batch
+    return batch.take(pa.array(np.sort(idx)))

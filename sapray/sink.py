@@ -1,0 +1,140 @@
+"""Exactly-once, manifest-guarded Parquet upsert sink (O-CDC6, O-CDC7).
+
+Layout (resumable; one directory per partition so a rerun skips
+finished partitions):
+
+    lake_dir/
+      part=00017/data-w<watermark>-<sha12>.parquet
+      _manifests/part-00017.json   {part, watermark, files, row_count, state_sha}
+
+Exactly-once under Ray task retries is by construction:
+
+* snapshot files are **content-addressed** (state sha in the name) and
+  written temp-then-``os.replace`` — a retried applier recomputes the
+  identical bytes and atomically replaces with the same name;
+* manifests are **compare-and-keep**: a manifest is only replaced when
+  the new watermark is strictly higher, so a stale retry can never
+  regress committed state (monotonic per-partition watermark);
+* resume reads the manifests and filters replayed events
+  ``seq <= watermark`` per partition (see ``partition.assign_partitions``).
+
+This also supplies the reference's lineage-recording duty
+(``reference src/main/java/io/cdap/plugin/sap/SapODataSource.java:102-108``)
+as per-partition lineage manifests (S10/S11).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_DIR = "_manifests"
+
+
+def _part_dir(lake_dir: str, part: int) -> str:
+    return os.path.join(lake_dir, f"part={part:05d}")
+
+
+def _manifest_path(lake_dir: str, part: int) -> str:
+    return os.path.join(lake_dir, MANIFEST_DIR, f"part-{part:05d}.json")
+
+
+def read_manifests(lake_dir: str) -> dict[int, dict]:
+    """Load all committed partition manifests (empty dict on fresh lake)."""
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    out: dict[int, dict] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for name in os.listdir(mdir):
+        if name.startswith("part-") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+            out[m["part"]] = m
+    return out
+
+
+def read_partition_state(
+    lake_dir: str, part: int, manifest: dict | None
+) -> pa.Table | None:
+    """Read the committed snapshot for a partition via its manifest."""
+    if not manifest or not manifest.get("files"):
+        return None
+    pdir = _part_dir(lake_dir, part)
+    tables = [pq.read_table(os.path.join(pdir, f)) for f in manifest["files"]]
+    return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+
+
+def commit_partition(
+    lake_dir: str,
+    part: int,
+    state: pa.Table,
+    watermark: int,
+    state_sha: str,
+    extra: dict | None = None,
+) -> dict:
+    """Atomically commit a partition snapshot + manifest.
+
+    Content-addressed filename + temp-write + ``os.replace`` + monotonic
+    watermark check = idempotent under retries and speculative
+    re-execution.
+    """
+    pdir = _part_dir(lake_dir, part)
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    os.makedirs(pdir, exist_ok=True)
+    os.makedirs(mdir, exist_ok=True)
+
+    mpath = _manifest_path(lake_dir, part)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prev = json.load(f)
+        if prev.get("watermark", -1) >= watermark:
+            return prev  # a newer/equal commit already landed — keep it
+
+    fname = f"data-w{watermark:016d}-{state_sha[:12]}.parquet"
+    fpath = os.path.join(pdir, fname)
+    if not os.path.exists(fpath):
+        tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(state, tmp, row_group_size=65_536)
+        os.replace(tmp, fpath)
+
+    manifest = {
+        "part": part,
+        "watermark": watermark,
+        "files": [fname],
+        "row_count": state.num_rows,
+        "state_sha": state_sha,
+        **(extra or {}),
+    }
+    tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def gc_partition(lake_dir: str, part: int) -> int:
+    """Remove snapshot files not referenced by the committed manifest."""
+    m = read_manifests(lake_dir).get(part)
+    pdir = _part_dir(lake_dir, part)
+    if not os.path.isdir(pdir):
+        return 0
+    keep = set(m["files"]) if m else set()
+    removed = 0
+    for name in os.listdir(pdir):
+        if name not in keep and not name.startswith(".tmp-"):
+            os.remove(os.path.join(pdir, name))
+            removed += 1
+    return removed
+
+
+def lake_files(lake_dir: str) -> list[str]:
+    """All committed snapshot files (via manifests) — the readable lake."""
+    files = []
+    for part, m in read_manifests(lake_dir).items():
+        pdir = _part_dir(lake_dir, part)
+        files.extend(os.path.join(pdir, f) for f in m.get("files", []))
+    return files
