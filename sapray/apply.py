@@ -99,7 +99,7 @@ def apply_partition(group: pa.Table, cfg: CDCConfig) -> pa.Table:
         prior = normalize_table(prior, STATE_SCHEMA)
         prior_keys = composite_key(prior, cfg.key_columns).to_pandas()
         keep = ~pd.Index(prior_keys).isin(set(touched))
-        prior_kept = prior.filter(pa.array(keep.to_numpy()))
+        prior_kept = prior.filter(pa.array(keep))
         state = pa.concat_tables([prior_kept, upserts])
     else:
         state = upserts

@@ -1,0 +1,80 @@
+"""End-to-end CDC replay correctness (SURVEY.md §5c/d).
+
+The engine's replayed final table must match the pure-Python dict-replay
+oracle on row set, per-row seq, and per-row ``content`` sha256
+(BASELINE.json:15 invariant)."""
+
+import hashlib
+
+import pytest
+
+from sapray.changelog import oracle_replay
+from sapray.config import CDCConfig
+from sapray.hashing import table_state_sha
+from sapray.pipeline import CDCEngine
+
+
+def _assert_state_matches_oracle(state, oracle):
+    srows = {(r["repo"], r["path"]): r for r in state.to_pylist()}
+    assert set(srows) == set(oracle)
+    for k, r in oracle.items():
+        s = srows[k]
+        assert s["seq"] == r["seq"], k
+        assert s["commit"] == r["commit"], k
+        expected_sha = hashlib.sha256(r["content"].encode()).hexdigest()
+        assert s["content_sha256"] == expected_sha, k
+        assert hashlib.sha256(s["content"].encode()).hexdigest() == expected_sha, k
+
+
+@pytest.fixture(scope="module")
+def applied(ray_session, changelog_dir, tmp_path_factory):
+    out, meta = changelog_dir
+    lake = str(tmp_path_factory.mktemp("lake_e2e"))
+    eng = CDCEngine(CDCConfig(lake_dir=lake, num_partitions=16))
+    summary = eng.apply(out)
+    return eng, summary, out, meta
+
+
+def test_final_state_matches_oracle(applied):
+    eng, summary, out, _ = applied
+    oracle = oracle_replay(out)
+    state = eng.state_table()
+    assert state.num_rows == len(oracle) == summary["final_rows"]
+    _assert_state_matches_oracle(state, oracle)
+
+
+def test_metrics_summary(applied):
+    eng, summary, out, meta = applied
+    assert summary["partitions"] == 16
+    oracle = oracle_replay(out)
+    assert summary["watermark"] >= max(r["seq"] for r in oracle.values())
+    assert summary["n_candidates"] >= summary["final_rows"]
+
+
+def test_reapply_is_idempotent(applied):
+    """Replaying the same log over the committed lake is a no-op
+    (watermark skip, O-CDC7/8)."""
+    eng, _, out, _ = applied
+    before = table_state_sha(eng.state_table(), ("repo", "path"))
+    summary2 = eng.apply(out)
+    after = table_state_sha(eng.state_table(), ("repo", "path"))
+    assert before == after
+    assert summary2["n_candidates"] == 0  # every event filtered by watermark
+
+
+def test_hot_key_salting_active(ray_session, changelog_dir, tmp_path):
+    """The generator makes one hot key (~20% of updates); detection must
+    fire and the two-stage salted plan must still be exact."""
+    from sapray.partition import detect_hot_key_hashes
+    from sapray.pipeline import sample_events
+
+    out, _ = changelog_dir
+    cfg = CDCConfig(lake_dir=str(tmp_path / "lake"), num_partitions=8)
+    hot = detect_hot_key_hashes(sample_events(out, cfg.hot_key_sample), cfg)
+    assert len(hot) >= 1
+
+
+def test_state_dataset_stream(applied):
+    eng, summary, _, _ = applied
+    ds = eng.state_dataset()
+    assert ds.count() == summary["final_rows"]

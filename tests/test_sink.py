@@ -1,0 +1,69 @@
+"""Exactly-once sink unit tests (O-CDC6): idempotent commits, monotonic
+watermarks, content-addressed snapshots, GC."""
+
+import os
+
+import pyarrow as pa
+
+from sapray.sink import (
+    commit_partition,
+    gc_partition,
+    lake_files,
+    read_manifests,
+    read_partition_state,
+)
+
+
+def _state(n=3):
+    return pa.table(
+        {
+            "repo": pa.array([f"r{i}" for i in range(n)]),
+            "path": pa.array([f"p{i}" for i in range(n)]),
+            "content": pa.array(["x"] * n),
+        }
+    )
+
+
+def test_commit_and_read_roundtrip(tmp_path):
+    lake = str(tmp_path)
+    m = commit_partition(lake, 3, _state(), watermark=10, state_sha="a" * 64)
+    assert m["watermark"] == 10 and m["row_count"] == 3
+    got = read_partition_state(lake, 3, read_manifests(lake)[3])
+    assert got.num_rows == 3
+    assert lake_files(lake) == [os.path.join(lake, "part=00003", m["files"][0])]
+
+
+def test_retry_same_commit_is_idempotent(tmp_path):
+    lake = str(tmp_path)
+    m1 = commit_partition(lake, 0, _state(), 10, "a" * 64)
+    m2 = commit_partition(lake, 0, _state(), 10, "a" * 64)  # speculative retry
+    assert m1 == m2
+    assert len(os.listdir(os.path.join(lake, "part=00000"))) == 1
+
+
+def test_stale_retry_cannot_regress_watermark(tmp_path):
+    lake = str(tmp_path)
+    commit_partition(lake, 0, _state(5), 20, "b" * 64)
+    stale = commit_partition(lake, 0, _state(2), 10, "c" * 64)  # late retry of old run
+    assert stale["watermark"] == 20  # compare-and-keep returned the committed one
+    assert read_manifests(lake)[0]["row_count"] == 5
+
+
+def test_higher_watermark_replaces(tmp_path):
+    lake = str(tmp_path)
+    commit_partition(lake, 0, _state(2), 10, "a" * 64)
+    commit_partition(lake, 0, _state(4), 30, "d" * 64)
+    m = read_manifests(lake)[0]
+    assert m["watermark"] == 30 and m["row_count"] == 4
+
+
+def test_gc_removes_unreferenced_snapshots(tmp_path):
+    lake = str(tmp_path)
+    commit_partition(lake, 0, _state(2), 10, "a" * 64)
+    commit_partition(lake, 0, _state(4), 30, "d" * 64)
+    pdir = os.path.join(lake, "part=00000")
+    assert len(os.listdir(pdir)) == 2
+    assert gc_partition(lake, 0) == 1
+    assert len(os.listdir(pdir)) == 1
+    # committed state untouched
+    assert read_partition_state(lake, 0, read_manifests(lake)[0]).num_rows == 4

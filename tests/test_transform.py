@@ -1,0 +1,184 @@
+"""Transformer-kernel conformance tests (the AllDataTypes corpus).
+
+Mirrors the reference's golden per-type transform tests
+(``reference src/test/java/io/cdap/plugin/sap/ODataEntryToRecordTransformerTest.java:61-732``)
+with an Arrow fixture per FIXTURES.md §3, plus the CDC decode path."""
+
+import datetime
+import decimal
+
+import pyarrow as pa
+import pytest
+
+from sapray.schema import edm_to_arrow
+from sapray.transform import (
+    EVENT_SCHEMA,
+    decode_entity_batch,
+    decode_events,
+    validate_event_batch,
+)
+
+ALLTYPES = pa.schema(
+    [
+        pa.field("id", pa.string(), False),
+        pa.field("bin", pa.binary()),
+        pa.field("flag", pa.bool_()),
+        pa.field("i32", pa.int32()),
+        pa.field("i64", pa.int64()),
+        pa.field("f32", pa.float32()),
+        pa.field("f64", pa.float64()),
+        pa.field("dec", pa.decimal128(16, 3)),
+        pa.field("ts", pa.timestamp("us")),
+        pa.field("tod", pa.time64("us")),
+        pa.field("dto", pa.string()),
+        pa.field("dur", pa.string()),
+        pa.field("guid", pa.string()),
+        pa.field("stream", edm_to_arrow("Edm.Stream")),
+        pa.field("pt", edm_to_arrow("Edm.GeometryPoint")),
+    ]
+)
+
+
+def _raw_batch() -> pa.Table:
+    """Raw batch with narrower/looser types than the target (coercions)."""
+    return pa.table(
+        {
+            "id": pa.array(["a", "b", "c"]),
+            "bin": pa.array([b"x", None, b"z"]),
+            "flag": pa.array([True, None, False]),
+            "i32": pa.array([1, None, 3], pa.int16()),  # narrow -> int32 (M4)
+            "i64": pa.array([10, None, 30], pa.int32()),  # int32 -> int64 (M5)
+            "f32": pa.array([1.5, None, 2.5], pa.float32()),
+            "f64": pa.array([1.25, None, 3.5], pa.float32()),  # float -> double (M6)
+            "dec": pa.array(
+                [decimal.Decimal("12.5"), None, decimal.Decimal("1.125")],
+                pa.decimal128(10, 3),
+            ),
+            "ts": pa.array(
+                [datetime.datetime(2019, 8, 29, 14, 52, 8), None,
+                 datetime.datetime(2020, 1, 1)],
+                pa.timestamp("ms"),  # millis -> micros (M9)
+            ),
+            "tod": pa.array(
+                [datetime.time(14, 52, 8), None, datetime.time(0, 0, 1)],
+                pa.time64("us"),
+            ),
+            "dto": pa.array(["2019-08-29T14:52:08.155+02:00", None, "2020-01-01T00:00:00Z"]),
+            "dur": pa.array(["P12DT23H59M59.999999999999S", None, "PT1S"]),
+            "guid": pa.array(["00000000-0000-0000-0000-000000000001", None, "x"]),
+            "stream": pa.array(
+                [
+                    {"mediaEtag": "W/\"etag\"", "mediaContentType": "image/jpeg",
+                     "mediaReadLink": "http://r", "mediaEditLink": "http://e"},
+                    None,
+                    {"mediaEtag": None, "mediaContentType": None,
+                     "mediaReadLink": "http://r2", "mediaEditLink": None},
+                ],
+                edm_to_arrow("Edm.Stream"),
+            ),
+            "pt": pa.array(
+                [{"dimension": "GEOMETRY", "x": 1.0, "y": 2.0, "z": 0.0}, None,
+                 {"dimension": "GEOGRAPHY", "x": -1.5, "y": 3.25, "z": 7.0}],
+                edm_to_arrow("Edm.GeometryPoint"),
+            ),
+        }
+    )
+
+
+def test_alltypes_decode_golden():
+    out = decode_entity_batch(_raw_batch(), ALLTYPES)
+    assert out.schema.equals(ALLTYPES)
+    rows = out.to_pylist()
+    # golden values (mirrors per-field equality asserts, …TransformerTest.java:139-156)
+    assert rows[0]["i32"] == 1 and rows[0]["i64"] == 10
+    assert rows[0]["f64"] == 1.25
+    assert rows[0]["dec"] == decimal.Decimal("12.500")
+    assert rows[0]["ts"] == datetime.datetime(2019, 8, 29, 14, 52, 8)
+    assert rows[0]["dto"] == "2019-08-29T14:52:08.155+02:00"
+    assert rows[0]["dur"] == "P12DT23H59M59.999999999999S"
+    assert rows[0]["stream"]["mediaContentType"] == "image/jpeg"
+    assert rows[0]["pt"] == {"dimension": "GEOMETRY", "x": 1.0, "y": 2.0, "z": 0.0}
+    # null passthrough (M2, …Transformer.java:93-95)
+    assert rows[1]["bin"] is None and rows[1]["dec"] is None and rows[1]["pt"] is None
+
+
+def test_missing_nullable_field_fills_null():
+    # missing property -> null (…Transformer.java:79-82)
+    t = pa.table({"id": pa.array(["a"])})
+    out = decode_entity_batch(t, ALLTYPES)
+    assert out.column("i64").null_count == 1
+
+
+def test_missing_non_nullable_field_errors():
+    t = pa.table({"i64": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="Field 'id' is missing"):
+        decode_entity_batch(t, ALLTYPES)
+
+
+def test_type_guard_message_shape():
+    # mirrors UnexpectedFormatException (…Transformer.java:423-436)
+    t = _raw_batch().set_column(
+        _raw_batch().column_names.index("i32"), "i32", pa.array(["not-an-int", "x", "y"])
+    )
+    with pytest.raises(ValueError, match="Field 'i32' is expected to be of type 'int32'"):
+        decode_entity_batch(t, ALLTYPES)
+
+
+def test_decimal_scale_overflow_errors():
+    # value scale > schema scale is an error (…Transformer.java:380-384)
+    target = pa.schema([pa.field("dec", pa.decimal128(16, 2))])
+    t = pa.table({"dec": pa.array([decimal.Decimal("1.125")], pa.decimal128(10, 3))})
+    with pytest.raises(ValueError, match="scale"):
+        decode_entity_batch(t, target)
+
+
+def test_decimal_from_float_rounds():
+    # double -> decimal rounds (HALF_EVEN in the reference, …Transformer.java:411-415)
+    target = pa.schema([pa.field("dec", pa.decimal128(16, 2))])
+    t = pa.table({"dec": pa.array([1.005], pa.float64())})
+    out = decode_entity_batch(t, target)
+    assert out.column("dec")[0].as_py() in (
+        decimal.Decimal("1.00"), decimal.Decimal("1.01"),
+    )
+
+
+# --------------------------------------------------------------------- CDC decode
+
+def _raw_event_batch(schema_ver: int) -> pa.Table:
+    cols = {
+        "seq": pa.array([1, 2], pa.int64()),
+        "op": pa.array(["I", "U"]),
+        "repo": pa.array(["org0/repo0", "org1/repo1"]),
+        "path": pa.array(["a.py", "b.rs"]),
+        "commit": pa.array(["c1", "c2"]),
+        "commit_date": pa.array(["20240101", "20240102"]),
+        "commit_time": pa.array(["000000", "120000"]),
+        "lang": pa.array(["py  ", "rs  "]),  # ABAP fixed-width padding
+        "content": pa.array(["print(1)", "fn main(){}"]),
+        "schema_ver": pa.array([schema_ver, schema_ver], pa.int32()),
+    }
+    if schema_ver >= 2:
+        t = pa.int32() if schema_ver == 2 else pa.int64()
+        cols["size_bytes"] = pa.array([8, 11], t)
+    return pa.table(cols)
+
+
+@pytest.mark.parametrize("ver", [1, 2, 3])
+def test_decode_events_normalizes_all_versions(ver):
+    out = decode_events(_raw_event_batch(ver))
+    assert out.schema.equals(EVENT_SCHEMA)
+    validate_event_batch(out)
+    rows = out.to_pylist()
+    assert rows[0]["lang"] == "py"  # padding trimmed
+    assert rows[0]["commit_ts"] == datetime.datetime(2024, 1, 1)
+    assert rows[1]["commit_ts"] == datetime.datetime(2024, 1, 2, 12, 0, 0)
+    if ver == 1:
+        assert out.column("size_bytes").null_count == 2  # add-column fill
+    else:
+        assert rows[1]["size_bytes"] == 11  # widened to int64
+
+
+def test_validate_event_batch_error_shape():
+    bad = decode_events(_raw_event_batch(1)).drop_columns(["seq"])
+    with pytest.raises(ValueError, match="Field 'seq' is missing"):
+        validate_event_batch(bad)
