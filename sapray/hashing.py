@@ -21,8 +21,17 @@ import pyarrow.compute as pc
 
 
 def composite_key(table: pa.Table, key_columns: tuple[str, ...]) -> pa.Array:
-    """Join key columns with a ``\\x00`` separator into one string array."""
-    cols = [table.column(c) for c in key_columns]
+    """Join key columns with a ``\\x00`` separator into one string array.
+
+    Non-string key columns (e.g. an int64 ``user_id``) are cast to their
+    canonical string form first, so any column mix can key a shuffle.
+    """
+    cols = []
+    for c in key_columns:
+        col = table.column(c)
+        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            col = pc.cast(col, pa.string())
+        cols.append(col)
     if len(cols) == 1:
         arr = cols[0]
     else:

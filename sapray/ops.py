@@ -1,0 +1,285 @@
+"""Reusable relational operators, Ray-Data-first.
+
+The reference exposes projection/filter/sort/limit only as opaque OData
+query pushdown (``$select``/``$filter``/``$top``/``$orderby``,
+``reference src/main/java/io/cdap/plugin/sap/odata/ODataClient.java:54-62``,
+``docs/SapEcc-batchsource.md:27-33``) and implements no joins or
+aggregations itself. This module supplies those capabilities as native
+Ray Data compositions designed for the 100 TB shape:
+
+* **pre-aggregated groupby** — partial sums per batch inside
+  ``map_batches`` (the combiner), then a tiny global ``groupby`` over
+  partials, so the all-to-all shuffle moves one row per (key, batch)
+  instead of one per input row;
+* **broadcast hash join** — the small side rides the object store once
+  (``ray.put``), each batch merges against it; no shuffle;
+* **hash-partitioned latest-by-key (LWW)** — the applier's shuffle plan
+  reused as a pure query operator;
+* **top-k / distinct** wrappers with explicit keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from sapray.hashing import hash_key
+from sapray.partition import lww_reduce
+
+# --------------------------------------------------------------------------
+# projection / filter / top-k  (M16, M17, $top/$orderby pushdown analogues)
+# --------------------------------------------------------------------------
+
+
+def read_projected(
+    path: str, columns: list[str] | None = None, filter_expr=None
+) -> ray.data.Dataset:
+    """Column-pruned, row-group-filtered Parquet read (prune at the read)."""
+    kwargs = {}
+    if columns:
+        kwargs["columns"] = columns
+    if filter_expr is not None:
+        kwargs["filter"] = filter_expr
+    return ray.data.read_parquet(path, **kwargs)
+
+
+def topk(
+    ds: ray.data.Dataset, keys: list[str], descending: list[bool], k: int
+) -> ray.data.Dataset:
+    """Global top-k: per-batch truncation (combiner) then a tiny sort.
+
+    Each batch keeps only its own best k rows, so the final sort runs on
+    ~k × num_batches rows instead of the whole dataset.
+    """
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        order = [(name, "descending" if d else "ascending") for name, d in zip(keys, descending)]
+        idx = pa.compute.sort_indices(batch, sort_keys=order)[:k]
+        return batch.take(idx)
+
+    ds = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.sort(keys, descending=descending).limit(k)
+
+
+# --------------------------------------------------------------------------
+# pre-aggregated grouped aggregation
+# --------------------------------------------------------------------------
+
+# spec: output_name -> (input_column | None, kind)
+# kinds: sum, count, min, max, mean  (mean = sum/count finalized after)
+AggSpec = dict[str, tuple[str | None, str]]
+
+
+def grouped_aggregate(
+    ds: ray.data.Dataset, keys: list[str], spec: AggSpec
+) -> ray.data.Dataset:
+    """groupby + aggregate with a per-batch partial-aggregation combiner.
+
+    The wide shuffle only moves one partial row per (key-combo, batch).
+    ``mean`` is decomposed into sum+count partials and finalized in a
+    last narrow ``map_batches``.
+    """
+    partial_cols: dict[str, tuple[str | None, str]] = {}
+    finalizers: list[tuple[str, str, str]] = []  # (out, kind, basis)
+    for out, (col, kind) in spec.items():
+        if kind == "mean":
+            partial_cols[f"__sum_{out}"] = (col, "sum")
+            partial_cols.setdefault("__cnt", (None, "count"))
+            finalizers.append((out, "mean", f"__sum_{out}"))
+        elif kind == "count":
+            partial_cols.setdefault("__cnt", (None, "count"))
+            finalizers.append((out, "count", "__cnt"))
+        else:
+            partial_cols[f"__{kind}_{out}"] = (col, kind)
+            finalizers.append((out, kind, f"__{kind}_{out}"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            list(dict.fromkeys(keys + [c for c, _ in partial_cols.values() if c]))
+        ).to_pandas()
+        g = df.groupby(keys, sort=False, observed=True)
+        out = {}
+        for name, (col, kind) in partial_cols.items():
+            if kind == "count":
+                out[name] = g.size()
+            elif kind == "sum":
+                out[name] = g[col].sum()
+            elif kind == "min":
+                out[name] = g[col].min()
+            elif kind == "max":
+                out[name] = g[col].max()
+        res = pd.DataFrame(out).reset_index()
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    aggs = []
+    for name, (col, kind) in partial_cols.items():
+        if kind in ("count", "sum"):
+            aggs.append(Sum(name, alias_name=name))
+        elif kind == "min":
+            aggs.append(Min(name, alias_name=name))
+        elif kind == "max":
+            aggs.append(Max(name, alias_name=name))
+    merged = partials.groupby(keys).aggregate(*aggs)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols: dict[str, pa.Array] = {k: batch.column(k) for k in keys}
+        for out, kind, basis in finalizers:
+            if kind == "mean":
+                cols[out] = pa.compute.divide(
+                    pa.compute.cast(batch.column(basis), pa.float64()),
+                    pa.compute.cast(batch.column("__cnt"), pa.float64()),
+                )
+            else:
+                cols[out] = batch.column(basis)
+        return pa.table(cols)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# broadcast hash join (small side via object store — no shuffle)
+# --------------------------------------------------------------------------
+
+
+class _BroadcastJoiner:
+    """Actor-pool joiner: the small side is fetched from the object store
+    once per actor in ``__init__`` (not re-shipped per batch)."""
+
+    def __init__(self, small_ref, left_on: str, right_on: str, how: str):
+        small: pa.Table = ray.get(small_ref)
+        self.small_df = small.to_pandas()
+        self.left_on, self.right_on, self.how = left_on, right_on, how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.merge(
+            self.small_df, left_on=self.left_on, right_on=self.right_on, how=self.how
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pa.Table,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Join a big Dataset against a small in-memory table.
+
+    The small side is ``ray.put`` ONCE; each join actor reads it from the
+    object store in ``__init__``. Correct pattern for dimension tables,
+    vocabularies, blocklists at any scale.
+    """
+    ref = ray.put(small)
+    return ds.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_args=(ref, left_on, right_on, how),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+# --------------------------------------------------------------------------
+# semi/anti join via broadcast key set
+# --------------------------------------------------------------------------
+
+
+def semi_join_filter(
+    ds: ray.data.Dataset, keys: set, column: str, anti: bool = False
+) -> ray.data.Dataset:
+    """Semi (or anti) join: broadcast the key set, filter inside map_batches."""
+    ref = ray.put(keys)
+
+    class _Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pd.Index(batch.column(column).to_pandas()).isin(self.keys)
+            if anti:
+                mask = ~mask
+            return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=2)
+
+
+# --------------------------------------------------------------------------
+# hash-partitioned latest-by-key (the LWW applier as a pure query op)
+# --------------------------------------------------------------------------
+
+
+def latest_by_key(
+    ds: ray.data.Dataset,
+    key_columns: tuple[str, ...],
+    seq_column: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """One row per key: the row with the maximum ``seq_column``.
+
+    Same physical plan as the CDC applier (O-CDC5/8): within-batch LWW
+    combiner -> hash-partition shuffle -> exact per-key reduce. SQL
+    equivalent: ``arg_max(col, seq) ... GROUP BY key``.
+    """
+
+    def combine(batch: pa.Table) -> pa.Table:
+        batch = lww_reduce(batch, key_columns, seq_column)
+        kh = hash_key(batch, key_columns)
+        part = (kh % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    ds = ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(group: pa.Table) -> pa.Table:
+        return lww_reduce(group, key_columns, seq_column).drop_columns(["part"])
+
+    return ds.groupby("part").map_groups(final, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# exact distinct / dedup-first
+# --------------------------------------------------------------------------
+
+
+def distinct(ds: ray.data.Dataset, columns: list[str]) -> ray.data.Dataset:
+    """Distinct over columns with a per-batch unique combiner."""
+
+    def local_unique(batch: pa.Table) -> pa.Table:
+        return batch.select(columns).group_by(columns).aggregate([])
+
+    ds = ds.map_batches(local_unique, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby(columns).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def dedup_first(
+    ds: ray.data.Dataset,
+    key_columns: tuple[str, ...],
+    order_column: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Exact dedup keeping the row with the MINIMUM order column per key
+    (hash-partition + per-group first)."""
+
+    def neg(batch: pa.Table) -> pa.Table:
+        col = pa.compute.multiply(
+            pa.compute.cast(batch.column(order_column), pa.int64()), pa.scalar(-1)
+        )
+        return batch.append_column("__neg_order", col)
+
+    ds = ds.map_batches(neg, batch_format="pyarrow", zero_copy_batch=True)
+    out = latest_by_key(ds, key_columns, "__neg_order", num_partitions)
+    return out.drop_columns(["__neg_order"])

@@ -1,0 +1,645 @@
+"""Driver-facing query registry (SURVEY.md §7.1 step 8).
+
+One entry per implemented operator/pipeline from SURVEY.md §2. Each
+callable takes ``sf_dir`` and returns a Dataset / pandas DataFrame /
+pyarrow Table; ``sql`` is the DuckDB oracle over the same tables (None
+for non-SQL-expressible ops -> the driver records a rows-only check).
+
+Column names are identical on both sides (the driver's compare sorts
+columns by name before hashing). Float-valued aggregate outputs are
+either exact selections (arg_max / min / max — bit-identical on both
+sides) or rounded sums over few groups.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from sapray import dedup, ops, similarity, text
+from sapray.changelog import generate_changelog
+from sapray.config import CDCConfig
+from sapray.pipeline import CDCEngine
+
+ORACLE_TMP = "/tmp/sapray_oracle"
+
+
+def _p(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _mod(col: pa.ChunkedArray | pa.Array, m: int) -> pa.ChunkedArray | pa.Array:
+    """Integer modulo (pyarrow has no modulo kernel): x - (x // m) * m."""
+    q = pc.divide(col, pa.scalar(m, col.type))  # integer division for ints
+    return pc.subtract(col, pc.multiply(q, pa.scalar(m, col.type)))
+
+
+def _cents(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
+    """Money double -> exact int64 (cents): round(x * scale) as int64.
+
+    Integer equality is bit-exact across engines; ``round(x, 2)`` on
+    doubles is not (pyarrow and DuckDB differ by 1 ulp at ~1e8).
+    """
+    scaled = pc.multiply(col, pa.scalar(float(scale))) if scale != 1 else col
+    return pc.cast(pc.round(scaled, 0), pa.int64())
+
+
+# --------------------------------------------------------------------------
+# projection / filter / top-k (M16, M17, $top/$orderby analogues)
+# --------------------------------------------------------------------------
+
+
+def projection_docs(sf_dir: str):
+    return ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+
+
+PROJECTION_DOCS_SQL = "SELECT doc_id, lang, n_chars FROM documents"
+
+
+def filter_docs(sf_dir: str):
+    return ops.read_projected(
+        _p(sf_dir, "documents"),
+        columns=["doc_id", "lang", "n_chars"],
+        filter_expr=(pc.field("lang") == "en") & (pc.field("n_chars") > 200),
+    )
+
+
+FILTER_DOCS_SQL = (
+    "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars > 200"
+)
+
+
+def topk_events(sf_dir: str):
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    return ops.topk(ds, ["ts", "event_id"], [True, True], 10)
+
+
+TOPK_EVENTS_SQL = (
+    "SELECT event_id, user_id, event_type, ts FROM events "
+    "ORDER BY ts DESC, event_id DESC LIMIT 10"
+)
+
+
+# --------------------------------------------------------------------------
+# LWW latest-per-key — the applier as a query operator (O-CDC5/8)
+# --------------------------------------------------------------------------
+
+
+def lww_latest_events(sf_dir: str):
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    )
+    out = ops.latest_by_key(ds, ("user_id",), "event_id", num_partitions=16)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "last_seq": batch.column("event_id"),
+                "last_event_type": batch.column("event_type"),
+                "last_value": batch.column("value"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+LWW_LATEST_EVENTS_SQL = """
+SELECT user_id,
+       max(event_id)                AS last_seq,
+       arg_max(event_type, event_id) AS last_event_type,
+       arg_max(value, event_id)      AS last_value
+FROM events GROUP BY user_id
+"""
+
+
+def cdc_upsert_events(sf_dir: str):
+    """Upsert-with-deletes over the events stream: op derived from a
+    deterministic rule, LWW by event_id, deleted keys dropped."""
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    )
+
+    def add_op(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id")
+        op = pc.if_else(
+            pc.equal(_mod(eid, 10), 3), pa.scalar("D"), pa.scalar("U")
+        )
+        return batch.append_column("op", op)
+
+    ds = ds.map_batches(add_op, batch_format="pyarrow", zero_copy_batch=True)
+    out = ops.latest_by_key(ds, ("user_id",), "event_id", num_partitions=16)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        live = batch.filter(pc.not_equal(batch.column("op"), "D"))
+        return pa.table(
+            {
+                "user_id": live.column("user_id"),
+                "last_seq": live.column("event_id"),
+                "last_value": live.column("value"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+CDC_UPSERT_EVENTS_SQL = """
+WITH ev AS (
+  SELECT *, CASE WHEN event_id % 10 = 3 THEN 'D' ELSE 'U' END AS op FROM events
+), last AS (
+  SELECT user_id,
+         max(event_id)            AS last_seq,
+         arg_max(op, event_id)    AS last_op,
+         arg_max(value, event_id) AS last_value
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, last_seq, last_value FROM last WHERE last_op <> 'D'
+"""
+
+
+# --------------------------------------------------------------------------
+# grouped aggregation with partial-agg combiner (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+
+def q1_lineitem(sf_dir: str):
+    ds = ops.read_projected(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return batch.append_column("disc_price", rev)
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
+    out = ops.grouped_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "count_order": (None, "count"),
+        },
+    )
+
+    # money sums -> integer cents: int64 equality is hash-exact, immune to
+    # the 1-ulp divergence between pyarrow's and DuckDB's round(x, 2)
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": _cents(batch.column("sum_qty"), 1),
+                "sum_base_price_cents": _cents(batch.column("sum_base_price")),
+                "sum_disc_price_cents": _cents(batch.column("sum_disc_price")),
+                "count_order": batch.column("count_order"),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+Q1_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity), 0) AS BIGINT)                             AS sum_qty,
+       CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT)                  AS sum_base_price_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS sum_disc_price_cents,
+       count(*)                                                              AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+def join_orders_customer(sf_dir: str):
+    """Broadcast hash join: customer (small) shipped once via ray.put."""
+    customer = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    orders = ops.read_projected(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    joined = ops.broadcast_join(orders, customer, "o_custkey", "c_custkey")
+    out = ops.grouped_aggregate(
+        joined,
+        ["c_mktsegment"],
+        {"n_orders": (None, "count"), "total_price": ("o_totalprice", "sum")},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_orders": batch.column("n_orders"),
+                "total_price_cents": _cents(batch.column("total_price")),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+JOIN_ORDERS_CUSTOMER_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS total_price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def join_lineitem_part(sf_dir: str):
+    part = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    li = ops.read_projected(
+        _p(sf_dir, "lineitem"), columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return batch.append_column("revenue", rev)
+
+    li = li.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
+    joined = ops.broadcast_join(li, part, "l_partkey", "p_partkey")
+    out = ops.grouped_aggregate(
+        joined, ["p_brand"], {"n_items": (None, "count"), "revenue": ("revenue", "sum")}
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "n_items": batch.column("n_items"),
+                "revenue_cents": _cents(batch.column("revenue")),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+JOIN_LINEITEM_PART_SQL = """
+SELECT p_brand, count(*) AS n_items,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# distinct / grouped counts / window
+# --------------------------------------------------------------------------
+
+
+def distinct_langs(sf_dir: str):
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["lang"])
+    return ops.distinct(ds, ["lang"])
+
+
+DISTINCT_LANGS_SQL = "SELECT DISTINCT lang FROM documents"
+
+
+def docs_by_lang(sf_dir: str):
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["lang"])
+    return ops.grouped_aggregate(ds, ["lang"], {"n": (None, "count")})
+
+
+DOCS_BY_LANG_SQL = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: (user, hour) buckets; exact-selection
+    metrics (count/min/max) so the value-hash is float-safe."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return batch.append_column("hour", hour)
+
+    ds = ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True)
+    return ops.grouped_aggregate(
+        ds,
+        ["user_id", "hour"],
+        {"n": (None, "count"), "min_value": ("value", "min"), "max_value": ("value", "max")},
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS hour,
+       count(*) AS n, min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup family
+# --------------------------------------------------------------------------
+
+
+def _augmented_docs(sf_dir: str) -> ray.data.Dataset:
+    """documents plus exact duplicates of every third doc (id-shifted)."""
+    base = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    dups = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(_mod(batch.column("doc_id"), 3), 0))
+        return pa.table(
+            {
+                "doc_id": pc.add(batch.column("doc_id"), pa.scalar(1_000_000)),
+                "text": batch.column("text"),
+            }
+        )
+
+    return base.union(dups.map_batches(shift, batch_format="pyarrow"))
+
+
+def dedup_exact_docs(sf_dir: str):
+    ds = dedup.add_sha256(_augmented_docs(sf_dir))
+    return ops.grouped_aggregate(
+        ds, ["text_sha"], {"doc_id": ("doc_id", "min"), "dup_count": (None, "count")}
+    )
+
+
+DEDUP_EXACT_DOCS_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+)
+SELECT sha256(text) AS text_sha, min(doc_id) AS doc_id, count(*) AS dup_count
+FROM aug GROUP BY text
+"""
+
+
+def _neardup_docs(sf_dir: str) -> ray.data.Dataset:
+    """documents plus NEAR-duplicates (suffix-perturbed) of every third doc."""
+    base = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    dups = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(_mod(batch.column("doc_id"), 3), 0))
+        return pa.table(
+            {
+                "doc_id": pc.add(batch.column("doc_id"), pa.scalar(1_000_000)),
+                "text": pc.binary_join_element_wise(
+                    batch.column("text"), pa.scalar(" near dup tail"), ""
+                ),
+            }
+        )
+
+    return base.union(dups.map_batches(perturb, batch_format="pyarrow"))
+
+
+def minhash_dedup_docs(sf_dir: str):
+    """MinHash+LSH candidates -> exact-Jaccard verify (threshold 0.8).
+
+    On the constructed corpus the verified pairs are exactly
+    (original, original+1e6) for every third doc — SQL-checkable.
+    """
+    aug = _neardup_docs(sf_dir)
+    pairs = dedup.minhash_lsh_candidates(aug, concurrency=2)
+    verified = dedup.verify_pairs_jaccard(pairs, _neardup_table(sf_dir), threshold=0.8)
+    return verified.select_columns(["id_a", "id_b"])
+
+
+def _neardup_table(sf_dir: str) -> pa.Table:
+    base = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    mask = pc.equal(_mod(base.column("doc_id"), 3), 0)
+    dups = base.filter(mask)
+    dups = pa.table(
+        {
+            "doc_id": pc.add(dups.column("doc_id"), pa.scalar(1_000_000)),
+            "text": pc.binary_join_element_wise(
+                dups.column("text"), pa.scalar(" near dup tail"), ""
+            ),
+        }
+    )
+    return pa.concat_tables([base, dups])
+
+
+# exact 5-char-shingle Jaccard in SQL (the engine's MinHash+LSH with 16
+# bands x 4 rows has ~1-2e-4 miss probability at s=0.8 and is seeded, so
+# the comparison is deterministic; verified equal at sf0.001/sf0.01)
+MINHASH_DEDUP_DOCS_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' near dup tail' AS text
+  FROM documents WHERE doc_id % 3 = 0
+),
+pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+  FROM aug
+),
+sh AS (SELECT DISTINCT doc_id, substring(text, i::INT, 5) AS g FROM pos),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+def simhash_docs(sf_dir: str):
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "simhash"])
+
+
+def fingerprint_docs(sf_dir: str):
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(text.Fingerprint, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def token_count_docs(sf_dir: str):
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(text.TokenCount, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "n_ws_tokens", "n_bpe_tokens"])
+
+
+TOKEN_COUNT_DOCS_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+'))   AS n_ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def quality_docs(sf_dir: str):
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(text.QualityScore, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "n_chars_calc", "n_spaces", "stop_hits"])
+
+
+QUALITY_DOCS_SQL = """
+SELECT doc_id,
+       length(text)                                        AS n_chars_calc,
+       length(text) - length(replace(text, ' ', ''))       AS n_spaces,
+       (length(text) - length(replace(text, 'the', ''))) // 3 AS stop_hits
+FROM documents
+"""
+
+
+def langid_docs(sf_dir: str):
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(text.LangId, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "pred_lang"])
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+def ann_topk_embeddings(sf_dir: str):
+    emb = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    queries = emb.filter(pc.less(emb.column("vec_id"), 5))
+    ds = ops.read_projected(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return similarity.brute_force_topk(ds, queries, k=10, concurrency=2)
+
+
+ANN_TOPK_EMBEDDINGS_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.qid
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+"""
+
+
+def ivf_topk_embeddings(sf_dir: str):
+    """Approximate IVF variant — rows-only check (no SQL oracle)."""
+    emb = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    queries = emb.filter(pc.less(emb.column("vec_id"), 5))
+    ds = ops.read_projected(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return similarity.ivf_topk(ds, queries, k=10, concurrency=2)
+
+
+def embedding_neardup(sf_dir: str):
+    """LSH-bucketed cosine near-dup pairs — rows-only (approximate)."""
+    ds = ops.read_projected(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = dedup.embedding_neardup_pairs(ds, threshold=0.95)
+    return out.select_columns(["id_a", "id_b"])
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (stubbed decode; deterministic fake corpus)
+# --------------------------------------------------------------------------
+
+
+def media_features(sf_dir: str):
+    from sapray import multimodal
+
+    ds = ray.data.from_arrow(multimodal.synth_media_table(64))
+    out = multimodal.extract_media_features(ds, batch_size=16, concurrency=2)
+    return out.select_columns(["media_id", "content_type", "n_bytes", "width", "height"])
+
+
+# --------------------------------------------------------------------------
+# the flagship CDC replay, SQL-checked end-to-end
+# --------------------------------------------------------------------------
+
+
+def _changelog_dir_for(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(ORACLE_TMP, name, "changelog")
+
+
+def cdc_replay_flagship(sf_dir: str):
+    """Full engine path: generate the deterministic change log, replay it
+    through decode -> partition/salt shuffle -> LWW appliers -> exactly-once
+    sink, return the final lake state. The oracle SQL replays the same
+    parquet log with arg_max."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    cl_dir = _changelog_dir_for(sf_dir)
+    generate_changelog(sf_dir, cl_dir, n_updates=3000)
+    lake = os.path.join(ORACLE_TMP, name, "lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = CDCEngine(CDCConfig(lake_dir=lake, num_partitions=16))
+    eng.apply(cl_dir)
+    state = eng.state_table()
+    return state.select(["repo", "path", "commit", "seq", "content_sha256"])
+
+
+def _flagship_sql(sf_name: str) -> str:
+    glob = os.path.join(ORACLE_TMP, sf_name, "changelog", "v*", "*.parquet")
+    return f"""
+WITH ev AS (
+  SELECT seq, op, repo, path, commit, content
+  FROM read_parquet('{glob}', union_by_name=true)
+), last AS (
+  SELECT repo, path,
+         max(seq)              AS seq,
+         arg_max(op, seq)      AS last_op,
+         arg_max(commit, seq)  AS commit,
+         arg_max(content, seq) AS content
+  FROM ev GROUP BY repo, path
+)
+SELECT repo, path, commit, seq, sha256(content) AS content_sha256
+FROM last WHERE last_op <> 'D'
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+
+def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
+    """name -> {"fn": callable(sf_dir), "sql": str | None}."""
+    return {
+        "projection_docs": {"fn": projection_docs, "sql": PROJECTION_DOCS_SQL},
+        "filter_docs": {"fn": filter_docs, "sql": FILTER_DOCS_SQL},
+        "topk_events": {"fn": topk_events, "sql": TOPK_EVENTS_SQL},
+        "lww_latest_events": {"fn": lww_latest_events, "sql": LWW_LATEST_EVENTS_SQL},
+        "cdc_upsert_events": {"fn": cdc_upsert_events, "sql": CDC_UPSERT_EVENTS_SQL},
+        "q1_lineitem": {"fn": q1_lineitem, "sql": Q1_LINEITEM_SQL},
+        "join_orders_customer": {"fn": join_orders_customer, "sql": JOIN_ORDERS_CUSTOMER_SQL},
+        "join_lineitem_part": {"fn": join_lineitem_part, "sql": JOIN_LINEITEM_PART_SQL},
+        "distinct_langs": {"fn": distinct_langs, "sql": DISTINCT_LANGS_SQL},
+        "docs_by_lang": {"fn": docs_by_lang, "sql": DOCS_BY_LANG_SQL},
+        "events_hourly": {"fn": events_hourly, "sql": EVENTS_HOURLY_SQL},
+        "dedup_exact_docs": {"fn": dedup_exact_docs, "sql": DEDUP_EXACT_DOCS_SQL},
+        "minhash_dedup_docs": {"fn": minhash_dedup_docs, "sql": MINHASH_DEDUP_DOCS_SQL},
+        "simhash_docs": {"fn": simhash_docs, "sql": None},
+        "fingerprint_docs": {"fn": fingerprint_docs, "sql": None},
+        "token_count_docs": {"fn": token_count_docs, "sql": TOKEN_COUNT_DOCS_SQL},
+        "quality_docs": {"fn": quality_docs, "sql": QUALITY_DOCS_SQL},
+        "langid_docs": {"fn": langid_docs, "sql": None},
+        "ann_topk_embeddings": {"fn": ann_topk_embeddings, "sql": ANN_TOPK_EMBEDDINGS_SQL},
+        "ivf_topk_embeddings": {"fn": ivf_topk_embeddings, "sql": None},
+        "embedding_neardup": {"fn": embedding_neardup, "sql": None},
+        "media_features": {"fn": media_features, "sql": None},
+        "cdc_replay_flagship": {"fn": cdc_replay_flagship, "sql": _flagship_sql(sf_name)},
+    }

@@ -1,0 +1,199 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), every batch does one numpy matmul and
+  emits only its local top-k per query (combiner), then a tiny per-query
+  reduce yields the global top-k. Scales linearly in corpus size.
+* :func:`ivf_topk` — IVF-style scale path: k-means-lite coarse
+  centroids (trained on a driver-side sample), each batch assigns rows
+  to cells, only rows in the query's ``nprobe`` nearest cells are
+  scored. Approximate; same output layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(col) -> np.ndarray:
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = col.to_pandas()
+    return np.stack(np.asarray(col.to_numpy() if hasattr(col, "to_numpy") else col)).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _BruteScorer:
+    """Actor-pool stage: query matrix fetched once per actor."""
+
+    def __init__(self, qref, query_ids, id_column, vec_column, k):
+        self.q = _normalize(ray.get(qref))  # (nq, d)
+        self.query_ids = query_ids
+        self.id_column = id_column
+        self.vec_column = vec_column
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
+        v = _normalize(_to_matrix(batch.column(self.vec_column)))
+        sims = self.q @ v.T  # (nq, nb)
+        nq, nb = sims.shape
+        k = min(self.k + 1, nb)  # +1: self-match removed later
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_n, out_s = [], [], []
+        for i in range(nq):
+            out_q.append(np.full(k, self.query_ids[i], dtype=np.int64))
+            out_n.append(ids[top[i]])
+            out_s.append(sims[i, top[i]])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n).astype(np.int64)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: pa.Table,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Exact cosine top-k for each query row against the whole dataset.
+
+    Output: (query_id, neighbor_id, rank) — rank 1..k by descending
+    cosine, deterministic tie-break by neighbor_id. Self-matches
+    (neighbor == query) are excluded.
+    """
+    qids = queries.column(id_column).to_pylist()
+    qref = ray.put(_to_matrix(queries.column(vec_column)))
+
+    partials = ds.map_batches(
+        _BruteScorer,
+        fn_constructor_args=(qref, qids, id_column, vec_column, k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def reduce_query(group: pd.DataFrame) -> pd.DataFrame:
+        qid = int(group["query_id"].iloc[0])
+        g = group[group["neighbor_id"] != qid]
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(g), qid, dtype=np.int64),
+                "neighbor_id": g["neighbor_id"].to_numpy(np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(reduce_query, batch_format="pandas")
+
+
+def train_centroids(sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """k-means-lite on a driver-side sample (the IVF coarse quantizer)."""
+    rng = np.random.default_rng(seed)
+    c = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    c = _normalize(c.astype(np.float64))
+    s = _normalize(sample.astype(np.float64))
+    for _ in range(iters):
+        assign = np.argmax(s @ c.T, axis=1)
+        for j in range(len(c)):
+            m = s[assign == j]
+            if len(m):
+                c[j] = m.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: pa.Table,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    sample_size: int = 10_000,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """IVF-bucketed approximate top-k: score only rows whose coarse cell
+    is among the query's ``nprobe`` nearest cells."""
+    sample = _to_matrix(
+        ds.limit(sample_size).select_columns([vec_column]).to_pandas()[vec_column]
+    )
+    cents = train_centroids(sample, n_cells)
+    qm = _normalize(_to_matrix(queries.column(vec_column)))
+    qids = queries.column(id_column).to_pylist()
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    cref = ray.put(cents)
+    qref = ray.put(qm)
+    pref = ray.put(probe)
+
+    class _IVFScorer:
+        def __init__(self):
+            self.c = ray.get(cref)
+            self.q = ray.get(qref)
+            self.probe = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+            v = _normalize(_to_matrix(batch.column(vec_column)))
+            cells = np.argmax(v @ self.c.T, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for i in range(len(self.q)):
+                mask = np.isin(cells, self.probe[i])
+                if not mask.any():
+                    continue
+                sims = v[mask] @ self.q[i]
+                sel = np.argpartition(-sims, min(k, len(sims) - 1))[: k + 1]
+                out_q.append(np.full(len(sel), qids[i], dtype=np.int64))
+                out_n.append(ids[mask][sel])
+                out_s.append(sims[sel])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q)),
+                    "neighbor_id": pa.array(np.concatenate(out_n).astype(np.int64)),
+                    "cosine": pa.array(np.concatenate(out_s)),
+                }
+            )
+
+    partials = ds.map_batches(_IVFScorer, batch_format="pyarrow", concurrency=concurrency)
+
+    def reduce_query(group: pd.DataFrame) -> pd.DataFrame:
+        qid = int(group["query_id"].iloc[0])
+        g = group[group["neighbor_id"] != qid]
+        g = g.drop_duplicates("neighbor_id").sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(g), qid, dtype=np.int64),
+                "neighbor_id": g["neighbor_id"].to_numpy(np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(reduce_query, batch_format="pandas")
