@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: run the headline CDC replay twice in FRESH subprocesses
+(``num_cpus=8`` then ``num_cpus=32``) on the same input and report both
+throughputs plus efficiency = (rate32/rate8)/4 (the sandbox proxy for
+the N -> 4N-node criterion, BASELINE.md).
+
+The headline pipeline is the flagship CDC replay (SURVEY.md §3.3):
+deterministic change log (generated once, cached on disk) -> decode /
+schema-evolution normalize -> hash(repo,path) partition + salt ->
+LWW merge appliers -> exactly-once manifest-guarded Parquet sink.
+Throughput = realized change events applied per second.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TMP = "/tmp/sapray_bench"
+
+# benchmark changelog scale: n_updates * multiplier update/delete events
+# on top of the base-table inserts (sf0.1 documents -> ~60k base rows)
+N_UPDATES = int(os.environ.get("SAPRAY_BENCH_UPDATES", "300000"))
+MULTIPLIER = int(os.environ.get("SAPRAY_BENCH_MULTIPLIER", "10"))
+
+
+def _changelog(sf_dir: str) -> tuple[str, int]:
+    """Generate (or reuse cached) the benchmark change log; returns
+    (dir, n_events). Pure pyarrow/numpy — no Ray session needed."""
+    from sapray.changelog import generate_changelog
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(BENCH_TMP, name, f"changelog-u{N_UPDATES}-m{MULTIPLIER}")
+    meta = generate_changelog(
+        sf_dir, out, n_updates=N_UPDATES, multiplier=MULTIPLIER
+    )
+    return out, meta.n_events
+
+
+def run_cdc(sf_dir: str, num_cpus: int) -> dict:
+    """The headline: replay the change log into a fresh lake. Returns
+    timing + throughput. Assumes Ray is already initialised."""
+    from sapray.config import CDCConfig
+    from sapray.pipeline import CDCEngine
+
+    cl_dir, n_events = _changelog(sf_dir)
+    lake = os.path.join(BENCH_TMP, "lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    # fixed partition count (not a function of num_cpus): the scaling
+    # runs must execute the identical job, only parallelism varies
+    cfg = CDCConfig(lake_dir=lake, num_partitions=128)
+    eng = CDCEngine(cfg)
+    t0 = time.perf_counter()
+    metrics = eng.apply(cl_dir)
+    dt = time.perf_counter() - t0
+    return {
+        "sec": dt,
+        "n_events": n_events,
+        "events_per_sec": n_events / dt,
+        "final_rows": metrics["final_rows"],
+        "watermark": metrics["watermark"],
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Per-query wall time for the headline query set (consumed fully:
+    count() / materialized small results)."""
+    from sapray import queries as Q
+
+    names = [
+        "q1_lineitem",
+        "lww_latest_events",
+        "join_orders_customer",
+        "dedup_exact_docs",
+        "token_count_docs",
+        "ann_topk_embeddings",
+        "topk_events",
+    ]
+    reg = Q.registry(os.path.basename(os.path.normpath(sf_dir)))
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = reg[name]["fn"](sf_dir)
+        # consume the stream (small results -> driver)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def one_shot(num_cpus: int, with_queries: bool) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    cdc = run_cdc(SF_DIR, num_cpus)
+    result = {
+        "metric": "cdc_apply_events_per_sec",
+        "value": round(cdc["sec"], 3),
+        "unit": "sec",
+        "events_per_sec": round(cdc["events_per_sec"], 1),
+        "n_events": cdc["n_events"],
+        "final_rows": cdc["final_rows"],
+        "queries": run_queries(SF_DIR) if with_queries else {},
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return result
+
+
+def scaling() -> dict:
+    """Fresh-process runs at 8 and 32 CPUs on the same input."""
+    # generate the changelog once (cached) so both runs read identical input
+    _changelog(SF_DIR)
+    rates: dict[int, dict] = {}
+    for k in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(k))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one-shot"],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        rates[k] = json.loads(line)
+    r8 = rates[8]["events_per_sec"]
+    r32 = rates[32]["events_per_sec"]
+    eff = (r32 / r8) / 4.0
+    return {
+        "metric": "cdc_apply_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "events_per_sec_8cpu": r8,
+        "events_per_sec_32cpu": r32,
+        "sec_8cpu": rates[8]["value"],
+        "sec_32cpu": rates[32]["value"],
+        "n_events": rates[8]["n_events"],
+        "queries": {},
+        "sf": SF_DIR,
+        "num_cpus": 32,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--one-shot", action="store_true", help="CDC only, no query set")
+    args = ap.parse_args()
+    if args.scaling:
+        print(json.dumps(scaling()))
+    elif args.one_shot:
+        print(json.dumps(one_shot(NUM_CPUS, with_queries=False)))
+    else:
+        print(json.dumps(one_shot(NUM_CPUS, with_queries=True)))
+
+
+if __name__ == "__main__":
+    main()

@@ -129,7 +129,7 @@ def minhash_lsh_candidates(
             "text_column": text_column,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -209,7 +209,7 @@ def verify_pairs_jaccard(
             out = batch.append_column("jaccard", pa.array(sims, pa.float64()))
             return out.filter(pa.compute.greater_equal(out.column("jaccard"), threshold))
 
-    return pairs.map_batches(_Verify, batch_format="pyarrow", concurrency=2)
+    return pairs.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, 2))
 
 
 # ------------------------------------------------------------------- simhash

@@ -113,7 +113,7 @@ def extract_media_features(
         fn_constructor_kwargs={"decode_fn": decode_fn},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 

@@ -188,7 +188,7 @@ def broadcast_join(
         _BroadcastJoiner,
         fn_constructor_args=(ref, left_on, right_on, how),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 
@@ -213,7 +213,7 @@ def semi_join_filter(
                 mask = ~mask
             return batch.filter(pa.array(mask))
 
-    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 2))
 
 
 # --------------------------------------------------------------------------

@@ -459,13 +459,13 @@ WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
 
 def simhash_docs(sf_dir: str):
     ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=(1, 2))
     return out.select_columns(["doc_id", "simhash"])
 
 
 def fingerprint_docs(sf_dir: str):
     ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(text.Fingerprint, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(text.Fingerprint, batch_format="pyarrow", concurrency=(1, 2))
     return out.select_columns(["doc_id", "fingerprint"])
 
 
@@ -476,7 +476,7 @@ def fingerprint_docs(sf_dir: str):
 
 def token_count_docs(sf_dir: str):
     ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(text.TokenCount, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(text.TokenCount, batch_format="pyarrow", concurrency=(1, 2))
     return out.select_columns(["doc_id", "n_ws_tokens", "n_bpe_tokens"])
 
 
@@ -490,7 +490,7 @@ FROM documents
 
 def quality_docs(sf_dir: str):
     ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(text.QualityScore, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(text.QualityScore, batch_format="pyarrow", concurrency=(1, 2))
     return out.select_columns(["doc_id", "n_chars_calc", "n_spaces", "stop_hits"])
 
 
@@ -505,7 +505,7 @@ FROM documents
 
 def langid_docs(sf_dir: str):
     ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(text.LangId, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(text.LangId, batch_format="pyarrow", concurrency=(1, 2))
     return out.select_columns(["doc_id", "pred_lang"])
 
 

@@ -84,7 +84,7 @@ def brute_force_topk(
         _BruteScorer,
         fn_constructor_args=(qref, qids, id_column, vec_column, k),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
     def reduce_query(group: pd.DataFrame) -> pd.DataFrame:
@@ -180,7 +180,7 @@ def ivf_topk(
                 }
             )
 
-    partials = ds.map_batches(_IVFScorer, batch_format="pyarrow", concurrency=concurrency)
+    partials = ds.map_batches(_IVFScorer, batch_format="pyarrow", concurrency=(1, concurrency))
 
     def reduce_query(group: pd.DataFrame) -> pd.DataFrame:
         qid = int(group["query_id"].iloc[0])

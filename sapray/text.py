@@ -129,7 +129,7 @@ class Fingerprint:
 def analyze_documents(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
     """Full text-analysis pipeline: langid -> quality -> token counts."""
     return (
-        ds.map_batches(LangId, batch_format="pyarrow", concurrency=concurrency)
-        .map_batches(QualityScore, batch_format="pyarrow", concurrency=concurrency)
-        .map_batches(TokenCount, batch_format="pyarrow", concurrency=concurrency)
+        ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, concurrency))
+        .map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, concurrency))
+        .map_batches(TokenCount, batch_format="pyarrow", concurrency=(1, concurrency))
     )
