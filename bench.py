@@ -47,8 +47,10 @@ def _changelog(sf_dir: str) -> tuple[str, int]:
 
     name = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(BENCH_TMP, name, f"changelog-u{N_UPDATES}-m{MULTIPLIER}")
+    # 50k-row files: enough read tasks to keep every core busy (a file is
+    # the unit of read parallelism; 100 MB files cap the scan at ~5 tasks)
     meta = generate_changelog(
-        sf_dir, out, n_updates=N_UPDATES, multiplier=MULTIPLIER
+        sf_dir, out, n_updates=N_UPDATES, multiplier=MULTIPLIER, rows_per_file=50_000
     )
     return out, meta.n_events
 

@@ -104,8 +104,8 @@ def _date_time_cols(seq: np.ndarray) -> tuple[pa.Array, pa.Array]:
 def _key_hash(repo: np.ndarray, path: np.ndarray) -> np.ndarray:
     import pandas as pd
 
-    h1 = pd.util.hash_array(repo)
-    h2 = pd.util.hash_array(path)
+    h1 = pd.util.hash_array(repo, categorize=False)
+    h2 = pd.util.hash_array(path, categorize=False)
     return h1 * np.uint64(0x9E3779B97F4A7C15) ^ h2
 
 
@@ -173,7 +173,8 @@ def generate_changelog(
         multiplier=multiplier,
         hot_share=hot_share,
         dup_share=dup_share,
-        v=3,
+        rows_per_file=rows_per_file,
+        v=4,
     )
     if not force and os.path.exists(meta_path):
         with open(meta_path) as f:

@@ -40,10 +40,19 @@ def composite_key(table: pa.Table, key_columns: tuple[str, ...]) -> pa.Array:
 
 
 def hash_key(table: pa.Table, key_columns: tuple[str, ...]) -> np.ndarray:
-    """Stable uint64 hash of the composite key, vectorized."""
+    """Stable uint64 hash of the composite key, vectorized.
+
+    ``categorize=False`` is load-bearing: pandas' default categorize path
+    is NOT value-deterministic — the hash of a string then depends on the
+    surrounding array's category structure, so the same key could land on
+    different partitions in different batches (observed at sf0.1: every
+    key fanned out to ~7 partitions). ``categorize=False`` is a pure
+    per-element fixed-key siphash.
+    """
     arr = composite_key(table, key_columns)
-    # fixed-key siphash — deterministic across processes and runs
-    return pd.util.hash_array(np.asarray(arr.to_pandas(), dtype=object))
+    return pd.util.hash_array(
+        np.asarray(arr.to_pandas(), dtype=object), categorize=False
+    )
 
 
 def partition_ids(

@@ -78,3 +78,26 @@ def test_state_dataset_stream(applied):
     eng, summary, _, _ = applied
     ds = eng.state_dataset()
     assert ds.count() == summary["final_rows"]
+
+
+def test_hash_key_value_deterministic_across_arrays():
+    """Regression: pandas hash_array(categorize=True) — its default — is
+    NOT value-deterministic; the same key must hash identically no matter
+    what other rows share the batch (otherwise a key fans out over
+    multiple partitions and LWW silently keeps multiple rows per key)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sapray.hashing import hash_key
+
+    key = ("org0/repo2", "src/dir10/file3234.md")
+    rng = np.random.default_rng(7)
+    expected = None
+    for n in (1, 10, 1000, 40000):
+        repos = [f"org{int(x)}/r{int(x)}" for x in rng.integers(0, 5000, n)] + [key[0]]
+        paths = [f"p{int(x)}" for x in rng.integers(0, 5000, n)] + [key[1]]
+        t = pa.table({"repo": repos, "path": paths})
+        h = int(hash_key(t, ("repo", "path"))[-1])
+        if expected is None:
+            expected = h
+        assert h == expected, f"hash varies with array context at n={n}"
