@@ -47,6 +47,42 @@ _EVENT_STATE_COLS = [
 ]
 
 
+WINNER_SCHEMA = pa.schema(
+    [
+        pa.field("part", pa.int32()),
+        pa.field("kh", pa.uint64()),
+        pa.field("seq", pa.int64()),
+        pa.field("op", pa.string()),
+    ]
+)
+
+
+def resolve_winners(group: pa.Table, cfg: CDCConfig) -> pa.Table:
+    """Pass-1 reducer: per-partition winner set over SKINNY event rows.
+
+    Input is the hash-partitioned (already per-batch-combined) stream of
+    ``(seq, op, repo, path, part)`` rows; output is one ``(part, kh,
+    seq, op)`` row per key — the key's max-seq event. The partition
+    watermark equals ``max(seq)`` of these winners: the globally latest
+    event of the partition is by definition its own key's winner.
+    """
+    if group.num_rows == 0:
+        return pa.table([], schema=WINNER_SCHEMA)
+    from sapray.hashing import hash_key
+
+    winners = lww_reduce(group, cfg.key_columns, cfg.seq_column)
+    kh = hash_key(winners, cfg.key_columns)
+    return pa.table(
+        {
+            "part": winners.column("part").cast(pa.int32()),
+            "kh": pa.array(kh, pa.uint64()),
+            "seq": winners.column("seq").cast(pa.int64()),
+            "op": winners.column("op"),
+        },
+        schema=WINNER_SCHEMA,
+    )
+
+
 def partial_lww(group: pa.Table, cfg: CDCConfig) -> pa.Table:
     """Partial reduce per (part, salt): at most one event per key survives.
 

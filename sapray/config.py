@@ -61,7 +61,14 @@ class CDCConfig:
     hot_key_sample: int = 100_000
     # execution
     batch_size: int = 32_768
+    skinny_batch_size: int = 262_144  # pass-1 rows are ~40 B each
     apply_concurrency: int | None = None  # None -> let Ray size the pool
+    # two-pass winner-broadcast plan (pipeline.py module docstring):
+    # "broadcast" resolves winners over skinny columns then routes only
+    # winning payload rows; "shuffle" is the single-pass full-row
+    # exchange, used automatically when the winner set exceeds the limit
+    winner_strategy: str = "broadcast"
+    winner_broadcast_limit: int = 100_000_000
     # query pushdown (M16-M18)
     query: str = ""
     key_columns: tuple[str, ...] = ("repo", "path")
@@ -90,6 +97,8 @@ class CDCConfig:
             errors.append("batch_size must be positive")
         if not self.key_columns:
             errors.append("key_columns must be non-empty")
+        if self.winner_strategy not in ("broadcast", "shuffle"):
+            errors.append("winner_strategy must be 'broadcast' or 'shuffle'")
         if errors:
             raise ConfigError(errors)
 

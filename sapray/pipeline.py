@@ -1,17 +1,34 @@
 """End-to-end CDC pipeline wiring (the flagship, SURVEY.md §3.3).
 
-    read_parquet(changelog v1/v2/v3) ──┐  per-segment multi-schema scan
-        map_batches(decode_events)  ───┤  O-CDC2/3, zero-copy Arrow
-    union ─────────────────────────────┘
-    map_batches(assign_partitions + lww_reduce)   O-CDC4 + combiner
-    [groupby(part, salt).map_groups(partial_lww)] skew path, hot keys only
-    groupby(part).map_groups(apply_partition)     O-CDC5 merge + sink
-    metrics rollup (small driver-side collect)    O-CDC9
+Two-pass, shuffle-light apply (the default, ``winner_strategy =
+"broadcast"``):
+
+    pass 1 — winner resolution over SKINNY columns only:
+      read_parquet(all segments, columns=[seq, op, repo, path])
+      map_batches(assign part/salt + watermark skip + within-batch LWW)
+      [groupby(part, salt).map_groups(partial_lww)]  skew path, hot keys
+      groupby(part).map_groups(resolve_winners) -> (part, kh, seq, op)
+
+    pass 2 — payload routing of winners only:
+      read_parquet(segment) -> map_batches(filter seq∈winners -> decode)
+      groupby(part).map_groups(apply_partition) -> exactly-once sink
+
+The content payload NEVER enters an all-to-all exchange: pass 1 shuffles
+~40 B/event of key metadata, pass 2 moves only the winning rows (bounded
+by the number of keys touched in the replay window, not by event count).
+At 10^10 events over 10^8 keys the winner arrays are ~1.6 GB in the
+object store — if they exceed ``cfg.winner_broadcast_limit`` the engine
+falls back to the single-pass payload-shuffle plan (``"shuffle"``),
+which routes full event rows through one keyed exchange.
 
 The reference runs the whole ingest as ONE task
 (``reference src/main/java/io/cdap/plugin/sap/ODataEntityInputFormat.java:33-36``);
 here every stage is a streaming Ray Data operator with backpressure and
 the shuffle keys are explicit (SURVEY.md §7.3).
+
+Scale assumption (documented per SURVEY.md §7.4): ``seq`` is the global
+commit order and unique per event — winner identity in pass 2 is the
+``(seq, hash(key))`` pair, checked against both broadcast arrays.
 """
 
 from __future__ import annotations
@@ -23,13 +40,17 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import ray
 import ray.data
 
-from sapray.apply import apply_partition, partial_lww
+from sapray.apply import apply_partition, partial_lww, resolve_winners
 from sapray.config import CDCConfig
+from sapray.hashing import hash_key
 from sapray.partition import assign_partitions, detect_hot_key_hashes, lww_reduce
 from sapray.sink import lake_files, read_manifests
 from sapray.transform import decode_events
+
+SKINNY_COLUMNS = ["seq", "op", "repo", "path"]
 
 
 def sample_events(changelog_dir: str, n: int) -> pa.Table:
@@ -51,6 +72,29 @@ def sample_events(changelog_dir: str, n: int) -> pa.Table:
     return pa.concat_tables(chunks)
 
 
+def _filter_decode_batch(
+    batch: pa.Table, winners_ref, cfg: CDCConfig
+) -> pa.Table:
+    """Pass-2 map: keep only winner events, decode them, assign ``part``.
+
+    The winner arrays ride the object store once (``ray.put``) and are
+    read zero-copy by every task — not re-shipped per batch.
+    """
+    wseqs, wkhs = ray.get(winners_ref)
+    n = batch.num_rows
+    if len(wseqs) == 0 or n == 0:
+        empty = decode_events(batch.slice(0, 0))
+        return empty.append_column("part", pa.array([], pa.int32()))
+    seq = batch.column("seq").to_numpy(zero_copy_only=False)
+    pos = np.clip(np.searchsorted(wseqs, seq), 0, len(wseqs) - 1)
+    kh = hash_key(batch, cfg.key_columns)
+    mask = (wseqs[pos] == seq) & (wkhs[pos] == kh)
+    sel = batch.take(pa.array(np.nonzero(mask)[0]))
+    dec = decode_events(sel)
+    part = (kh[mask] % np.uint64(cfg.num_partitions)).astype(np.int32)
+    return dec.append_column("part", pa.array(part))
+
+
 class CDCEngine:
     """Driver-facing engine handle. Does NOT own the Ray session."""
 
@@ -63,19 +107,44 @@ class CDCEngine:
         """Streaming multi-schema scan: one ``read_parquet`` per DDIC
         version segment, normalized per-batch to the unified event
         schema, then unioned (O-CDC1/2/3)."""
-        seg_dirs = sorted(glob.glob(os.path.join(changelog_dir, "v*")))
-        if not seg_dirs:
-            raise FileNotFoundError(f"no changelog segments under {changelog_dir}")
-        parts = []
-        for seg in seg_dirs:
-            ds = ray.data.read_parquet(seg)
-            parts.append(
-                ds.map_batches(decode_events, batch_format="pyarrow", zero_copy_batch=True)
+        seg_dirs = self._segments(changelog_dir)
+        parts = [
+            ray.data.read_parquet(seg).map_batches(
+                decode_events, batch_format="pyarrow", zero_copy_batch=True
             )
+            for seg in seg_dirs
+        ]
         out = parts[0]
         for p in parts[1:]:
             out = out.union(p)
         return out
+
+    def skinny_dataset(self, changelog_dir: str) -> ray.data.Dataset:
+        """Pass-1 scan: only the key/order columns leave storage (prune
+        at the read — the content column dominates file bytes). The
+        skinny columns are schema-stable across DDIC versions, so one
+        ``read_parquet`` covers every segment.
+
+        ``override_num_blocks`` ~ 2 blocks/CPU: skinny rows are ~40 B, so
+        Ray's default (>=200 blocks) makes thousands of millisecond tasks
+        whose scheduling overhead dwarfs the compute."""
+        files = sorted(glob.glob(os.path.join(changelog_dir, "v*", "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no changelog segments under {changelog_dir}")
+        return ray.data.read_parquet(
+            files, columns=SKINNY_COLUMNS, override_num_blocks=self._n_blocks(len(files))
+        )
+
+    @staticmethod
+    def _n_blocks(n_files: int) -> int:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        return max(min(2 * ncpu, n_files), 8)
+
+    def _segments(self, changelog_dir: str) -> list[str]:
+        seg_dirs = sorted(glob.glob(os.path.join(changelog_dir, "v*")))
+        if not seg_dirs:
+            raise FileNotFoundError(f"no changelog segments under {changelog_dir}")
+        return seg_dirs
 
     # ----------------------------------------------------------------- apply
     def apply(self, changelog_dir: str, resume: bool = True) -> dict:
@@ -93,6 +162,88 @@ class CDCEngine:
             sample_events(changelog_dir, cfg.hot_key_sample), cfg
         )
 
+        if cfg.winner_strategy == "shuffle":
+            return self._apply_payload_shuffle(changelog_dir, hot, watermarks)
+
+        # ---- pass 1: skinny winner resolution
+        winners = self._resolve_winners(changelog_dir, hot, watermarks)
+        if winners.num_rows > cfg.winner_broadcast_limit:
+            return self._apply_payload_shuffle(changelog_dir, hot, watermarks)
+
+        if winners.num_rows == 0 or "seq" not in winners.column_names:
+            # nothing above the watermarks — no-op replay
+            wseqs = np.empty(0, dtype=np.int64)
+            wkhs = np.empty(0, dtype=np.uint64)
+        else:
+            order = np.argsort(winners.column("seq").to_numpy(zero_copy_only=False))
+            wseqs = winners.column("seq").to_numpy(zero_copy_only=False)[order]
+            wkhs = winners.column("kh").to_numpy(zero_copy_only=False)[order]
+        winners_ref = ray.put((wseqs, wkhs))
+
+        # ---- pass 2: payload routing of winners only (block = file: the
+        # filter drops ~99% of rows, so fine-grained splitting only adds
+        # task overhead)
+        parts = [
+            ray.data.read_parquet(
+                seg,
+                override_num_blocks=self._n_blocks(
+                    len(glob.glob(os.path.join(seg, "*.parquet")))
+                ),
+            ).map_batches(
+                _filter_decode_batch,
+                fn_args=(winners_ref, cfg),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            for seg in self._segments(changelog_dir)
+        ]
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        metrics = ds.groupby("part").map_groups(
+            lambda g: apply_partition(g, cfg), batch_format="pyarrow"
+        )
+        return self._summarize(metrics)
+
+    def _resolve_winners(
+        self, changelog_dir: str, hot: np.ndarray, watermarks: np.ndarray | None
+    ) -> pa.Table:
+        """Pass 1: hash-partitioned LWW over skinny rows -> winner table
+        (small: one row per touched key)."""
+        cfg = self.cfg
+        ds = self.skinny_dataset(changelog_dir)
+
+        def assign_combine(batch: pa.Table) -> pa.Table:
+            batch = assign_partitions(batch, cfg, hot, watermarks)
+            return lww_reduce(batch, cfg.key_columns, cfg.seq_column)
+
+        ds = ds.map_batches(
+            assign_combine,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.skinny_batch_size,
+        )
+        if len(hot):
+            # two-stage skew plan: partial reduce per (part, salt) bounds
+            # any single reducer's input even when one key dominates
+            ds = ds.groupby(["part", "salt"]).map_groups(
+                lambda g: partial_lww(g, cfg), batch_format="pyarrow"
+            )
+        else:
+            ds = ds.drop_columns(["salt"])
+        winners = ds.groupby("part").map_groups(
+            lambda g: resolve_winners(g, cfg), batch_format="pyarrow"
+        )
+        # winner table is small (one row per touched key) — safe to collect
+        return pa.concat_tables(ray.get(winners.to_arrow_refs()))
+
+    def _apply_payload_shuffle(
+        self, changelog_dir: str, hot: np.ndarray, watermarks: np.ndarray | None
+    ) -> dict:
+        """Single-pass plan: full event rows (payload included) through
+        one keyed exchange. Used when the winner set would be too large
+        to broadcast, or explicitly via ``winner_strategy="shuffle"``."""
+        cfg = self.cfg
         ds = self.events_dataset(changelog_dir)
 
         def assign_combine(batch: pa.Table) -> pa.Table:
@@ -105,19 +256,18 @@ class CDCEngine:
             zero_copy_batch=True,
             batch_size=cfg.batch_size,
         )
-
         if len(hot):
-            # two-stage skew plan: partial reduce per (part, salt), then
-            # re-merge the (small) per-key candidates per partition
             ds = ds.groupby(["part", "salt"]).map_groups(
                 lambda g: partial_lww(g, cfg), batch_format="pyarrow"
             )
         else:
             ds = ds.drop_columns(["salt"])
-
         metrics = ds.groupby("part").map_groups(
             lambda g: apply_partition(g, cfg), batch_format="pyarrow"
         )
+        return self._summarize(metrics)
+
+    def _summarize(self, metrics: ray.data.Dataset) -> dict:
         mdf = metrics.to_pandas()  # one row per touched partition — small
         return {
             "partitions": int(len(mdf)),

@@ -26,11 +26,13 @@ def _assert_state_matches_oracle(state, oracle):
         assert hashlib.sha256(s["content"].encode()).hexdigest() == expected_sha, k
 
 
-@pytest.fixture(scope="module")
-def applied(ray_session, changelog_dir, tmp_path_factory):
+@pytest.fixture(scope="module", params=["broadcast", "shuffle"])
+def applied(request, ray_session, changelog_dir, tmp_path_factory):
     out, meta = changelog_dir
-    lake = str(tmp_path_factory.mktemp("lake_e2e"))
-    eng = CDCEngine(CDCConfig(lake_dir=lake, num_partitions=16))
+    lake = str(tmp_path_factory.mktemp(f"lake_e2e_{request.param}"))
+    eng = CDCEngine(
+        CDCConfig(lake_dir=lake, num_partitions=16, winner_strategy=request.param)
+    )
     summary = eng.apply(out)
     return eng, summary, out, meta
 
