@@ -188,7 +188,12 @@ def generate_changelog(
     rng = np.random.default_rng(seed)
     total_updates = n_updates * multiplier
 
+    import shutil
+
     for sub in ("v1", "v2", "v3"):
+        # wipe stale segments: a param change (e.g. rows_per_file) can
+        # leave leftover higher-index chunk files behind otherwise
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
     # --- segment boundaries over the update stream

@@ -50,9 +50,14 @@ def hash_key(table: pa.Table, key_columns: tuple[str, ...]) -> np.ndarray:
     per-element fixed-key siphash.
     """
     arr = composite_key(table, key_columns)
-    return pd.util.hash_array(
-        np.asarray(arr.to_pandas(), dtype=object), categorize=False
+    # hash each DISTINCT key once (C++ dictionary encode, then siphash of
+    # the dictionary values only, then gather). Our own encode+gather is
+    # value-deterministic by construction — unlike pandas' categorize path.
+    enc = arr.dictionary_encode()
+    h = pd.util.hash_array(
+        np.asarray(enc.dictionary.to_pandas(), dtype=object), categorize=False
     )
+    return h[enc.indices.to_numpy(zero_copy_only=False)]
 
 
 def partition_ids(

@@ -103,22 +103,21 @@ def grouped_aggregate(
             finalizers.append((out, kind, f"__{kind}_{out}"))
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(
-            list(dict.fromkeys(keys + [c for c, _ in partial_cols.values() if c]))
-        ).to_pandas()
-        g = df.groupby(keys, sort=False, observed=True)
-        out = {}
+        # native Arrow hash aggregation — no pandas conversion in the
+        # combiner hot path
+        by_agg: dict[tuple, list[str]] = {}
         for name, (col, kind) in partial_cols.items():
-            if kind == "count":
-                out[name] = g.size()
-            elif kind == "sum":
-                out[name] = g[col].sum()
-            elif kind == "min":
-                out[name] = g[col].min()
-            elif kind == "max":
-                out[name] = g[col].max()
-        res = pd.DataFrame(out).reset_index()
-        return pa.Table.from_pandas(res, preserve_index=False)
+            by_agg.setdefault((col, kind), []).append(name)
+        aggs = []
+        for (col, kind) in by_agg:
+            aggs.append(([], "count_all") if kind == "count" else (col, kind))
+        res = batch.group_by(keys, use_threads=False).aggregate(aggs)
+        cols: dict[str, pa.ChunkedArray] = {k: res.column(k) for k in keys}
+        for (col, kind), names in by_agg.items():
+            src = "count_all" if kind == "count" else f"{col}_{kind}"
+            for name in names:
+                cols[name] = res.column(src)
+        return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 

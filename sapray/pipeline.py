@@ -77,22 +77,46 @@ def _filter_decode_batch(
 ) -> pa.Table:
     """Pass-2 map: keep only winner events, decode them, assign ``part``.
 
-    The winner arrays ride the object store once (``ray.put``) and are
-    read zero-copy by every task — not re-shipped per batch.
+    The winner seq array rides the object store once (``ray.put``) and is
+    read zero-copy by every task — not re-shipped per batch. Filtering on
+    ``seq`` alone (before any hashing/decoding) is exact: even if seq
+    values collided across keys, a stray row admitted here can never
+    out-sequence its own key's true winner inside the applier's per-key
+    LWW (a key's winner IS its max-seq event), so the final state is
+    unaffected — and with the engine's unique-commit-order contract there
+    are no collisions at all. Key hashing then runs on ~0.1% of rows.
     """
-    wseqs, wkhs = ray.get(winners_ref)
+    wseqs = ray.get(winners_ref)
     n = batch.num_rows
     if len(wseqs) == 0 or n == 0:
         empty = decode_events(batch.slice(0, 0))
         return empty.append_column("part", pa.array([], pa.int32()))
     seq = batch.column("seq").to_numpy(zero_copy_only=False)
     pos = np.clip(np.searchsorted(wseqs, seq), 0, len(wseqs) - 1)
-    kh = hash_key(batch, cfg.key_columns)
-    mask = (wseqs[pos] == seq) & (wkhs[pos] == kh)
+    mask = wseqs[pos] == seq
     sel = batch.take(pa.array(np.nonzero(mask)[0]))
     dec = decode_events(sel)
-    part = (kh[mask] % np.uint64(cfg.num_partitions)).astype(np.int32)
+    kh = hash_key(sel, cfg.key_columns)
+    part = (kh % np.uint64(cfg.num_partitions)).astype(np.int32)
     return dec.append_column("part", pa.array(part))
+
+
+def _merge_salted_winners(winners: pa.Table) -> pa.Table:
+    """Collapse per-(part, salt) winner rows to one per key hash.
+
+    Only salted (hot) keys produce more than one row; cold keys live in
+    exactly one group. Identity here is the 64-bit key hash — the same
+    identity pass 2 matches on — so a cross-key kh collision would merge
+    two keys' winners; expected collisions are n^2/2^65 (~3e-4 at 10^8
+    touched keys), documented as the plan's approximation bound.
+    """
+    kh = winners.column("kh").to_numpy(zero_copy_only=False)
+    seq = winners.column("seq").to_numpy(zero_copy_only=False)
+    order = np.lexsort((seq, kh))
+    kh_sorted = kh[order]
+    run_end = np.nonzero(np.diff(kh_sorted))[0]
+    last = np.concatenate([run_end, [len(order) - 1]])
+    return winners.take(pa.array(np.sort(order[last])))
 
 
 class CDCEngine:
@@ -104,20 +128,34 @@ class CDCEngine:
 
     # ------------------------------------------------------------------ scan
     def events_dataset(self, changelog_dir: str) -> ray.data.Dataset:
-        """Streaming multi-schema scan: one ``read_parquet`` per DDIC
-        version segment, normalized per-batch to the unified event
-        schema, then unioned (O-CDC1/2/3)."""
-        seg_dirs = self._segments(changelog_dir)
-        parts = [
-            ray.data.read_parquet(seg).map_batches(
-                decode_events, batch_format="pyarrow", zero_copy_batch=True
-            )
-            for seg in seg_dirs
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.union(p)
-        return out
+        """Streaming multi-schema scan (O-CDC1/2/3): ONE ``read_parquet``
+        over every DDIC-version segment with the unified target schema
+        (per-segment footers -> ``unify_schemas``: add-column fills null,
+        int32 size widens to int64), then per-batch decode.
+
+        A single read operator matters for utilization: per-segment reads
+        unioned together fragment the streaming executor's per-operator
+        resource reservation — three read branches on an 8-CPU node each
+        got ~2 concurrent tasks."""
+        files, schema = self._files_and_schema(changelog_dir)
+        ds = ray.data.read_parquet(
+            files, schema=schema, override_num_blocks=self._n_blocks(len(files))
+        )
+        return ds.map_batches(decode_events, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _files_and_schema(self, changelog_dir: str) -> tuple[list[str], pa.Schema]:
+        from sapray.schema import unify_schemas
+
+        files: list[str] = []
+        schemas: list[pa.Schema] = []
+        for seg in self._segments(changelog_dir):
+            fs = sorted(glob.glob(os.path.join(seg, "*.parquet")))
+            files.extend(fs)
+            if fs:
+                schemas.append(pq.read_schema(fs[0]))
+        if not files:
+            raise FileNotFoundError(f"no changelog segments under {changelog_dir}")
+        return files, unify_schemas(schemas)
 
     def skinny_dataset(self, changelog_dir: str) -> ray.data.Dataset:
         """Pass-1 scan: only the key/order columns leave storage (prune
@@ -137,8 +175,12 @@ class CDCEngine:
 
     @staticmethod
     def _n_blocks(n_files: int) -> int:
+        """2 blocks/CPU for parallelism, but never fewer than n_files/4
+        (blocks of <= 4 files keep per-task memory bounded as the log
+        grows — a fixed 2xCPU split of a 1000-file log would make
+        multi-GB blocks)."""
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        return max(min(2 * ncpu, n_files), 8)
+        return max(min(2 * ncpu, n_files), n_files // 4, 8)
 
     def _segments(self, changelog_dir: str) -> list[str]:
         seg_dirs = sorted(glob.glob(os.path.join(changelog_dir, "v*")))
@@ -173,33 +215,22 @@ class CDCEngine:
         if winners.num_rows == 0 or "seq" not in winners.column_names:
             # nothing above the watermarks — no-op replay
             wseqs = np.empty(0, dtype=np.int64)
-            wkhs = np.empty(0, dtype=np.uint64)
         else:
-            order = np.argsort(winners.column("seq").to_numpy(zero_copy_only=False))
-            wseqs = winners.column("seq").to_numpy(zero_copy_only=False)[order]
-            wkhs = winners.column("kh").to_numpy(zero_copy_only=False)[order]
-        winners_ref = ray.put((wseqs, wkhs))
+            wseqs = np.sort(winners.column("seq").to_numpy(zero_copy_only=False))
+        winners_ref = ray.put(wseqs)
 
-        # ---- pass 2: payload routing of winners only (block = file: the
-        # filter drops ~99% of rows, so fine-grained splitting only adds
-        # task overhead)
-        parts = [
-            ray.data.read_parquet(
-                seg,
-                override_num_blocks=self._n_blocks(
-                    len(glob.glob(os.path.join(seg, "*.parquet")))
-                ),
-            ).map_batches(
-                _filter_decode_batch,
-                fn_args=(winners_ref, cfg),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            for seg in self._segments(changelog_dir)
-        ]
-        ds = parts[0]
-        for p in parts[1:]:
-            ds = ds.union(p)
+        # ---- pass 2: payload routing of winners only — ONE read operator
+        # over all segments (unified schema) so the executor's resource
+        # reservation isn't fragmented across union branches
+        files, schema = self._files_and_schema(changelog_dir)
+        ds = ray.data.read_parquet(
+            files, schema=schema, override_num_blocks=self._n_blocks(len(files))
+        ).map_batches(
+            _filter_decode_batch,
+            fn_args=(winners_ref, cfg),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         metrics = ds.groupby("part").map_groups(
             lambda g: apply_partition(g, cfg), batch_format="pyarrow"
         )
@@ -224,18 +255,31 @@ class CDCEngine:
             batch_size=cfg.skinny_batch_size,
         )
         if len(hot):
-            # two-stage skew plan: partial reduce per (part, salt) bounds
-            # any single reducer's input even when one key dominates
-            ds = ds.groupby(["part", "salt"]).map_groups(
-                lambda g: partial_lww(g, cfg), batch_format="pyarrow"
+            # skew plan: hot keys are salted, so the ONE shuffle groups by
+            # (part, salt) — a hot key's stream splits across num_salts
+            # reducers; its <= num_salts winner rows are re-merged on the
+            # driver (winner tables are tiny), saving a second exchange
+            winners_ds = ds.groupby(["part", "salt"]).map_groups(
+                lambda g: resolve_winners(g, cfg), batch_format="pyarrow"
             )
         else:
             ds = ds.drop_columns(["salt"])
-        winners = ds.groupby("part").map_groups(
-            lambda g: resolve_winners(g, cfg), batch_format="pyarrow"
+            winners_ds = ds.groupby("part").map_groups(
+                lambda g: resolve_winners(g, cfg), batch_format="pyarrow"
+            )
+        # winner table is small (one row per touched key) — safe to collect;
+        # drop empty blocks (they can carry a column-less schema)
+        from sapray.apply import WINNER_SCHEMA
+
+        blocks = [t for t in ray.get(winners_ds.to_arrow_refs()) if t.num_rows]
+        winners = (
+            pa.concat_tables(blocks)
+            if blocks
+            else WINNER_SCHEMA.empty_table()
         )
-        # winner table is small (one row per touched key) — safe to collect
-        return pa.concat_tables(ray.get(winners.to_arrow_refs()))
+        if len(hot) and winners.num_rows:
+            winners = _merge_salted_winners(winners)
+        return winners
 
     def _apply_payload_shuffle(
         self, changelog_dir: str, hot: np.ndarray, watermarks: np.ndarray | None
