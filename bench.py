@@ -38,6 +38,14 @@ BENCH_TMP = "/tmp/sapray_bench"
 # on top of the base-table inserts (sf0.1 documents -> ~60k base rows)
 N_UPDATES = int(os.environ.get("SAPRAY_BENCH_UPDATES", "300000"))
 MULTIPLIER = int(os.environ.get("SAPRAY_BENCH_MULTIPLIER", "10"))
+# in-flight row multiplication (the 10^10-scale proxy): every stage
+# processes AMPLIFY x the on-disk events over disjoint key spaces
+AMPLIFY = int(os.environ.get("SAPRAY_BENCH_AMPLIFY", "1"))
+# apply plan: "broadcast" (two-pass winner broadcast, the fast default)
+# or "shuffle" (single-pass full-row exchange — the plan the engine
+# falls back to when the winner set exceeds broadcast limits, i.e. the
+# true 10^10-event configuration)
+STRATEGY = os.environ.get("SAPRAY_BENCH_STRATEGY", "broadcast")
 
 
 def _changelog(sf_dir: str) -> tuple[str, int]:
@@ -63,11 +71,17 @@ def run_cdc(sf_dir: str, num_cpus: int) -> dict:
     from sapray.pipeline import CDCEngine
 
     cl_dir, n_events = _changelog(sf_dir)
+    n_events *= AMPLIFY
     lake = os.path.join(BENCH_TMP, "lake")
     shutil.rmtree(lake, ignore_errors=True)
     # fixed partition count (not a function of num_cpus): the scaling
     # runs must execute the identical job, only parallelism varies
-    cfg = CDCConfig(lake_dir=lake, num_partitions=128)
+    cfg = CDCConfig(
+        lake_dir=lake,
+        num_partitions=128,
+        amplification=AMPLIFY,
+        winner_strategy=STRATEGY,
+    )
     eng = CDCEngine(cfg)
     t0 = time.perf_counter()
     metrics = eng.apply(cl_dir)
@@ -134,15 +148,17 @@ def one_shot(num_cpus: int, with_queries: bool) -> dict:
 
 
 SCALING_MULTIPLIER = int(os.environ.get("SAPRAY_SCALING_MULTIPLIER", "80"))
+SCALING_STRATEGY = os.environ.get("SAPRAY_SCALING_STRATEGY", "shuffle")
 
 
 def scaling() -> dict:
     """Fresh-process runs at 8 and 32 CPUs on the same input.
 
-    Uses a larger log than the default bench (SCALING_MULTIPLIER) so the
-    parallel work dominates the fixed pipeline latency (~4 s of driver
-    setup + two shuffle barriers) — the quantity under test is how the
-    parallel fraction scales, which a 6-second job cannot show.
+    Uses the payload-shuffle plan on an 80x log (24M real events): that
+    is the configuration the engine runs at 10^10-event scale (winner
+    sets too large to broadcast), and its per-event work is real payload
+    movement — the broadcast plan finishes so fast at this data size
+    that fixed pipeline latency (~5 s) swamps the measurement.
     """
     rates: dict[int, dict] = {}
     for k in (8, 32):
@@ -150,6 +166,7 @@ def scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(k),
             SAPRAY_BENCH_MULTIPLIER=str(SCALING_MULTIPLIER),
+            SAPRAY_BENCH_STRATEGY=SCALING_STRATEGY,
         )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one-shot"],
@@ -158,8 +175,13 @@ def scaling() -> dict:
             env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        line = proc.stdout.strip().splitlines()[-1]
-        rates[k] = json.loads(line)
+        out_lines = proc.stdout.strip().splitlines()
+        if proc.returncode != 0 or not out_lines:
+            raise RuntimeError(
+                f"scaling subprocess (num_cpus={k}) failed rc={proc.returncode}: "
+                f"{proc.stderr[-2000:]}"
+            )
+        rates[k] = json.loads(out_lines[-1])
     r8 = rates[8]["events_per_sec"]
     r32 = rates[32]["events_per_sec"]
     eff = (r32 / r8) / 4.0
@@ -172,6 +194,7 @@ def scaling() -> dict:
         "sec_8cpu": rates[8]["value"],
         "sec_32cpu": rates[32]["value"],
         "n_events": rates[8]["n_events"],
+        "strategy": SCALING_STRATEGY,
         "queries": {},
         "sf": SF_DIR,
         "num_cpus": 32,

@@ -68,14 +68,13 @@ def resolve_winners(group: pa.Table, cfg: CDCConfig) -> pa.Table:
     """
     if group.num_rows == 0:
         return pa.table([], schema=WINNER_SCHEMA)
-    from sapray.hashing import hash_key
+    from sapray.partition import lww_reduce_by_hash
 
-    winners = lww_reduce(group, cfg.key_columns, cfg.seq_column)
-    kh = hash_key(winners, cfg.key_columns)
+    winners = lww_reduce_by_hash(group, seq_column=cfg.seq_column)
     return pa.table(
         {
             "part": winners.column("part").cast(pa.int32()),
-            "kh": pa.array(kh, pa.uint64()),
+            "kh": winners.column("kh").cast(pa.uint64()),
             "seq": winners.column("seq").cast(pa.int64()),
             "op": winners.column("op"),
         },

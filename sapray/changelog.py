@@ -281,6 +281,46 @@ def generate_changelog(
     return meta
 
 
+AMPLIFY_STRIDE = 1 << 40  # > any realistic on-disk seq
+
+
+def amplify_batch(batch: pa.Table, ampl: int, stride: int = AMPLIFY_STRIDE) -> pa.Table:
+    """In-flight row multiplication (the driver's 10^10-scale proxy).
+
+    Each event batch is replicated ``ampl``x: replica ``j`` shifts ``seq``
+    by ``j * stride`` (order preserved, still globally unique) and
+    suffixes ``path`` with ``~j`` (disjoint key space, so the replicas are
+    real additional work for every stage: hash, shuffle, LWW, sink).
+    Deterministic, vectorized, and applied identically in every pass, so
+    winner resolution and payload filtering stay consistent. Realized
+    event count = on-disk events x ampl.
+    """
+    if ampl <= 1:
+        return batch
+    out = [batch]
+    for j in range(1, ampl):
+        out.append(shift_replica(batch, j, stride))
+    return pa.concat_tables(out)
+
+
+def shift_replica(batch: pa.Table, j: int, stride: int = AMPLIFY_STRIDE) -> pa.Table:
+    """Replica ``j`` of an event batch: seq += j*stride, path ||= ~j."""
+    import pyarrow.compute as pc
+
+    seq_i = batch.column_names.index("seq")
+    path_i = batch.column_names.index("path")
+    t = batch.set_column(
+        seq_i,
+        batch.field(seq_i),
+        pc.add(batch.column("seq"), pa.scalar(j * stride, pa.int64())),
+    )
+    return t.set_column(
+        path_i,
+        batch.field(path_i),
+        pc.binary_join_element_wise(batch.column("path"), pa.scalar(f"~{j:03d}"), ""),
+    )
+
+
 def oracle_replay(out_dir: str) -> dict[tuple[str, str], dict]:
     """Pure-Python dict replay oracle (SURVEY.md §5c): key -> max-seq row,
     deletes removed. Test-scale only."""

@@ -69,6 +69,10 @@ class CDCConfig:
     # exchange, used automatically when the winner set exceeds the limit
     winner_strategy: str = "broadcast"
     winner_broadcast_limit: int = 100_000_000
+    # in-flight row multiplication (10^10-scale proxy, changelog.amplify_batch):
+    # every stage processes amplification x the on-disk events, with
+    # disjoint key spaces per replica
+    amplification: int = 1
     # query pushdown (M16-M18)
     query: str = ""
     key_columns: tuple[str, ...] = ("repo", "path")
@@ -99,6 +103,8 @@ class CDCConfig:
             errors.append("key_columns must be non-empty")
         if self.winner_strategy not in ("broadcast", "shuffle"):
             errors.append("winner_strategy must be 'broadcast' or 'shuffle'")
+        if self.amplification < 1:
+            errors.append("amplification must be >= 1")
         if errors:
             raise ConfigError(errors)
 

@@ -62,9 +62,36 @@ def assign_partitions(
         salt = np.where(is_hot, (seq % cfg.num_salts), 0).astype(np.int32)
     else:
         salt = np.zeros(len(part), dtype=np.int32)
-    return batch.append_column("part", pa.array(part)).append_column(
-        "salt", pa.array(salt)
+    return (
+        batch.append_column("part", pa.array(part))
+        .append_column("salt", pa.array(salt))
+        # keep the key hash: downstream LWW combiners reduce on this
+        # uint64 instead of re-encoding the key strings every level
+        .append_column("kh", pa.array(kh))
     )
+
+
+def lww_reduce_by_hash(
+    batch: pa.Table, kh_column: str = "kh", seq_column: str = "seq"
+) -> pa.Table:
+    """Within-batch LWW keyed on the precomputed uint64 key hash.
+
+    Pure int lexsort — no string encode. A cross-key hash collision
+    merges two keys (probability ~pairs/2^64, the engine's documented
+    approximation bound, same identity pass 2 filters on).
+    """
+    if batch.num_rows <= 1:
+        return batch
+    kh = batch.column(kh_column).to_numpy(zero_copy_only=False)
+    seq = batch.column(seq_column).to_numpy(zero_copy_only=False)
+    order = np.lexsort((seq, kh))
+    sk = kh[order]
+    run_end = np.nonzero(np.diff(sk))[0]
+    last = np.concatenate([run_end, [len(order) - 1]])
+    idx = order[last]
+    if len(idx) == batch.num_rows:
+        return batch
+    return batch.take(pa.array(np.sort(idx)))
 
 
 def lww_reduce(batch: pa.Table, key_columns: tuple[str, ...], seq_column: str = "seq") -> pa.Table:

@@ -46,7 +46,12 @@ import ray.data
 from sapray.apply import apply_partition, partial_lww, resolve_winners
 from sapray.config import CDCConfig
 from sapray.hashing import hash_key
-from sapray.partition import assign_partitions, detect_hot_key_hashes, lww_reduce
+from sapray.partition import (
+    assign_partitions,
+    detect_hot_key_hashes,
+    lww_reduce,
+    lww_reduce_by_hash,
+)
 from sapray.sink import lake_files, read_manifests
 from sapray.transform import decode_events
 
@@ -92,9 +97,28 @@ def _filter_decode_batch(
         empty = decode_events(batch.slice(0, 0))
         return empty.append_column("part", pa.array([], pa.int32()))
     seq = batch.column("seq").to_numpy(zero_copy_only=False)
-    pos = np.clip(np.searchsorted(wseqs, seq), 0, len(wseqs) - 1)
-    mask = wseqs[pos] == seq
-    sel = batch.take(pa.array(np.nonzero(mask)[0]))
+    # amplified replicas are filtered WITHOUT materializing them: replica
+    # j's events are (seq + j*stride, path || "~j"); match each replica's
+    # shifted seq range against the winner array, then reconstruct only
+    # the handful of matching rows
+    from sapray.changelog import AMPLIFY_STRIDE, shift_replica
+
+    ampl = max(cfg.amplification, 1)
+    sel_tables = []
+    for j in range(ampl):
+        seq_j = seq + j * AMPLIFY_STRIDE
+        pos = np.clip(np.searchsorted(wseqs, seq_j), 0, len(wseqs) - 1)
+        mask = wseqs[pos] == seq_j
+        if not mask.any():
+            continue
+        sel = batch.take(pa.array(np.nonzero(mask)[0]))
+        if j:
+            sel = shift_replica(sel, j)
+        sel_tables.append(sel)
+    if not sel_tables:
+        empty = decode_events(batch.slice(0, 0))
+        return empty.append_column("part", pa.array([], pa.int32()))
+    sel = pa.concat_tables(sel_tables)
     dec = decode_events(sel)
     kh = hash_key(sel, cfg.key_columns)
     part = (kh % np.uint64(cfg.num_partitions)).astype(np.int32)
@@ -245,8 +269,18 @@ class CDCEngine:
         ds = self.skinny_dataset(changelog_dir)
 
         def assign_combine(batch: pa.Table) -> pa.Table:
-            batch = assign_partitions(batch, cfg, hot, watermarks)
-            return lww_reduce(batch, cfg.key_columns, cfg.seq_column)
+            # combine FIRST, amplify SECOND: within-batch LWW commutes
+            # with row multiplication (replica key spaces are disjoint
+            # copies), so the ~50x reduction runs on raw rows and the
+            # replicas are built from the already-reduced survivors —
+            # amplifying before reducing would multiply the combine cost
+            # by the amplification factor for identical output
+            batch = lww_reduce(batch, cfg.key_columns, cfg.seq_column)
+            if cfg.amplification > 1:
+                from sapray.changelog import amplify_batch
+
+                batch = amplify_batch(batch, cfg.amplification)
+            return assign_partitions(batch, cfg, hot, watermarks)
 
         ds = ds.map_batches(
             assign_combine,
@@ -291,6 +325,10 @@ class CDCEngine:
         ds = self.events_dataset(changelog_dir)
 
         def assign_combine(batch: pa.Table) -> pa.Table:
+            if cfg.amplification > 1:
+                from sapray.changelog import amplify_batch
+
+                batch = amplify_batch(batch, cfg.amplification)
             batch = assign_partitions(batch, cfg, hot, watermarks)
             return lww_reduce(batch, cfg.key_columns, cfg.seq_column)
 
@@ -298,7 +336,10 @@ class CDCEngine:
             assign_combine,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=cfg.batch_size,
+            # whole-block batches: a 32k-row batch_size would rebatch the
+            # scan into ~700 tiny tasks whose dispatch + 700-block sort
+            # dominate wall time; a block is one ~100 MB file, safe heap
+            batch_size=None,
         )
         if len(hot):
             ds = ds.groupby(["part", "salt"]).map_groups(

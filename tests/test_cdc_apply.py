@@ -103,3 +103,26 @@ def test_hash_key_value_deterministic_across_arrays():
         if expected is None:
             expected = h
         assert h == expected, f"hash varies with array context at n={n}"
+
+
+def test_amplified_apply_scales_keyspace(ray_session, changelog_dir, tmp_path):
+    """Row-multiplication proxy (10^10-scale bench path): amplification=3
+    must yield exactly 3x the final keys, with replica 0 identical to the
+    unamplified state."""
+    import pyarrow.compute as pc
+
+    out, _ = changelog_dir
+    e1 = CDCEngine(CDCConfig(lake_dir=str(tmp_path / "l1"), num_partitions=8))
+    s1 = e1.apply(out)
+    e3 = CDCEngine(
+        CDCConfig(lake_dir=str(tmp_path / "l3"), num_partitions=8, amplification=3)
+    )
+    s3 = e3.apply(out)
+    assert s3["final_rows"] == 3 * s1["final_rows"]
+    t3 = e3.state_table()
+    replica0 = t3.filter(pc.invert(pc.match_substring(t3.column("path"), "~")))
+    base = e1.state_table()
+    key = lambda t: sorted(
+        zip(t.column("path").to_pylist(), t.column("content_sha256").to_pylist())
+    )
+    assert key(replica0) == key(base)
