@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 from sapray.config import CDCConfig
 from sapray.hashing import composite_key, sha256_hex_column, table_state_sha
 from sapray.partition import lww_reduce
-from sapray.sink import commit_partition, read_manifests, read_partition_state
+from sapray.sink import commit_partition, read_manifest, read_partition_state
 from sapray.transform import STATE_SCHEMA
 
 METRICS_SCHEMA = pa.schema(
@@ -120,7 +120,7 @@ def apply_partition(group: pa.Table, cfg: CDCConfig) -> pa.Table:
     upserts_ev = winners.filter(pc.invert(is_del))
     deletes_ev = winners.filter(is_del)
 
-    manifest = read_manifests(cfg.lake_dir).get(part)
+    manifest = read_manifest(cfg.lake_dir, part)
     prior = read_partition_state(cfg.lake_dir, part, manifest)
     prior_watermark = manifest["watermark"] if manifest else -1
     prior_rows = prior.num_rows if prior is not None else 0

@@ -566,6 +566,207 @@ def media_features(sf_dir: str):
     return out.select_columns(["media_id", "content_type", "n_bytes", "width", "height"])
 
 
+
+
+# --------------------------------------------------------------------------
+# scalar function queries (M8-M11 analogues as first-class operators)
+# --------------------------------------------------------------------------
+
+
+def scalar_datetime_events(sf_dir: str):
+    """M8/M9 date-time extractors as vectorized Arrow kernels: ISO string
+    formatting, epoch micros, calendar parts (reference
+    ODataEntryToRecordTransformer.java:325-368 re-expressed per-batch)."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["event_id", "ts"])
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                # minute-resolution ISO string: Arrow's %S appends the
+                # fractional part, DuckDB's does not — seconds ride as int
+                "iso_minute": pc.strftime(ts, format="%Y-%m-%dT%H:%M"),
+                "second": pc.cast(pc.second(ts), pa.int64()),
+                "epoch_us": pc.cast(ts, pa.int64()),
+                "year": pc.cast(pc.year(ts), pa.int64()),
+                "hour": pc.cast(pc.hour(ts), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SCALAR_DATETIME_EVENTS_SQL = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M') AS iso_minute,
+       second(ts)::BIGINT             AS second,
+       epoch_us(ts)                   AS epoch_us,
+       year(ts)::BIGINT               AS year,
+       hour(ts)::BIGINT               AS hour
+FROM events
+"""
+
+
+def string_funcs_docs(sf_dir: str):
+    """M8 string extractor analogues: upper, slice, replace, length."""
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def fns(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_upper": pc.utf8_upper(lang),
+                "lang_2": pc.utf8_slice_codeunits(lang, 0, 2),
+                "lang_x": pc.replace_substring(lang, "e", "3"),
+                "lang_len": pc.cast(pc.utf8_length(lang), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fns, batch_format="pyarrow", zero_copy_batch=True)
+
+
+STRING_FUNCS_DOCS_SQL = """
+SELECT doc_id,
+       upper(lang)              AS lang_upper,
+       substr(lang, 1, 2)       AS lang_2,
+       replace(lang, 'e', '3')  AS lang_x,
+       length(lang)             AS lang_len
+FROM documents
+"""
+
+
+def decimal_normalize_lineitem(sf_dir: str):
+    """M11 decimal normalize as a query: double -> DECIMAL(12,2) with
+    HALF_EVEN rounding (reference …Transformer.java:370-421), emitted as
+    its canonical string so the oracle compare is format-exact."""
+    ds = ops.read_projected(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def todec(batch: pa.Table) -> pa.Table:
+        from sapray.transform import decode_column
+
+        dec = decode_column(
+            batch.column("l_extendedprice"),
+            pa.field("l_extendedprice", pa.decimal128(12, 2)),
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": batch.column("l_linenumber"),
+                "price_dec": pc.cast(dec, pa.string()),
+            }
+        )
+
+    return ds.map_batches(todec, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DECIMAL_NORMALIZE_LINEITEM_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# windowed rank / sessionization / anti-join / sampling
+# --------------------------------------------------------------------------
+
+
+def window_rank_orders(sf_dir: str):
+    """Per-key window rank: top-3 orders per customer by total price
+    (groupby + map_groups — the Ray-native ROW_NUMBER() OVER)."""
+    import pandas as pd
+
+    ds = ops.read_projected(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
+        g["price_cents"] = (g["o_totalprice"] * 100).round(0).astype("int64")
+        return g[["o_custkey", "o_orderkey", "rnk", "price_cents"]]
+
+    return ds.groupby("o_custkey").map_groups(top3, batch_format="pandas")
+
+
+WINDOW_RANK_ORDERS_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rnk
+  FROM orders)
+SELECT o_custkey, o_orderkey, rnk, price_cents FROM r WHERE rnk <= 3
+"""
+
+
+def sessionize_events(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity): per-user session
+    count — the streaming-window analytic over the events table."""
+    import pandas as pd
+
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+    gap = np.timedelta64(30, "m")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy())
+        n = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": np.array([n], dtype=np.int64)}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SESSIONIZE_EVENTS_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events)
+SELECT user_id,
+       sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+FROM o GROUP BY user_id
+"""
+
+
+def anti_join_customers(sf_dir: str):
+    """Broadcast anti-join: orders whose customer is NOT in the BUILDING
+    segment (the small key set rides the object store once; no shuffle)."""
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    building = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+    keys = set(building.column("c_custkey").to_pylist())
+    orders = ops.read_projected(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    return ops.semi_join_filter(orders, keys, "o_custkey", anti=True)
+
+
+ANTI_JOIN_CUSTOMERS_SQL = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def sample_docs(sf_dir: str):
+    """Deterministic systematic sample (5%): doc_id % 20 = 3 — the
+    verifiable stand-in for ds.random_sample in oracle-checked runs."""
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(_mod(batch.column("doc_id"), 20), 3))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SAMPLE_DOCS_SQL = "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 20 = 3"
+
+
+
 # --------------------------------------------------------------------------
 # the flagship CDC replay, SQL-checked end-to-end
 # --------------------------------------------------------------------------
@@ -641,5 +842,18 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "ivf_topk_embeddings": {"fn": ivf_topk_embeddings, "sql": None},
         "embedding_neardup": {"fn": embedding_neardup, "sql": None},
         "media_features": {"fn": media_features, "sql": None},
+        "scalar_datetime_events": {
+            "fn": scalar_datetime_events, "sql": SCALAR_DATETIME_EVENTS_SQL,
+        },
+        "string_funcs_docs": {"fn": string_funcs_docs, "sql": STRING_FUNCS_DOCS_SQL},
+        "decimal_normalize_lineitem": {
+            "fn": decimal_normalize_lineitem, "sql": DECIMAL_NORMALIZE_LINEITEM_SQL,
+        },
+        "window_rank_orders": {"fn": window_rank_orders, "sql": WINDOW_RANK_ORDERS_SQL},
+        "sessionize_events": {"fn": sessionize_events, "sql": SESSIONIZE_EVENTS_SQL},
+        "anti_join_customers": {
+            "fn": anti_join_customers, "sql": ANTI_JOIN_CUSTOMERS_SQL,
+        },
+        "sample_docs": {"fn": sample_docs, "sql": SAMPLE_DOCS_SQL},
         "cdc_replay_flagship": {"fn": cdc_replay_flagship, "sql": _flagship_sql(sf_name)},
     }

@@ -43,6 +43,16 @@ def _manifest_path(lake_dir: str, part: int) -> str:
     return os.path.join(lake_dir, MANIFEST_DIR, f"part-{part:05d}.json")
 
 
+def read_manifest(lake_dir: str, part: int) -> dict | None:
+    """Load ONE partition's manifest (applier hot path — avoids listing
+    and parsing every manifest in every apply task)."""
+    mpath = _manifest_path(lake_dir, part)
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as f:
+        return json.load(f)
+
+
 def read_manifests(lake_dir: str) -> dict[int, dict]:
     """Load all committed partition manifests (empty dict on fresh lake)."""
     mdir = os.path.join(lake_dir, MANIFEST_DIR)
