@@ -547,10 +547,32 @@ def ivf_topk_embeddings(sf_dir: str):
 
 
 def embedding_neardup(sf_dir: str):
-    """LSH-bucketed cosine near-dup pairs — rows-only (approximate)."""
-    ds = ops.read_projected(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    out = dedup.embedding_neardup_pairs(ds, threshold=0.95)
+    """LSH-bucketed cosine near-dup pairs over an augmented corpus
+    (every 10th embedding duplicated exactly, id-shifted). Exact copies
+    share a hyperplane signature by construction, so at threshold 0.999
+    the verified pairs are exactly the injected duplicates — SQL-checkable
+    despite the LSH approximation."""
+    base = ops.read_projected(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    dups = ops.read_projected(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(_mod(batch.column("vec_id"), 10), 0))
+        return pa.table(
+            {
+                "vec_id": pc.add(batch.column("vec_id"), pa.scalar(1_000_000)),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    aug = base.union(dups.map_batches(shift, batch_format="pyarrow"))
+    out = dedup.embedding_neardup_pairs(aug, threshold=0.999)
     return out.select_columns(["id_a", "id_b"])
+
+
+EMBEDDING_NEARDUP_SQL = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+FROM embeddings WHERE vec_id % 10 = 0
+"""
 
 
 # --------------------------------------------------------------------------
@@ -840,7 +862,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "langid_docs": {"fn": langid_docs, "sql": None},
         "ann_topk_embeddings": {"fn": ann_topk_embeddings, "sql": ANN_TOPK_EMBEDDINGS_SQL},
         "ivf_topk_embeddings": {"fn": ivf_topk_embeddings, "sql": None},
-        "embedding_neardup": {"fn": embedding_neardup, "sql": None},
+        "embedding_neardup": {"fn": embedding_neardup, "sql": EMBEDDING_NEARDUP_SQL},
         "media_features": {"fn": media_features, "sql": None},
         "scalar_datetime_events": {
             "fn": scalar_datetime_events, "sql": SCALAR_DATETIME_EVENTS_SQL,
