@@ -109,7 +109,8 @@ def _upsert_state_rows(events: pa.Table) -> pa.Table:
 
 def apply_partition(group: pa.Table, cfg: CDCConfig) -> pa.Table:
     """Final applier for one partition: merge events into the committed
-    snapshot, write the new snapshot exactly-once, emit one metrics row."""
+    snapshot (or append a delta, ``cfg.sink_mode``), exactly-once, emit
+    one metrics row."""
     if group.num_rows == 0:
         return pa.table([], schema=METRICS_SCHEMA)
     part = int(group.column("part")[0].as_py())
@@ -119,6 +120,11 @@ def apply_partition(group: pa.Table, cfg: CDCConfig) -> pa.Table:
     is_del = pc.equal(winners.column(cfg.op_column), "D")
     upserts_ev = winners.filter(pc.invert(is_del))
     deletes_ev = winners.filter(is_del)
+
+    if cfg.sink_mode == "delta":
+        return _apply_partition_delta(
+            part, n_candidates, winners, upserts_ev, deletes_ev, cfg
+        )
 
     manifest = read_manifest(cfg.lake_dir, part)
     prior = read_partition_state(cfg.lake_dir, part, manifest)
@@ -165,6 +171,85 @@ def apply_partition(group: pa.Table, cfg: CDCConfig) -> pa.Table:
             "n_deletes": pa.array([deletes_ev.num_rows], pa.int64()),
             "prior_rows": pa.array([prior_rows], pa.int64()),
             "final_rows": pa.array([state.num_rows], pa.int64()),
+            "watermark": pa.array([watermark], pa.int64()),
+        },
+        schema=METRICS_SCHEMA,
+    )
+
+
+def _tombstone_rows(deletes_ev: pa.Table) -> pa.Table:
+    """Delete events as STATE_SCHEMA tombstones (payload columns null)."""
+    n = deletes_ev.num_rows
+    cols = []
+    for f in STATE_SCHEMA:
+        if f.name in ("repo", "path"):
+            col = deletes_ev.column(f.name)
+            cols.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        elif f.name == "seq":
+            cols.append(deletes_ev.column("seq").combine_chunks() if isinstance(deletes_ev.column("seq"), pa.ChunkedArray) else deletes_ev.column("seq"))
+        elif f.name == "commit":
+            col = deletes_ev.column("commit")
+            cols.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        else:
+            cols.append(pa.nulls(n, f.type))
+    return pa.Table.from_arrays(cols, schema=STATE_SCHEMA)
+
+
+def _apply_partition_delta(
+    part: int,
+    n_candidates: int,
+    winners: pa.Table,
+    upserts_ev: pa.Table,
+    deletes_ev: pa.Table,
+    cfg: CDCConfig,
+) -> pa.Table:
+    """Write-optimized applier: append this window's winners as ONE delta
+    file (tombstones included) without reading prior state; compact when
+    the partition accumulates ``cfg.compact_every`` files (O-CDC6 in
+    LSM/delta form — write amplification O(window), not O(partition))."""
+    from sapray.sink import commit_partition_delta, compact_partition, read_manifest
+
+    upserts = _upsert_state_rows(upserts_ev.select(_EVENT_STATE_COLS))
+    tombstones = _tombstone_rows(deletes_ev)
+    delta = pa.concat_tables(
+        [
+            upserts.append_column(
+                "is_delete", pa.array(np.zeros(upserts.num_rows, dtype=bool))
+            ),
+            tombstones.append_column(
+                "is_delete", pa.array(np.ones(tombstones.num_rows, dtype=bool))
+            ),
+        ]
+    )
+    # deterministic row order -> content-addressed delta is retry-stable
+    order = np.argsort(
+        np.asarray(composite_key(delta, cfg.key_columns).to_pandas(), dtype=object),
+        kind="stable",
+    )
+    delta = delta.take(pa.array(order)).combine_chunks()
+
+    prior = read_manifest(cfg.lake_dir, part)
+    prior_watermark = prior["watermark"] if prior else -1
+    seq_max = int(pc.max(winners.column(cfg.seq_column)).as_py())
+    watermark = max(seq_max, prior_watermark)
+    delta_sha = table_state_sha(delta, cfg.key_columns)
+    manifest = commit_partition_delta(
+        cfg.lake_dir, part, delta, watermark, delta_sha,
+        extra={"reference_name": cfg.reference_name},
+    )
+    final_rows = -1
+    if len(manifest.get("files", [])) >= cfg.compact_every:
+        compacted = compact_partition(cfg.lake_dir, part, cfg.key_columns)
+        if compacted is not None:
+            final_rows = compacted.get("row_count", -1)
+    return pa.table(
+        {
+            "part": pa.array([part], pa.int32()),
+            "n_candidates": pa.array([n_candidates], pa.int64()),
+            "n_upserts": pa.array([upserts.num_rows], pa.int64()),
+            "n_deletes": pa.array([deletes_ev.num_rows], pa.int64()),
+            "prior_rows": pa.array([-1], pa.int64()),
+            "final_rows": pa.array([final_rows], pa.int64()),
             "watermark": pa.array([watermark], pa.int64()),
         },
         schema=METRICS_SCHEMA,

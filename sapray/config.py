@@ -69,6 +69,12 @@ class CDCConfig:
     # exchange, used automatically when the winner set exceeds the limit
     winner_strategy: str = "broadcast"
     winner_broadcast_limit: int = 100_000_000
+    # sink mode: "snapshot" rewrites the full partition every apply
+    # (read-optimized); "delta" appends winner deltas + tombstones and
+    # merges on read, compacting when a partition accumulates
+    # compact_every files (write-optimized incremental ingest)
+    sink_mode: str = "snapshot"
+    compact_every: int = 8
     # in-flight row multiplication (10^10-scale proxy, changelog.amplify_batch):
     # every stage processes amplification x the on-disk events, with
     # disjoint key spaces per replica
@@ -105,6 +111,10 @@ class CDCConfig:
             errors.append("winner_strategy must be 'broadcast' or 'shuffle'")
         if self.amplification < 1:
             errors.append("amplification must be >= 1")
+        if self.sink_mode not in ("snapshot", "delta"):
+            errors.append("sink_mode must be 'snapshot' or 'delta'")
+        if self.compact_every < 2:
+            errors.append("compact_every must be >= 2")
         if errors:
             raise ConfigError(errors)
 

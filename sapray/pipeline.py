@@ -366,17 +366,49 @@ class CDCEngine:
 
     # ------------------------------------------------------------------ read
     def state_dataset(self) -> ray.data.Dataset:
-        """The committed lake as a streaming Dataset (manifest-guided)."""
-        files = lake_files(self.cfg.lake_dir)
-        if not files:
+        """The committed lake as a streaming Dataset (manifest-guided).
+
+        Snapshot-mode lakes stream the files directly; a lake with delta
+        manifests is merged per partition inside the read tasks
+        (LWW + tombstone removal — merge-on-read)."""
+        cfg = self.cfg
+        manifests = read_manifests(cfg.lake_dir)
+        if not manifests:
             return ray.data.from_arrow(pa.table({}))
-        return ray.data.read_parquet(files)
+        if not any(m.get("mode") == "delta" for m in manifests.values()):
+            return ray.data.read_parquet(lake_files(cfg.lake_dir))
+
+        from sapray.sink import read_manifest, read_partition_state
+        from sapray.transform import STATE_SCHEMA
+
+        lake_dir, key_columns = cfg.lake_dir, cfg.key_columns
+        parts = ray.data.from_items([{"part": p} for p in sorted(manifests)])
+
+        def load(batch: pa.Table) -> pa.Table:
+            tables = []
+            for p in batch.column("part").to_pylist():
+                t = read_partition_state(lake_dir, int(p), read_manifest(lake_dir, int(p)))
+                if t is not None and t.num_rows:
+                    from sapray.schema import normalize_table
+
+                    tables.append(normalize_table(t, STATE_SCHEMA))
+            return (
+                pa.concat_tables(tables) if tables else STATE_SCHEMA.empty_table()
+            )
+
+        return parts.map_batches(load, batch_format="pyarrow", batch_size=4)
 
     def state_table(self) -> pa.Table:
         """Whole committed lake as one Arrow table — tests/small scales only."""
-        files = lake_files(self.cfg.lake_dir)
-        if not files:
-            from sapray.transform import STATE_SCHEMA
+        from sapray.sink import read_partition_state
+        from sapray.transform import STATE_SCHEMA
 
-            return pa.table([], schema=STATE_SCHEMA)
-        return pa.concat_tables(pq.read_table(f) for f in files)
+        manifests = read_manifests(self.cfg.lake_dir)
+        tables = []
+        for p in sorted(manifests):
+            t = read_partition_state(self.cfg.lake_dir, p, manifests[p])
+            if t is not None and t.num_rows:
+                from sapray.schema import normalize_table
+
+                tables.append(normalize_table(t, STATE_SCHEMA))
+        return pa.concat_tables(tables) if tables else STATE_SCHEMA.empty_table()

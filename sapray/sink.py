@@ -29,6 +29,7 @@ import json
 import os
 import uuid
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -70,12 +71,43 @@ def read_manifests(lake_dir: str) -> dict[int, dict]:
 def read_partition_state(
     lake_dir: str, part: int, manifest: dict | None
 ) -> pa.Table | None:
-    """Read the committed snapshot for a partition via its manifest."""
+    """Read the committed state for a partition via its manifest.
+
+    Snapshot mode: one full file. Delta mode: the base snapshot plus the
+    ordered delta files are merged on read — last-writer-wins by ``seq``
+    per key, tombstone rows (``is_delete``) removed.
+    """
     if not manifest or not manifest.get("files"):
         return None
     pdir = _part_dir(lake_dir, part)
     tables = [pq.read_table(os.path.join(pdir, f)) for f in manifest["files"]]
-    return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    if len(tables) == 1 and "is_delete" not in tables[0].column_names:
+        return tables[0]
+    return merge_delta_states(tables)
+
+
+def merge_delta_states(
+    tables: list[pa.Table],
+    key_columns: tuple[str, ...] = ("repo", "path"),
+    seq_column: str = "seq",
+) -> pa.Table:
+    """LWW-merge snapshot + delta tables; drop tombstones (O-CDC5 merge
+    semantics applied at read/compaction time)."""
+    import pyarrow.compute as pc
+
+    norm = []
+    for t in tables:
+        if "is_delete" not in t.column_names:
+            t = t.append_column(
+                "is_delete", pa.array(np.zeros(t.num_rows, dtype=bool))
+            )
+        norm.append(t)
+    merged = pa.concat_tables(norm, promote_options="default")
+    from sapray.partition import lww_reduce
+
+    winners = lww_reduce(merged, key_columns, seq_column)
+    live = winners.filter(pc.invert(winners.column("is_delete").combine_chunks()))
+    return live.drop_columns(["is_delete"])
 
 
 def commit_partition(
@@ -85,6 +117,7 @@ def commit_partition(
     watermark: int,
     state_sha: str,
     extra: dict | None = None,
+    force_replace: bool = False,
 ) -> dict:
     """Atomically commit a partition snapshot + manifest.
 
@@ -101,8 +134,11 @@ def commit_partition(
     if os.path.exists(mpath):
         with open(mpath) as f:
             prev = json.load(f)
-        if prev.get("watermark", -1) >= watermark:
+        if prev.get("watermark", -1) >= watermark and not (
+            force_replace and prev.get("watermark", -1) == watermark
+        ):
             return prev  # a newer/equal commit already landed — keep it
+            # (force_replace allows equal-watermark compaction rewrites)
 
     fname = f"data-w{watermark:016d}-{state_sha[:12]}.parquet"
     fpath = os.path.join(pdir, fname)
@@ -124,6 +160,91 @@ def commit_partition(
         json.dump(manifest, f)
     os.replace(tmp, mpath)
     return manifest
+
+
+def commit_partition_delta(
+    lake_dir: str,
+    part: int,
+    delta: pa.Table,
+    watermark: int,
+    delta_sha: str,
+    extra: dict | None = None,
+) -> dict:
+    """Append ONE delta file to a partition (write-optimized sink mode).
+
+    The applier never reads prior state: it writes only this replay
+    window's winner rows (+ tombstones) as a content-addressed file and
+    appends it to the manifest's ordered file list. Exactly-once under
+    retries: identical recomputed bytes -> same filename -> idempotent
+    ``os.replace``; the monotonic watermark guard drops stale retries.
+    Merge happens on read (``merge_delta_states``) or at compaction.
+    """
+    pdir = _part_dir(lake_dir, part)
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    os.makedirs(pdir, exist_ok=True)
+    os.makedirs(mdir, exist_ok=True)
+
+    mpath = _manifest_path(lake_dir, part)
+    prev: dict | None = None
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prev = json.load(f)
+        if prev.get("watermark", -1) >= watermark:
+            return prev
+
+    fname = f"delta-w{watermark:016d}-{delta_sha[:12]}.parquet"
+    fpath = os.path.join(pdir, fname)
+    if not os.path.exists(fpath):
+        tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(delta, tmp, row_group_size=65_536)
+        os.replace(tmp, fpath)
+
+    files = list(prev.get("files", [])) if prev else []
+    files.append(fname)
+    manifest = {
+        "part": part,
+        "watermark": watermark,
+        "files": files,
+        "row_count": -1,  # unknown until compaction/read merge
+        "state_sha": delta_sha,
+        "mode": "delta",
+        **(extra or {}),
+    }
+    tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def compact_partition(
+    lake_dir: str,
+    part: int,
+    key_columns: tuple[str, ...] = ("repo", "path"),
+) -> dict | None:
+    """Fold a partition's snapshot + deltas into one snapshot file.
+
+    Bounds merge-on-read cost (run when ``len(files)`` exceeds the
+    configured threshold); the commit path is the same content-addressed
+    atomic snapshot commit, then unreferenced files are garbage-collected.
+    """
+    from sapray.hashing import table_state_sha
+
+    manifest = read_manifest(lake_dir, part)
+    if not manifest or len(manifest.get("files", [])) <= 1:
+        return manifest
+    state = read_partition_state(lake_dir, part, manifest)
+    state_sha = table_state_sha(state, key_columns)
+    out = commit_partition(
+        lake_dir,
+        part,
+        state,
+        manifest["watermark"] + 0,  # same watermark: compaction adds no events
+        state_sha,
+        force_replace=True,
+    )
+    gc_partition(lake_dir, part)
+    return out
 
 
 def gc_partition(lake_dir: str, part: int) -> int:

@@ -1,0 +1,110 @@
+"""Delta (write-optimized) sink mode: append-only winner deltas with
+tombstones, merge-on-read, threshold compaction (O-CDC6 in LSM form)."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+from sapray.changelog import oracle_replay
+from sapray.config import CDCConfig
+from sapray.pipeline import CDCEngine
+from sapray.sink import merge_delta_states, read_manifests
+
+
+def _assert_matches_oracle(state, oracle):
+    srows = {(r["repo"], r["path"]): r for r in state.to_pylist()}
+    assert set(srows) == set(oracle)
+    for k, r in oracle.items():
+        assert srows[k]["seq"] == r["seq"], k
+        expected = hashlib.sha256(r["content"].encode()).hexdigest()
+        assert srows[k]["content_sha256"] == expected, k
+
+
+def test_delta_incremental_apply_matches_oracle(ray_session, changelog_dir, tmp_path):
+    """Prefix apply -> full apply in delta mode must equal the one-shot
+    oracle state, with the second apply appending (not rewriting)."""
+    import os
+    import shutil
+
+    out, _ = changelog_dir
+    pref = tmp_path / "prefix"
+    os.makedirs(pref)
+    shutil.copytree(os.path.join(out, "v1"), pref / "v1")
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(
+        CDCConfig(lake_dir=lake, num_partitions=8, sink_mode="delta", compact_every=99)
+    )
+    s1 = eng.apply(str(pref))
+    assert s1["n_upserts"] > 0
+    files_after_1 = {p: m["files"] for p, m in read_manifests(lake).items()}
+    assert all(len(fs) == 1 for fs in files_after_1.values())
+
+    s2 = eng.apply(out)
+    files_after_2 = {p: m["files"] for p, m in read_manifests(lake).items()}
+    # second apply appended a delta on touched partitions
+    assert any(len(fs) == 2 for fs in files_after_2.values())
+    for p, fs in files_after_1.items():
+        assert files_after_2[p][: len(fs)] == fs  # append-only
+
+    _assert_matches_oracle(eng.state_table(), oracle_replay(out))
+    assert eng.state_dataset().count() == eng.state_table().num_rows
+
+
+def test_delta_compaction_folds_files(ray_session, changelog_dir, tmp_path):
+    """With compact_every=2, the second apply folds each partition back
+    to a single snapshot file — and the state is unchanged."""
+    import os
+    import shutil
+
+    out, _ = changelog_dir
+    pref = tmp_path / "prefix"
+    os.makedirs(pref)
+    shutil.copytree(os.path.join(out, "v1"), pref / "v1")
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(
+        CDCConfig(lake_dir=lake, num_partitions=8, sink_mode="delta", compact_every=2)
+    )
+    eng.apply(str(pref))
+    eng.apply(out)
+    for p, m in read_manifests(lake).items():
+        assert len(m["files"]) == 1, f"part {p} not compacted"
+        assert m["files"][0].startswith("data-")  # snapshot, not delta
+    _assert_matches_oracle(eng.state_table(), oracle_replay(out))
+
+
+def test_delta_reapply_is_noop(ray_session, changelog_dir, tmp_path):
+    out, _ = changelog_dir
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(CDCConfig(lake_dir=lake, num_partitions=8, sink_mode="delta"))
+    eng.apply(out)
+    before = {p: m["files"] for p, m in read_manifests(lake).items()}
+    s2 = eng.apply(out)
+    assert s2["n_candidates"] == 0
+    assert {p: m["files"] for p, m in read_manifests(lake).items()} == before
+
+
+def test_merge_delta_states_tombstones():
+    base = pa.table(
+        {
+            "repo": ["r", "r"],
+            "path": ["a", "b"],
+            "seq": [1, 2],
+            "content_sha256": ["s1", "s2"],
+        }
+    )
+    delta = pa.table(
+        {
+            "repo": ["r", "r"],
+            "path": ["a", "c"],
+            "seq": [5, 6],
+            "content_sha256": [None, "s6"],
+            "is_delete": [True, False],
+        }
+    )
+    merged = merge_delta_states([base, delta], ("repo", "path"), "seq")
+    rows = {(r["repo"], r["path"]): r for r in merged.to_pylist()}
+    assert set(rows) == {("r", "b"), ("r", "c")}  # 'a' tombstoned
+    assert rows[("r", "c")]["seq"] == 6
