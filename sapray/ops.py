@@ -151,21 +151,20 @@ def grouped_aggregate(
 # --------------------------------------------------------------------------
 
 
-class _BroadcastJoiner:
-    """Actor-pool joiner: the small side is fetched from the object store
-    once per actor in ``__init__`` (not re-shipped per batch)."""
+# per-worker-process cache of deserialized broadcast objects: tasks that
+# land on the same worker reuse the converted value instead of rebuilding
+# it per batch (ray.get of a plasma object is already zero-copy; this
+# caches the pandas/set conversion on top)
+_BROADCAST_CACHE: dict[str, object] = {}
 
-    def __init__(self, small_ref, left_on: str, right_on: str, how: str):
-        small: pa.Table = ray.get(small_ref)
-        self.small_df = small.to_pandas()
-        self.left_on, self.right_on, self.how = left_on, right_on, how
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        out = df.merge(
-            self.small_df, left_on=self.left_on, right_on=self.right_on, how=self.how
-        )
-        return pa.Table.from_pandas(out, preserve_index=False)
+def _cached_broadcast(ref, convert):
+    key = ref.hex()
+    val = _BROADCAST_CACHE.get(key)
+    if val is None:
+        val = convert(ray.get(ref))
+        _BROADCAST_CACHE[key] = val
+    return val
 
 
 def broadcast_join(
@@ -174,21 +173,25 @@ def broadcast_join(
     left_on: str,
     right_on: str,
     how: str = "inner",
-    concurrency: int = 4,
+    concurrency: int = 4,  # unused; task pool auto-sizes (API compat)
 ) -> ray.data.Dataset:
     """Join a big Dataset against a small in-memory table.
 
-    The small side is ``ray.put`` ONCE; each join actor reads it from the
-    object store in ``__init__``. Correct pattern for dimension tables,
-    vocabularies, blocklists at any scale.
+    The small side is ``ray.put`` ONCE; join TASKS read it zero-copy from
+    the object store and cache the pandas conversion per worker process —
+    no actor-pool spin-up on the query's critical path. Correct pattern
+    for dimension tables, vocabularies, blocklists at any scale.
     """
     ref = ray.put(small)
-    return ds.map_batches(
-        _BroadcastJoiner,
-        fn_constructor_args=(ref, left_on, right_on, how),
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
-    )
+
+    def join(batch: pa.Table) -> pa.Table:
+        small_df = _cached_broadcast(ref, lambda t: t.to_pandas())
+        out = batch.to_pandas().merge(
+            small_df, left_on=left_on, right_on=right_on, how=how
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(join, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -202,17 +205,14 @@ def semi_join_filter(
     """Semi (or anti) join: broadcast the key set, filter inside map_batches."""
     ref = ray.put(keys)
 
-    class _Filter:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def filt(batch: pa.Table) -> pa.Table:
+        key_set = _cached_broadcast(ref, lambda k: k)
+        mask = pd.Index(batch.column(column).to_pandas()).isin(key_set)
+        if anti:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pd.Index(batch.column(column).to_pandas()).isin(self.keys)
-            if anti:
-                mask = ~mask
-            return batch.filter(pa.array(mask))
-
-    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 2))
+    return ds.map_batches(filt, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------

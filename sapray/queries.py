@@ -815,6 +815,23 @@ def cdc_replay_flagship(sf_dir: str):
     return state.select(["repo", "path", "commit", "seq", "content_sha256"])
 
 
+def cdc_replay_delta(sf_dir: str):
+    """Flagship replay through the WRITE-OPTIMIZED sink (sink_mode=
+    'delta'): per-window delta appends + tombstones, merge-on-read,
+    threshold compaction — same oracle as the snapshot-mode flagship."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    cl_dir = _changelog_dir_for(sf_dir)
+    generate_changelog(sf_dir, cl_dir, n_updates=3000)
+    lake = os.path.join(ORACLE_TMP, name, "lake_delta")
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = CDCEngine(
+        CDCConfig(lake_dir=lake, num_partitions=16, sink_mode="delta", compact_every=4)
+    )
+    eng.apply(cl_dir)
+    state = eng.state_table()
+    return state.select(["repo", "path", "commit", "seq", "content_sha256"])
+
+
 def _flagship_sql(sf_name: str) -> str:
     glob = os.path.join(ORACLE_TMP, sf_name, "changelog", "v*", "*.parquet")
     return f"""
@@ -878,4 +895,5 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "sample_docs": {"fn": sample_docs, "sql": SAMPLE_DOCS_SQL},
         "cdc_replay_flagship": {"fn": cdc_replay_flagship, "sql": _flagship_sql(sf_name)},
+        "cdc_replay_delta": {"fn": cdc_replay_delta, "sql": _flagship_sql(sf_name)},
     }
