@@ -282,3 +282,36 @@ def dedup_first(
     ds = ds.map_batches(neg, batch_format="pyarrow", zero_copy_batch=True)
     out = latest_by_key(ds, key_columns, "__neg_order", num_partitions)
     return out.drop_columns(["__neg_order"])
+
+
+# --------------------------------------------------------------------------
+# partitioned, resumable query output (S10 — the sink the reference lacks)
+# --------------------------------------------------------------------------
+
+
+def write_partitioned(
+    ds: ray.data.Dataset,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a Dataset as partitioned Parquet (one directory per key
+    value) — the resumable output layout: a failed run reruns only the
+    partitions it is missing, and never produces one giant file.
+
+    ``mode="overwrite"`` clears the target first; ``"error"`` refuses a
+    non-empty target (exactly-once semantics for the CDC lake live in
+    ``sapray.sink``; this is the generic query-result sink, S10).
+    """
+    import os
+    import shutil
+
+    if os.path.isdir(path) and os.listdir(path):
+        if mode == "error":
+            raise FileExistsError(f"output path {path} is not empty")
+        if mode == "overwrite":
+            shutil.rmtree(path)
+    kwargs = {}
+    if partition_cols:
+        kwargs["partition_cols"] = partition_cols
+    ds.write_parquet(path, **kwargs)

@@ -67,3 +67,27 @@ def test_gc_removes_unreferenced_snapshots(tmp_path):
     assert len(os.listdir(pdir)) == 1
     # committed state untouched
     assert read_partition_state(lake, 0, read_manifests(lake)[0]).num_rows == 4
+
+
+def test_write_partitioned_layout(ray_session, tmp_path):
+    """S10 generic sink: hive-partitioned dirs, re-readable, overwrite."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from sapray.ops import write_partitioned
+
+    t = pa.table({"k": ["a", "a", "b"], "v": [1, 2, 3]})
+    out = str(tmp_path / "out")
+    write_partitioned(ray.data.from_arrow(t), out, partition_cols=["k"])
+    subdirs = {d for d in os.listdir(out) if d.startswith("k=")}
+    assert subdirs == {"k=a", "k=b"}
+    back = ray.data.read_parquet(out).to_pandas()
+    assert sorted(back["v"].tolist()) == [1, 2, 3]
+    # overwrite replaces, error refuses
+    write_partitioned(ray.data.from_arrow(t), out, partition_cols=["k"])
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        write_partitioned(ray.data.from_arrow(t), out, mode="error")
