@@ -757,6 +757,41 @@ FROM o GROUP BY user_id
 """
 
 
+def trailing_window_events(sf_dir: str):
+    """Sliding (RANGE) window: per event, how many of the same user's
+    events fall in the trailing 1 hour — vectorized two-pointer per
+    group, the Ray-native COUNT(*) OVER (RANGE 1 HOUR PRECEDING)."""
+    import pandas as pd
+
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+    hour = np.timedelta64(1, "h")
+
+    def trailing(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].to_numpy()
+        hi = np.searchsorted(ts, ts, side="right")
+        lo = np.searchsorted(ts, ts - hour, side="left")
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_id": g["event_id"].to_numpy(),
+                "n_trailing_1h": (hi - lo).astype("int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(trailing, batch_format="pandas")
+
+
+TRAILING_WINDOW_EVENTS_SQL = """
+SELECT user_id, event_id,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS n_trailing_1h
+FROM events
+"""
+
+
 def anti_join_customers(sf_dir: str):
     """Broadcast anti-join: orders whose customer is NOT in the BUILDING
     segment (the small key set rides the object store once; no shuffle)."""
@@ -890,6 +925,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "window_rank_orders": {"fn": window_rank_orders, "sql": WINDOW_RANK_ORDERS_SQL},
         "sessionize_events": {"fn": sessionize_events, "sql": SESSIONIZE_EVENTS_SQL},
+        "trailing_window_events": {
+            "fn": trailing_window_events, "sql": TRAILING_WINDOW_EVENTS_SQL,
+        },
         "anti_join_customers": {
             "fn": anti_join_customers, "sql": ANTI_JOIN_CUSTOMERS_SQL,
         },
