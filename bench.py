@@ -72,6 +72,14 @@ def run_cdc(sf_dir: str, num_cpus: int) -> dict:
 
     cl_dir, n_events = _changelog(sf_dir)
     n_events *= AMPLIFY
+    # warm the OS page cache untimed so both scaling legs measure
+    # compute + shuffle, not whichever process paid the first disk read
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(cl_dir, "v*", "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     lake = os.path.join(BENCH_TMP, "lake")
     shutil.rmtree(lake, ignore_errors=True)
     # fixed partition count (not a function of num_cpus): the scaling

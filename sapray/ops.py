@@ -315,3 +315,71 @@ def write_partitioned(
     if partition_cols:
         kwargs["partition_cols"] = partition_cols
     ds.write_parquet(path, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# large x large partitioned hash join (both sides shuffle on the key)
+# --------------------------------------------------------------------------
+
+
+def shuffle_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Partitioned hash join for two LARGE datasets.
+
+    Neither side fits a broadcast: both are tagged, routed by
+    ``hash(key) % num_buckets``, and joined bucket-by-bucket inside
+    ``map_groups`` (pandas merge per bucket). One all-to-all exchange
+    total; skewed keys should be pre-salted by the caller. Column names
+    (other than the join keys) must be disjoint.
+    """
+    import pyarrow.compute as pc
+
+    from sapray.hashing import hash_key
+
+    l_cols = [c for c in left.schema().names]
+    r_cols = [c for c in right.schema().names]
+    all_cols = list(dict.fromkeys(l_cols + r_cols))
+
+    def tag(side: int, key_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            kh = hash_key(batch, (key_col,))
+            bucket = (kh % np.uint64(num_buckets)).astype(np.int32)
+            cols = {}
+            n = batch.num_rows
+            for c in all_cols:
+                if c in batch.column_names:
+                    cols[c] = batch.column(c)
+                else:
+                    cols[c] = pa.nulls(n, pa.null())
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            cols["__bucket"] = pa.array(bucket)
+            return pa.table(cols)
+
+        return f
+
+    tagged = left.map_batches(tag(0, left_on), batch_format="pyarrow").union(
+        right.map_batches(tag(1, right_on), batch_format="pyarrow")
+    )
+
+    # pandas upcasts int columns to float when the OTHER side's rows hold
+    # nulls for them — restore the arrow dtypes after the side split
+    int_like = {}
+    for schema, cols in ((left.schema(), l_cols), (right.schema(), r_cols)):
+        for name, t in zip(schema.names, schema.types):
+            if pa.types.is_integer(t):
+                int_like[name] = "int64"
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][l_cols]
+        rg = g[g["__side"] == 1][r_cols]
+        lg = lg.astype({c: d for c, d in int_like.items() if c in lg.columns})
+        rg = rg.astype({c: d for c, d in int_like.items() if c in rg.columns})
+        return lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
+
+    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

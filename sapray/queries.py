@@ -259,6 +259,30 @@ GROUP BY c_mktsegment
 """
 
 
+def shuffle_join_orders_customer(sf_dir: str):
+    """Partitioned hash join (both sides shuffled on the key) — the
+    large x large plan; same oracle as the broadcast variant."""
+    customer = ops.read_projected(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    orders = ops.read_projected(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    joined = ops.shuffle_join(orders, customer, "o_custkey", "c_custkey")
+    out = ops.grouped_aggregate(
+        joined,
+        ["c_mktsegment"],
+        {"n_orders": (None, "count"), "total_price": ("o_totalprice", "sum")},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_orders": batch.column("n_orders"),
+                "total_price_cents": _cents(batch.column("total_price")),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def join_lineitem_part(sf_dir: str):
     part = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
     li = ops.read_projected(
@@ -901,6 +925,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "cdc_upsert_events": {"fn": cdc_upsert_events, "sql": CDC_UPSERT_EVENTS_SQL},
         "q1_lineitem": {"fn": q1_lineitem, "sql": Q1_LINEITEM_SQL},
         "join_orders_customer": {"fn": join_orders_customer, "sql": JOIN_ORDERS_CUSTOMER_SQL},
+        "shuffle_join_orders_customer": {
+            "fn": shuffle_join_orders_customer, "sql": JOIN_ORDERS_CUSTOMER_SQL,
+        },
         "join_lineitem_part": {"fn": join_lineitem_part, "sql": JOIN_LINEITEM_PART_SQL},
         "distinct_langs": {"fn": distinct_langs, "sql": DISTINCT_LANGS_SQL},
         "docs_by_lang": {"fn": docs_by_lang, "sql": DOCS_BY_LANG_SQL},
