@@ -1,0 +1,128 @@
+"""Command-line entry point — the ``ray job submit`` surface.
+
+    python -m sapray.cli apply --changelog DIR --lake DIR [options]
+    python -m sapray.cli compact --lake DIR [--partitions 0,1,2]
+    python -m sapray.cli state --lake DIR [--limit N]
+
+On a cluster this module is the job driver: ``ray job submit --
+python -m sapray.cli apply ...`` (the job connects to the cluster's
+existing Ray; locally it starts a local session). This is the ONLY
+module besides bench.py/tests that owns a Ray session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+_OWNS_RAY = False
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    global _OWNS_RAY
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True}
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+            kwargs["address"] = "local"
+        ray.init(**kwargs)
+        _OWNS_RAY = True
+
+
+def cmd_apply(args: argparse.Namespace) -> int:
+    from sapray.config import CDCConfig
+    from sapray.pipeline import CDCEngine
+
+    _init_ray(args.num_cpus)
+    cfg = CDCConfig(
+        lake_dir=args.lake,
+        num_partitions=args.partitions,
+        sink_mode=args.sink_mode,
+        winner_strategy=args.strategy,
+        amplification=args.amplification,
+    )
+    eng = CDCEngine(cfg)
+    summary = eng.apply(args.changelog, resume=not args.no_resume)
+    summary.pop("per_partition", None)
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    from sapray.sink import compact_partition, read_manifests
+
+    parts = (
+        [int(p) for p in args.partitions.split(",")]
+        if args.partitions
+        else sorted(read_manifests(args.lake))
+    )
+    done = 0
+    for p in parts:
+        m = compact_partition(args.lake, p)
+        if m is not None:
+            done += 1
+    print(json.dumps({"compacted": done, "partitions": len(parts)}))
+    return 0
+
+
+def cmd_state(args: argparse.Namespace) -> int:
+    from sapray.config import CDCConfig
+    from sapray.pipeline import CDCEngine
+
+    _init_ray(args.num_cpus)
+    eng = CDCEngine(CDCConfig(lake_dir=args.lake))
+    ds = eng.state_dataset()
+    n = ds.count()
+    out = {"rows": n}
+    if args.limit:
+        out["sample"] = [
+            {k: v for k, v in r.items() if k != "content"}
+            for r in ds.take(args.limit)
+        ]
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="sapray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("apply", help="replay a change log into the lake")
+    a.add_argument("--changelog", required=True)
+    a.add_argument("--lake", required=True)
+    a.add_argument("--partitions", type=int, default=64)
+    a.add_argument("--sink-mode", choices=["snapshot", "delta"], default="snapshot")
+    a.add_argument("--strategy", choices=["broadcast", "shuffle"], default="broadcast")
+    a.add_argument("--amplification", type=int, default=1)
+    a.add_argument("--no-resume", action="store_true")
+    a.add_argument("--num-cpus", type=int, default=None)
+    a.set_defaults(fn=cmd_apply)
+
+    c = sub.add_parser("compact", help="fold delta files into snapshots")
+    c.add_argument("--lake", required=True)
+    c.add_argument("--partitions", default=None, help="comma-separated ids (default: all)")
+    c.set_defaults(fn=cmd_compact)
+
+    st = sub.add_parser("state", help="inspect the committed lake")
+    st.add_argument("--lake", required=True)
+    st.add_argument("--limit", type=int, default=0)
+    st.add_argument("--num-cpus", type=int, default=None)
+    st.set_defaults(fn=cmd_state)
+
+    args = ap.parse_args(argv)
+    rc = args.fn(args)
+    # only tear down a session this process created (in-process callers —
+    # tests, notebooks — keep theirs)
+    import ray
+
+    if _OWNS_RAY and ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

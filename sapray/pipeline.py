@@ -354,12 +354,19 @@ class CDCEngine:
 
     def _summarize(self, metrics: ray.data.Dataset) -> dict:
         mdf = metrics.to_pandas()  # one row per touched partition — small
+        # delta-mode partitions report final_rows = -1 (unknown until
+        # compaction/merge-on-read); any sentinel makes the total unknown
+        final_rows = 0
+        if len(mdf):
+            final_rows = (
+                -1 if (mdf["final_rows"] < 0).any() else int(mdf["final_rows"].sum())
+            )
         return {
             "partitions": int(len(mdf)),
             "n_candidates": int(mdf["n_candidates"].sum()) if len(mdf) else 0,
             "n_upserts": int(mdf["n_upserts"].sum()) if len(mdf) else 0,
             "n_deletes": int(mdf["n_deletes"].sum()) if len(mdf) else 0,
-            "final_rows": int(mdf["final_rows"].sum()) if len(mdf) else 0,
+            "final_rows": final_rows,
             "watermark": int(mdf["watermark"].max()) if len(mdf) else -1,
             "per_partition": mdf,
         }

@@ -91,3 +91,24 @@ def test_write_partitioned_layout(ray_session, tmp_path):
 
     with _pytest.raises(FileExistsError):
         write_partitioned(ray.data.from_arrow(t), out, mode="error")
+
+
+def test_cli_apply_compact_state(ray_session, changelog_dir, tmp_path):
+    """The ray-job-submit surface: apply -> compact -> state via the CLI
+    entry points (in-process; the session fixture owns Ray)."""
+    import json
+
+    from sapray import cli
+
+    out, _ = changelog_dir
+    lake = str(tmp_path / "cli_lake")
+    rc = cli.main(
+        ["apply", "--changelog", out, "--lake", lake, "--partitions", "8",
+         "--sink-mode", "delta"]
+    )
+    assert rc == 0
+    rc = cli.main(["compact", "--lake", lake])
+    assert rc == 0
+    from sapray.sink import read_manifests
+
+    assert all(len(m["files"]) == 1 for m in read_manifests(lake).values())
