@@ -127,7 +127,9 @@ def apply_partition(group: pa.Table, cfg: CDCConfig) -> pa.Table:
         )
 
     manifest = read_manifest(cfg.lake_dir, part)
-    prior = read_partition_state(cfg.lake_dir, part, manifest)
+    prior = read_partition_state(
+        cfg.lake_dir, part, manifest, cfg.key_columns, cfg.seq_column
+    )
     prior_watermark = manifest["watermark"] if manifest else -1
     prior_rows = prior.num_rows if prior is not None else 0
 
@@ -161,7 +163,12 @@ def apply_partition(group: pa.Table, cfg: CDCConfig) -> pa.Table:
         state,
         watermark,
         state_sha,
-        extra={"reference_name": cfg.reference_name},
+        # num_partitions rides every manifest so a resume with a different
+        # partition count fails fast instead of silently re-routing keys
+        extra={
+            "reference_name": cfg.reference_name,
+            "num_partitions": cfg.num_partitions,
+        },
     )
     return pa.table(
         {
@@ -235,11 +242,16 @@ def _apply_partition_delta(
     delta_sha = table_state_sha(delta, cfg.key_columns)
     manifest = commit_partition_delta(
         cfg.lake_dir, part, delta, watermark, delta_sha,
-        extra={"reference_name": cfg.reference_name},
+        extra={
+            "reference_name": cfg.reference_name,
+            "num_partitions": cfg.num_partitions,
+        },
     )
     final_rows = -1
     if len(manifest.get("files", [])) >= cfg.compact_every:
-        compacted = compact_partition(cfg.lake_dir, part, cfg.key_columns)
+        compacted = compact_partition(
+            cfg.lake_dir, part, cfg.key_columns, cfg.seq_column
+        )
         if compacted is not None:
             final_rows = compacted.get("row_count", -1)
     return pa.table(

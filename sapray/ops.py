@@ -151,11 +151,13 @@ def grouped_aggregate(
 # --------------------------------------------------------------------------
 
 
-# per-worker-process cache of deserialized broadcast objects: tasks that
+# per-worker-process LRU of deserialized broadcast objects: tasks that
 # land on the same worker reuse the converted value instead of rebuilding
 # it per batch (ray.get of a plasma object is already zero-copy; this
-# caches the pandas/set conversion on top)
-_BROADCAST_CACHE: dict[str, object] = {}
+# caches any conversion on top). Bounded so long-lived sessions running
+# many queries don't accumulate every small side ever broadcast.
+_BROADCAST_CACHE_MAX = 4
+_BROADCAST_CACHE: "dict[str, object]" = {}
 
 
 def _cached_broadcast(ref, convert):
@@ -163,6 +165,9 @@ def _cached_broadcast(ref, convert):
     val = _BROADCAST_CACHE.get(key)
     if val is None:
         val = convert(ray.get(ref))
+        while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+            # plain dicts iterate in insertion order -> FIFO eviction
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
         _BROADCAST_CACHE[key] = val
     return val
 
@@ -178,20 +183,34 @@ def broadcast_join(
     """Join a big Dataset against a small in-memory table.
 
     The small side is ``ray.put`` ONCE; join TASKS read it zero-copy from
-    the object store and cache the pandas conversion per worker process —
-    no actor-pool spin-up on the query's critical path. Correct pattern
-    for dimension tables, vocabularies, blocklists at any scale.
+    the object store and hash-join each batch with Arrow's native kernel
+    (``pa.Table.join`` — no pandas round trip in the hot loop). Correct
+    pattern for dimension tables, vocabularies, blocklists at any scale.
     """
+    # pre-rename the small side's key so per-batch joins need no rename;
+    # keep a single key column in the output (merge-on-key semantics)
+    if right_on != left_on:
+        idx = small.column_names.index(right_on)
+        small = small.rename_columns(
+            [left_on if i == idx else c for i, c in enumerate(small.column_names)]
+        )
     ref = ray.put(small)
+    join_type = _ARROW_JOIN_TYPE.get(how, how)
 
     def join(batch: pa.Table) -> pa.Table:
-        small_df = _cached_broadcast(ref, lambda t: t.to_pandas())
-        out = batch.to_pandas().merge(
-            small_df, left_on=left_on, right_on=right_on, how=how
-        )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        small_t = _cached_broadcast(ref, lambda t: t)
+        return batch.join(small_t, keys=left_on, join_type=join_type)
 
-    return ds.map_batches(join, batch_format="pyarrow")
+    return ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# pandas-style names -> Arrow Acero join types
+_ARROW_JOIN_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "outer": "full outer",
+}
 
 
 # --------------------------------------------------------------------------
@@ -200,19 +219,21 @@ def broadcast_join(
 
 
 def semi_join_filter(
-    ds: ray.data.Dataset, keys: set, column: str, anti: bool = False
+    ds: ray.data.Dataset, keys, column: str, anti: bool = False
 ) -> ray.data.Dataset:
-    """Semi (or anti) join: broadcast the key set, filter inside map_batches."""
-    ref = ray.put(keys)
+    """Semi (or anti) join: broadcast the key set, filter inside
+    map_batches with Arrow's zero-copy ``pc.is_in`` membership kernel."""
+    value_set = keys if isinstance(keys, (pa.Array, pa.ChunkedArray)) else pa.array(sorted(keys))
+    ref = ray.put(value_set)
 
     def filt(batch: pa.Table) -> pa.Table:
-        key_set = _cached_broadcast(ref, lambda k: k)
-        mask = pd.Index(batch.column(column).to_pandas()).isin(key_set)
+        vs = _cached_broadcast(ref, lambda k: k)
+        mask = pa.compute.is_in(batch.column(column), value_set=vs)
         if anti:
-            mask = ~mask
-        return batch.filter(pa.array(mask))
+            mask = pa.compute.invert(mask)
+        return batch.filter(mask)
 
-    return ds.map_batches(filt, batch_format="pyarrow")
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --------------------------------------------------------------------------
@@ -332,54 +353,31 @@ def shuffle_join(
 ) -> ray.data.Dataset:
     """Partitioned hash join for two LARGE datasets.
 
-    Neither side fits a broadcast: both are tagged, routed by
-    ``hash(key) % num_buckets``, and joined bucket-by-bucket inside
-    ``map_groups`` (pandas merge per bucket). One all-to-all exchange
-    total; skewed keys should be pre-salted by the caller. Column names
-    (other than the join keys) must be disjoint.
+    Neither side fits a broadcast: delegate to Ray Data's native
+    hash-shuffle join (``Dataset.join``) — both sides are hash-routed on
+    the key into ``num_buckets`` partitions and joined partition-by-
+    partition. One all-to-all exchange total, Arrow blocks end to end
+    (no pandas round trip), so int/bool/timestamp dtypes survive exactly
+    (a null-padded pandas merge upcasts ints to float and mangles
+    bools). Skewed keys should be pre-salted by the caller.
+
+    ``num_buckets`` is clamped to the cluster CPU count: the join's
+    aggregator actor pool is sized from it, and a fixed pool larger than
+    the cluster deadlocks the streaming executor (empirically: 64
+    partitions on a 4-CPU session never completes). On a real multi-node
+    cluster CPUs >> requested buckets, so the clamp only bites locally.
     """
-    import pyarrow.compute as pc
-
-    from sapray.hashing import hash_key
-
-    l_cols = [c for c in left.schema().names]
-    r_cols = [c for c in right.schema().names]
-    all_cols = list(dict.fromkeys(l_cols + r_cols))
-
-    def tag(side: int, key_col: str):
-        def f(batch: pa.Table) -> pa.Table:
-            kh = hash_key(batch, (key_col,))
-            bucket = (kh % np.uint64(num_buckets)).astype(np.int32)
-            cols = {}
-            n = batch.num_rows
-            for c in all_cols:
-                if c in batch.column_names:
-                    cols[c] = batch.column(c)
-                else:
-                    cols[c] = pa.nulls(n, pa.null())
-            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
-            cols["__bucket"] = pa.array(bucket)
-            return pa.table(cols)
-
-        return f
-
-    tagged = left.map_batches(tag(0, left_on), batch_format="pyarrow").union(
-        right.map_batches(tag(1, right_on), batch_format="pyarrow")
+    jt = {
+        "inner": "inner",
+        "left": "left_outer",
+        "right": "right_outer",
+        "outer": "full_outer",
+    }[how]
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return left.join(
+        right,
+        join_type=jt,
+        num_partitions=max(2, min(num_buckets, ncpu - 1)),
+        on=(left_on,),
+        right_on=(right_on,),
     )
-
-    # pandas upcasts int columns to float when the OTHER side's rows hold
-    # nulls for them — restore the arrow dtypes after the side split
-    int_like = {}
-    for schema, cols in ((left.schema(), l_cols), (right.schema(), r_cols)):
-        for name, t in zip(schema.names, schema.types):
-            if pa.types.is_integer(t):
-                int_like[name] = "int64"
-
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0][l_cols]
-        rg = g[g["__side"] == 1][r_cols]
-        lg = lg.astype({c: d for c, d in int_like.items() if c in lg.columns})
-        rg = rg.astype({c: d for c, d in int_like.items() if c in rg.columns})
-        return lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
-
-    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

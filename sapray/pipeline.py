@@ -216,7 +216,30 @@ class CDCEngine:
     def apply(self, changelog_dir: str, resume: bool = True) -> dict:
         """Replay the change log into the lake; returns the metrics summary."""
         cfg = self.cfg
-        manifests = read_manifests(cfg.lake_dir) if resume else {}
+        committed = read_manifests(cfg.lake_dir)
+        if committed:
+            # amplified replicas shift seq by j*AMPLIFY_STRIDE, so prior
+            # watermarks sit near (ampl-1)*stride and a resumed amplified
+            # apply would silently drop every event of replicas 0..ampl-2
+            # — refuse instead of corrupting (bench uses fresh lake dirs)
+            if cfg.amplification > 1:
+                raise ValueError(
+                    "amplification > 1 cannot apply onto a lake with existing "
+                    "manifests (replica seq shifts make the committed "
+                    "watermarks incomparable); use a fresh lake_dir"
+                )
+            # partition count is part of the lake's identity: watermarks
+            # and key routing are indexed by part id, so a different
+            # num_partitions would silently skip or double-apply events
+            for p, m in committed.items():
+                mp = m.get("num_partitions")
+                if mp is not None and mp != cfg.num_partitions:
+                    raise ValueError(
+                        f"lake {cfg.lake_dir} was written with num_partitions="
+                        f"{mp}; this apply is configured with "
+                        f"{cfg.num_partitions} — refusing to re-route keys"
+                    )
+        manifests = committed if resume else {}
         watermarks = None
         if manifests:
             watermarks = np.full(cfg.num_partitions, -1, dtype=np.int64)
@@ -388,13 +411,16 @@ class CDCEngine:
         from sapray.sink import read_manifest, read_partition_state
         from sapray.transform import STATE_SCHEMA
 
-        lake_dir, key_columns = cfg.lake_dir, cfg.key_columns
+        lake_dir, key_columns, seq_column = cfg.lake_dir, cfg.key_columns, cfg.seq_column
         parts = ray.data.from_items([{"part": p} for p in sorted(manifests)])
 
         def load(batch: pa.Table) -> pa.Table:
             tables = []
             for p in batch.column("part").to_pylist():
-                t = read_partition_state(lake_dir, int(p), read_manifest(lake_dir, int(p)))
+                t = read_partition_state(
+                    lake_dir, int(p), read_manifest(lake_dir, int(p)),
+                    key_columns, seq_column,
+                )
                 if t is not None and t.num_rows:
                     from sapray.schema import normalize_table
 
@@ -413,7 +439,10 @@ class CDCEngine:
         manifests = read_manifests(self.cfg.lake_dir)
         tables = []
         for p in sorted(manifests):
-            t = read_partition_state(self.cfg.lake_dir, p, manifests[p])
+            t = read_partition_state(
+                self.cfg.lake_dir, p, manifests[p],
+                self.cfg.key_columns, self.cfg.seq_column,
+            )
             if t is not None and t.num_rows:
                 from sapray.schema import normalize_table
 

@@ -148,9 +148,8 @@ def validate_evolution(base: pa.Schema, evolved: pa.Schema) -> None:
     Rules (generalizing ``SapODataConfig.java:262-298`` validateFieldsMatch):
       * every base field must still exist in ``evolved`` (no drops);
       * its type must be identical or a legal widening (:func:`is_widening`);
-      * nullability must not be relaxed for fields the base declares
-        non-nullable... except via widening to nullable when a column is
-        late-added (new columns are always nullable);
+      * nullability must not be relaxed: a field the base declares
+        non-nullable must stay non-nullable;
       * brand-new fields are allowed (add-column) but must be nullable.
     """
     errors: list[str] = []
@@ -165,8 +164,14 @@ def validate_evolution(base: pa.Schema, evolved: pa.Schema) -> None:
                 f"Field '{f.name}' of type '{g.type}' is not compatible with "
                 f"base type '{f.type}'"
             )
-        if not f.nullable and g.nullable is False:
-            pass  # still non-nullable: fine
+        if not f.nullable and g.nullable:
+            # rule 3 of the reference's validateFieldsMatch
+            # (SapODataConfig.java:262-298): a provided/evolved schema may
+            # not relax a non-nullable base field to nullable
+            errors.append(
+                f"Field '{f.name}' must not relax the base schema's "
+                "non-nullability"
+            )
     for g in evolved:
         if g.name not in base_names and not g.nullable:
             errors.append(f"Added field '{g.name}' must be nullable")

@@ -69,13 +69,19 @@ def read_manifests(lake_dir: str) -> dict[int, dict]:
 
 
 def read_partition_state(
-    lake_dir: str, part: int, manifest: dict | None
+    lake_dir: str,
+    part: int,
+    manifest: dict | None,
+    key_columns: tuple[str, ...] = ("repo", "path"),
+    seq_column: str = "seq",
 ) -> pa.Table | None:
     """Read the committed state for a partition via its manifest.
 
     Snapshot mode: one full file. Delta mode: the base snapshot plus the
-    ordered delta files are merged on read — last-writer-wins by ``seq``
-    per key, tombstone rows (``is_delete``) removed.
+    ordered delta files are merged on read — last-writer-wins by
+    ``seq_column`` per ``key_columns``, tombstone rows (``is_delete``)
+    removed. Callers with a non-default key config must thread
+    ``cfg.key_columns``/``cfg.seq_column`` through.
     """
     if not manifest or not manifest.get("files"):
         return None
@@ -83,7 +89,7 @@ def read_partition_state(
     tables = [pq.read_table(os.path.join(pdir, f)) for f in manifest["files"]]
     if len(tables) == 1 and "is_delete" not in tables[0].column_names:
         return tables[0]
-    return merge_delta_states(tables)
+    return merge_delta_states(tables, key_columns, seq_column)
 
 
 def merge_delta_states(
@@ -221,6 +227,7 @@ def compact_partition(
     lake_dir: str,
     part: int,
     key_columns: tuple[str, ...] = ("repo", "path"),
+    seq_column: str = "seq",
 ) -> dict | None:
     """Fold a partition's snapshot + deltas into one snapshot file.
 
@@ -233,7 +240,7 @@ def compact_partition(
     manifest = read_manifest(lake_dir, part)
     if not manifest or len(manifest.get("files", [])) <= 1:
         return manifest
-    state = read_partition_state(lake_dir, part, manifest)
+    state = read_partition_state(lake_dir, part, manifest, key_columns, seq_column)
     state_sha = table_state_sha(state, key_columns)
     out = commit_partition(
         lake_dir,
@@ -241,6 +248,12 @@ def compact_partition(
         state,
         manifest["watermark"] + 0,  # same watermark: compaction adds no events
         state_sha,
+        # carry lineage fields forward (resume checks num_partitions)
+        extra={
+            k: manifest[k]
+            for k in ("reference_name", "num_partitions")
+            if k in manifest
+        },
         force_replace=True,
     )
     gc_partition(lake_dir, part)

@@ -83,6 +83,16 @@ def test_validate_evolution_rules():
             [pa.field("a", pa.int32(), False), pa.field("b", pa.string()),
              pa.field("c", pa.int64(), False)]
         ))
+    # illegal: relaxing a non-nullable base field to nullable
+    # (rule 3 of validateFieldsMatch, SapODataConfig.java:262-298)
+    with pytest.raises(SchemaCompatError, match="non-nullability"):
+        validate_evolution(base, pa.schema(
+            [pa.field("a", pa.int32(), True), pa.field("b", pa.string())]
+        ))
+    # nullable base field staying nullable (or tightening) is fine
+    validate_evolution(base, pa.schema(
+        [pa.field("a", pa.int32(), False), pa.field("b", pa.string(), False)]
+    ))
 
 
 def test_unify_schemas_add_column_and_widen():
