@@ -33,12 +33,12 @@ from sapray.ops import dedup_first
 def add_sha256(
     ds: ray.data.Dataset, text_column: str = "text", out: str = "text_sha"
 ) -> ray.data.Dataset:
+    """Append a sha256-hex column, hashing over Arrow buffer slices
+    (no scalar boxing — see ``hashing.sha256_hex_column``)."""
+    from sapray.hashing import sha256_hex_column
+
     def f(batch: pa.Table) -> pa.Table:
-        shas = [
-            hashlib.sha256(t.encode("utf-8")).hexdigest() if t is not None else None
-            for t in batch.column(text_column).to_pylist()
-        ]
-        return batch.append_column(out, pa.array(shas, pa.string()))
+        return batch.append_column(out, sha256_hex_column(batch.column(text_column)))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -72,25 +72,43 @@ def partition_ids(
 def sha256_hex_column(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Per-row sha256 hexdigest of a string/binary column.
 
-    sha256 is inherently per-row work; this iterates Arrow buffers
-    directly (no pandas conversion). Intended for *final-state* rows
-    (small relative to the event stream), matching the per-row
-    ``content`` sha256 invariant of BASELINE.json:15.
+    sha256 is inherently per-row work, but the loop hashes straight over
+    the Arrow value buffer via (offset, offset+len) memoryview slices —
+    no scalar boxing, no Python-str materialization, no utf-8 re-encode
+    (Arrow string columns already store utf-8 bytes). ~1.5x a
+    ``to_pylist()`` loop at 200-char rows (sha256 itself dominates);
+    matches DuckDB's ``sha256(text)`` hex.
     """
-    if isinstance(arr, pa.ChunkedArray):
-        chunks = arr.chunks
-    else:
-        chunks = [arr]
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
     out: list[str | None] = []
+    sha = hashlib.sha256
     for chunk in chunks:
-        for v in chunk:
-            if v.is_valid:
-                b = v.as_py()
-                if isinstance(b, str):
-                    b = b.encode("utf-8")
-                out.append(hashlib.sha256(b).hexdigest())
-            else:
-                out.append(None)
+        n = len(chunk)
+        if n == 0:
+            continue
+        t = chunk.type
+        off_dtype = (
+            np.int64
+            if (pa.types.is_large_string(t) or pa.types.is_large_binary(t))
+            else np.int32
+        )
+        bufs = chunk.buffers()
+        # buffers: [validity, offsets, data]; offsets are absolute into
+        # the (possibly shared) data buffer, shifted by the chunk offset
+        offsets = np.frombuffer(
+            bufs[1], dtype=off_dtype, count=n + 1 + chunk.offset
+        )[chunk.offset :].tolist()  # python ints slice faster than np ints
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        if chunk.null_count == 0:
+            out.extend(
+                sha(data[s:e]).hexdigest() for s, e in zip(offsets, offsets[1:])
+            )
+        else:
+            valid = pc.is_valid(chunk).to_numpy(zero_copy_only=False)
+            out.extend(
+                sha(data[s:e]).hexdigest() if v else None
+                for (s, e), v in zip(zip(offsets, offsets[1:]), valid)
+            )
     return pa.array(out, type=pa.string())
 
 
