@@ -228,7 +228,9 @@ class SimHasher:
         if len(sh) == 0:
             return 0
         bits = (sh[:, None] >> self.bits[None, :]) & np.uint64(1)
-        votes = bits.sum(axis=0) * 2 - len(sh)
+        # votes must be SIGNED: uint64 arithmetic would wrap negative
+        # tallies to huge positives and set every minority bit
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(sh)
         return int(((votes > 0).astype(np.uint64) << self.bits).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -487,10 +487,69 @@ def simhash_docs(sf_dir: str):
     return out.select_columns(["doc_id", "simhash"])
 
 
+def _uint64_to_bigint_sql(expr: str) -> str:
+    """SQL rewriting an unsigned-64 HUGEINT value to its int64 twin
+    (the same reinterpretation numpy's ``uint64.astype(int64)`` does)."""
+    return (
+        f"(CASE WHEN {expr} >= 9223372036854775808::HUGEINT "
+        f"THEN {expr} - 18446744073709551616::HUGEINT ELSE {expr} END)::BIGINT"
+    )
+
+
+def _simhash_sql() -> str:
+    """DuckDB recomputation of the 64-bit SimHash: 5-byte shingle
+    polynomial hashes (base 257 — values < 2^42, no wraparound), distinct
+    shingles, per-bit majority vote. Bit-exact vs ``dedup.SimHasher`` on
+    ASCII text (testdata docs are all ASCII, length >= 44)."""
+    terms = " + ".join(
+        f"ord(substring(text, i+{j}, 1))::BIGINT * {257**j}" for j in range(5)
+    )
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, ({terms}) AS h FROM pos
+), nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+bits AS (
+  SELECT doc_id, b, sum((h >> b) & 1) AS c
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 41)) AS b) GROUP BY doc_id, b
+)
+SELECT bits.doc_id,
+       sum(CASE WHEN 2*c > nsh.n THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bits JOIN nsh USING (doc_id) GROUP BY bits.doc_id
+"""
+
+
+SIMHASH_DOCS_SQL = _simhash_sql()
+
+
 def fingerprint_docs(sf_dir: str):
     ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(text.Fingerprint, batch_format="pyarrow", concurrency=(1, 2))
     return out.select_columns(["doc_id", "fingerprint"])
+
+
+def _fingerprint_sql() -> str:
+    """DuckDB recomputation of the rolling-hash fingerprint: min over
+    16-byte windows of sum(byte_j * base^j) mod 2^64, with the mod-2^64
+    power constants inlined (HUGEINT keeps the 75-bit partial sums
+    exact). Bit-exact vs ``text.Fingerprint`` on ASCII text."""
+    m = 1 << 64
+    terms = " + ".join(
+        f"ord(substring(text, i+{j}, 1))::HUGEINT * {pow(1099511628211, j, m)}::HUGEINT"
+        for j in range(16)
+    )
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 15)) AS i FROM documents
+), w AS (
+  SELECT doc_id, ({terms}) % 18446744073709551616::HUGEINT AS h FROM pos
+), mn AS (SELECT doc_id, min(h) AS m FROM w GROUP BY doc_id)
+SELECT doc_id, {_uint64_to_bigint_sql('m')} AS fingerprint FROM mn
+"""
+
+
+FINGERPRINT_DOCS_SQL = _fingerprint_sql()
 
 
 # --------------------------------------------------------------------------
@@ -528,9 +587,40 @@ FROM documents
 
 
 def langid_docs(sf_dir: str):
-    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    """Language-ID over single-language fixture docs: each doc_id gets a
+    deterministic text built from one language's trigram profile, so the
+    n-gram classifier's prediction is exactly SQL-predictable while the
+    real actor-pool operator (compiled patterns per actor, vectorized
+    scoring) runs end-to-end."""
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id"])
+    langs = sorted(text._LANG_PROFILES)
+
+    def make_fixture(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = [
+            " ".join(text._LANG_PROFILES[langs[int(i) % len(langs)]]) * 3
+            for i in ids
+        ]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(texts, pa.string())})
+
+    ds = ds.map_batches(make_fixture, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(text.LangId, batch_format="pyarrow", concurrency=(1, 2))
     return out.select_columns(["doc_id", "pred_lang"])
+
+
+def _langid_sql() -> str:
+    langs = sorted(text._LANG_PROFILES)
+    whens = " ".join(
+        f"WHEN {i} THEN '{lang}'" for i, lang in enumerate(langs)
+    )
+    return (
+        f"SELECT doc_id, CASE doc_id % {len(langs)} {whens} END AS pred_lang "
+        "FROM documents"
+    )
+
+
+LANGID_DOCS_SQL = _langid_sql()
 
 
 # --------------------------------------------------------------------------
@@ -563,11 +653,45 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
 
 
 def ivf_topk_embeddings(sf_dir: str):
-    """Approximate IVF variant — rows-only check (no SQL oracle)."""
+    """IVF ANN with REAL cell pruning (nprobe=4 of 16 cells), gated via
+    an injected-duplicates corpus: every 10th embedding is duplicated
+    exactly (id + 1e6). A query identical to its duplicate assigns to
+    the same coarse cell, which is by definition the query's nearest
+    probed cell — so the rank-1 neighbor is always the injected twin at
+    cosine 1.0, regardless of which other cells were pruned. Rank-1 rows
+    are therefore exactly SQL-predictable while the pruned scoring path
+    runs for real."""
     emb = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    queries = emb.filter(pc.less(emb.column("vec_id"), 5))
-    ds = ops.read_projected(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    return similarity.ivf_topk(ds, queries, k=10, concurrency=2)
+    dup_mask = pc.equal(_mod(emb.column("vec_id"), 10), 0)
+    queries = emb.filter(pc.and_(dup_mask, pc.less(emb.column("vec_id"), 50)))
+
+    base = ops.read_projected(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    dups = ops.read_projected(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(_mod(batch.column("vec_id"), 10), 0))
+        return pa.table(
+            {
+                "vec_id": pc.add(batch.column("vec_id"), pa.scalar(1_000_000)),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    aug = base.union(dups.map_batches(shift, batch_format="pyarrow"))
+    out = similarity.ivf_topk(aug, queries, k=10, nprobe=4, concurrency=2)
+
+    def top1(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("rank"), 1))
+
+    return out.map_batches(top1, batch_format="pyarrow").select_columns(
+        ["query_id", "neighbor_id", "rank"]
+    )
+
+
+IVF_TOPK_EMBEDDINGS_SQL = """
+SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1::BIGINT AS rank
+FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 50
+"""
 
 
 def embedding_neardup(sf_dir: str):
@@ -610,6 +734,21 @@ def media_features(sf_dir: str):
     ds = ray.data.from_arrow(multimodal.synth_media_table(64))
     out = multimodal.extract_media_features(ds, batch_size=16, concurrency=2)
     return out.select_columns(["media_id", "content_type", "n_bytes", "width", "height"])
+
+
+# the seeded synth corpus has payload length 64 + 100*i and the stub
+# decoder derives width/height from the byte count alone, so the whole
+# actor-pool pipeline's output is recomputable in SQL (multimodal.py
+# _stub_decode mirrored; generate_series stands in for the media table)
+MEDIA_FEATURES_SQL = """
+WITH m AS (SELECT unnest(generate_series(0, 63)) AS media_id)
+SELECT media_id,
+       CASE WHEN media_id % 2 = 0 THEN 'image/jpeg' ELSE 'audio/wav' END AS content_type,
+       (64 + 100 * media_id)::BIGINT                   AS n_bytes,
+       (64 + ((64 + 100 * media_id) % 512))::INT       AS width,
+       (64 + (((64 + 100 * media_id) // 7) % 512))::INT AS height
+FROM m
+"""
 
 
 
@@ -934,15 +1073,15 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "events_hourly": {"fn": events_hourly, "sql": EVENTS_HOURLY_SQL},
         "dedup_exact_docs": {"fn": dedup_exact_docs, "sql": DEDUP_EXACT_DOCS_SQL},
         "minhash_dedup_docs": {"fn": minhash_dedup_docs, "sql": MINHASH_DEDUP_DOCS_SQL},
-        "simhash_docs": {"fn": simhash_docs, "sql": None},
-        "fingerprint_docs": {"fn": fingerprint_docs, "sql": None},
+        "simhash_docs": {"fn": simhash_docs, "sql": SIMHASH_DOCS_SQL},
+        "fingerprint_docs": {"fn": fingerprint_docs, "sql": FINGERPRINT_DOCS_SQL},
         "token_count_docs": {"fn": token_count_docs, "sql": TOKEN_COUNT_DOCS_SQL},
         "quality_docs": {"fn": quality_docs, "sql": QUALITY_DOCS_SQL},
-        "langid_docs": {"fn": langid_docs, "sql": None},
+        "langid_docs": {"fn": langid_docs, "sql": LANGID_DOCS_SQL},
         "ann_topk_embeddings": {"fn": ann_topk_embeddings, "sql": ANN_TOPK_EMBEDDINGS_SQL},
-        "ivf_topk_embeddings": {"fn": ivf_topk_embeddings, "sql": None},
+        "ivf_topk_embeddings": {"fn": ivf_topk_embeddings, "sql": IVF_TOPK_EMBEDDINGS_SQL},
         "embedding_neardup": {"fn": embedding_neardup, "sql": EMBEDDING_NEARDUP_SQL},
-        "media_features": {"fn": media_features, "sql": None},
+        "media_features": {"fn": media_features, "sql": MEDIA_FEATURES_SQL},
         "scalar_datetime_events": {
             "fn": scalar_datetime_events, "sql": SCALAR_DATETIME_EVENTS_SQL,
         },
