@@ -427,30 +427,19 @@ def _neardup_docs(sf_dir: str) -> ray.data.Dataset:
 
 
 def minhash_dedup_docs(sf_dir: str):
-    """MinHash+LSH candidates -> exact-Jaccard verify (threshold 0.8).
+    """MinHash+LSH candidates -> exact-Jaccard verify (threshold 0.8),
+    fully distributed: candidate texts reach the verifiers through keyed
+    exchanges (no driver-built corpus dict — round-1's scale-killer).
 
     On the constructed corpus the verified pairs are exactly
     (original, original+1e6) for every third doc — SQL-checkable.
     """
     aug = _neardup_docs(sf_dir)
     pairs = dedup.minhash_lsh_candidates(aug, concurrency=2)
-    verified = dedup.verify_pairs_jaccard(pairs, _neardup_table(sf_dir), threshold=0.8)
-    return verified.select_columns(["id_a", "id_b"])
-
-
-def _neardup_table(sf_dir: str) -> pa.Table:
-    base = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    mask = pc.equal(_mod(base.column("doc_id"), 3), 0)
-    dups = base.filter(mask)
-    dups = pa.table(
-        {
-            "doc_id": pc.add(dups.column("doc_id"), pa.scalar(1_000_000)),
-            "text": pc.binary_join_element_wise(
-                dups.column("text"), pa.scalar(" near dup tail"), ""
-            ),
-        }
+    verified = dedup.verify_pairs_jaccard(
+        pairs, _neardup_docs(sf_dir), threshold=0.8
     )
-    return pa.concat_tables([base, dups])
+    return verified.select_columns(["id_a", "id_b"])
 
 
 # exact 5-char-shingle Jaccard in SQL (the engine's MinHash+LSH with 16
