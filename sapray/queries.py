@@ -848,23 +848,29 @@ FROM lineitem
 
 
 def window_rank_orders(sf_dir: str):
-    """Per-key window rank: top-3 orders per customer by total price
-    (groupby + map_groups — the Ray-native ROW_NUMBER() OVER)."""
-    import pandas as pd
+    """Per-key window rank: top-3 orders per customer by total price —
+    ONE hash-partition shuffle then a vectorized segment sweep per
+    partition (sapray.window.rank_in_key), no per-group Python."""
+    from sapray import window
 
     ds = ops.read_projected(
         _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
+    ranked = window.rank_in_key(
+        ds, "o_custkey", "o_totalprice", "o_orderkey", top_n=3, descending=True
+    )
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
-        ).head(3)
-        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
-        g["price_cents"] = (g["o_totalprice"] * 100).round(0).astype("int64")
-        return g[["o_custkey", "o_orderkey", "rnk", "price_cents"]]
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderkey": batch.column("o_orderkey"),
+                "rnk": batch.column("rnk"),
+                "price_cents": _cents(batch.column("o_totalprice")),
+            }
+        )
 
-    return ds.groupby("o_custkey").map_groups(top3, batch_format="pandas")
+    return ranked.map_batches(project, batch_format="pyarrow")
 
 
 WINDOW_RANK_ORDERS_SQL = """
@@ -881,20 +887,14 @@ SELECT o_custkey, o_orderkey, rnk, price_cents FROM r WHERE rnk <= 3
 
 def sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user session
-    count — the streaming-window analytic over the events table."""
-    import pandas as pd
+    count — one shuffle + one vectorized reduceat per partition
+    (sapray.window.session_counts)."""
+    from sapray import window
 
-    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
-    gap = np.timedelta64(30, "m")
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy())
-        n = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": np.array([n], dtype=np.int64)}
-        )
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    return window.session_counts(
+        ds, "user_id", "ts", np.timedelta64(30, "m"), out_name="n_sessions"
+    )
 
 
 SESSIONIZE_EVENTS_SQL = """
@@ -911,27 +911,16 @@ FROM o GROUP BY user_id
 
 def trailing_window_events(sf_dir: str):
     """Sliding (RANGE) window: per event, how many of the same user's
-    events fall in the trailing 1 hour — vectorized two-pointer per
-    group, the Ray-native COUNT(*) OVER (RANGE 1 HOUR PRECEDING)."""
-    import pandas as pd
+    events fall in the trailing 1 hour — the Ray-native COUNT(*) OVER
+    (RANGE 1 HOUR PRECEDING), one shuffle + one whole-partition
+    two-pointer sweep (sapray.window.trailing_counts)."""
+    from sapray import window
 
     ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
-    hour = np.timedelta64(1, "h")
-
-    def trailing(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        ts = g["ts"].to_numpy()
-        hi = np.searchsorted(ts, ts, side="right")
-        lo = np.searchsorted(ts, ts - hour, side="left")
-        return pd.DataFrame(
-            {
-                "user_id": g["user_id"].to_numpy(),
-                "event_id": g["event_id"].to_numpy(),
-                "n_trailing_1h": (hi - lo).astype("int64"),
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(trailing, batch_format="pandas")
+    return window.trailing_counts(
+        ds, "user_id", "ts", np.timedelta64(1, "h"), "event_id",
+        out_name="n_trailing_1h",
+    )
 
 
 TRAILING_WINDOW_EVENTS_SQL = """
