@@ -811,6 +811,104 @@ FROM documents
 """
 
 
+def geo_shapes_docs(sf_dir: str):
+    """M12 geospatial decode as a gated query: deterministic GeoJSON
+    Point + LineString payloads built from doc_id are decoded through
+    the typed-struct kernels (sapray.geo) and flattened to scalars so
+    the value hash covers the nested extraction."""
+    from sapray import geo
+
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id"])
+
+    def make_geojson(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pts = [
+            '{"type": "Point", "coordinates": [%s, %s], "dimension": "%s"}'
+            % (i * 1.5, i - 0.25, "GEOMETRY" if i % 2 == 0 else "GEOGRAPHY")
+            for i in ids
+        ]
+        lss = [
+            '{"type": "LineString", "coordinates": [[%d, 0], [%d, 2]], '
+            '"dimension": "GEOMETRY"}' % (i, i + 1)
+            for i in ids
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "pt": pa.array(pts, pa.string()),
+             "ls": pa.array(lss, pa.string())}
+        )
+
+    ds = ds.map_batches(make_geojson, batch_format="pyarrow", zero_copy_batch=True)
+    ds = geo.decode_geo_batches(ds, {"pt": "Point", "ls": "LineString"})
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        pt = batch.column("pt").combine_chunks()
+        ls = batch.column("ls").combine_chunks()
+        coords = pc.struct_field(ls, "coordinates")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "dimension": pc.struct_field(pt, "dimension"),
+                "x": pc.struct_field(pt, "x"),
+                "y": pc.struct_field(pt, "y"),
+                "z": pc.struct_field(pt, "z"),
+                "ls_type": pc.struct_field(ls, "type"),
+                "ls_n": pc.cast(pc.list_value_length(coords), pa.int64()),
+                "ls_x1": pc.struct_field(pc.list_element(coords, 1), "x"),
+                "ls_y1": pc.struct_field(pc.list_element(coords, 1), "y"),
+            }
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+GEO_SHAPES_DOCS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'GEOMETRY' ELSE 'GEOGRAPHY' END AS dimension,
+       doc_id * 1.5          AS x,
+       doc_id - 0.25         AS y,
+       0.0                   AS z,
+       'LineString'          AS ls_type,
+       2::BIGINT             AS ls_n,
+       (doc_id + 1)::DOUBLE  AS ls_x1,
+       2.0                   AS ls_y1
+FROM documents
+"""
+
+
+def offset_duration_events(sf_dir: str):
+    """M8 conversion kernels as a gated query: DateTimeOffset ISO
+    formatting (+02:00 zone) and ISO-8601 duration strings, both exact
+    string comparisons against the oracle."""
+    from sapray.transform import format_datetimeoffset, format_duration
+
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["event_id", "ts"])
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        secs = _mod(batch.column("event_id"), 100_000)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "iso_offset": format_datetimeoffset(batch.column("ts"), 120),
+                "duration": format_duration(secs),
+            }
+        )
+
+    return ds.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+OFFSET_DURATION_EVENTS_SQL = """
+SELECT event_id,
+       strftime(ts + INTERVAL 2 HOUR, '%Y-%m-%dT%H:%M:%S') ||
+       CASE WHEN epoch_us(ts) % 1000000 > 0
+            THEN '.' || rtrim(lpad((epoch_us(ts) % 1000000)::VARCHAR, 6, '0'), '0')
+            ELSE '' END || '+02:00' AS iso_offset,
+       'P' || (n // 86400) || 'DT' || ((n % 86400) // 3600) || 'H' ||
+       ((n % 3600) // 60) || 'M' || (n % 60) || 'S' AS duration
+FROM (SELECT event_id, ts, event_id % 100000 AS n FROM events)
+"""
+
+
 def decimal_normalize_lineitem(sf_dir: str):
     """M11 decimal normalize as a query: double -> DECIMAL(12,2) with
     HALF_EVEN rounding (reference …Transformer.java:370-421), emitted as
@@ -1066,6 +1164,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "string_funcs_docs": {"fn": string_funcs_docs, "sql": STRING_FUNCS_DOCS_SQL},
         "decimal_normalize_lineitem": {
             "fn": decimal_normalize_lineitem, "sql": DECIMAL_NORMALIZE_LINEITEM_SQL,
+        },
+        "geo_shapes_docs": {"fn": geo_shapes_docs, "sql": GEO_SHAPES_DOCS_SQL},
+        "offset_duration_events": {
+            "fn": offset_duration_events, "sql": OFFSET_DURATION_EVENTS_SQL,
         },
         "window_rank_orders": {"fn": window_rank_orders, "sql": WINDOW_RANK_ORDERS_SQL},
         "sessionize_events": {"fn": sessionize_events, "sql": SESSIONIZE_EVENTS_SQL},

@@ -55,6 +55,40 @@ _POLYGON_TYPE = pa.struct(
     ]
 )
 
+# MultiLineString / MultiPolygon: {type, dimension, coordinates:list<...>}
+# (SapODataConstants.java:159-179)
+_MULTILINESTRING_TYPE = pa.struct(
+    [
+        pa.field("type", pa.string()),
+        pa.field("dimension", pa.string()),
+        pa.field("coordinates", pa.list_(_LINESTRING_TYPE)),
+    ]
+)
+
+_MULTIPOLYGON_TYPE = pa.struct(
+    [
+        pa.field("type", pa.string()),
+        pa.field("dimension", pa.string()),
+        pa.field("coordinates", pa.list_(_POLYGON_TYPE)),
+    ]
+)
+
+# GeospatialCollection: members bucketized by shape; nested collections
+# are unsupported because metadata carries no component info
+# (SapODataConstants.java:191-211, comment :209)
+_COLLECTION_TYPE = pa.struct(
+    [
+        pa.field("type", pa.string()),
+        pa.field("dimension", pa.string()),
+        pa.field("points", pa.list_(_POINT_TYPE)),
+        pa.field("lineStrings", pa.list_(_LINESTRING_TYPE)),
+        pa.field("polygons", pa.list_(_POLYGON_TYPE)),
+        pa.field("multiPoints", pa.list_(_LINESTRING_TYPE)),
+        pa.field("multiLineStrings", pa.list_(_MULTILINESTRING_TYPE)),
+        pa.field("multiPolygons", pa.list_(_MULTIPOLYGON_TYPE)),
+    ]
+)
+
 
 def edm_to_arrow(edm_type: str, precision: int = 38, scale: int = 9) -> pa.DataType:
     """Map an EDM type name to its pyarrow type (SapODataSource.java:146-213).
@@ -94,6 +128,12 @@ def edm_to_arrow(edm_type: str, precision: int = 38, scale: int = 9) -> pa.DataT
         "GeometryMultiPoint": _LINESTRING_TYPE,
         "GeographyPolygon": _POLYGON_TYPE,
         "GeometryPolygon": _POLYGON_TYPE,
+        "GeographyMultiLineString": _MULTILINESTRING_TYPE,
+        "GeometryMultiLineString": _MULTILINESTRING_TYPE,
+        "GeographyMultiPolygon": _MULTIPOLYGON_TYPE,
+        "GeometryMultiPolygon": _MULTIPOLYGON_TYPE,
+        "GeographyCollection": _COLLECTION_TYPE,
+        "GeometryCollection": _COLLECTION_TYPE,
     }
     if t in simple:
         return simple[t]

@@ -107,6 +107,11 @@ def decode_column(col: pa.ChunkedArray | pa.Array, target: pa.Field) -> pa.Chunk
     dst = target.type
     if src.equals(dst):
         return col
+    # v4 property normalization (M14, ODataEntity.java:87-106): a complex
+    # (struct) value arriving for a non-struct target field is rejected
+    # with the reference's exact message instead of a generic cast error
+    if pa.types.is_struct(src) and not pa.types.is_struct(dst):
+        raise ValueError("Complex types are not supported")
     try:
         if pa.types.is_decimal(dst):
             # reference: value scale > schema scale is an error unless the
@@ -160,3 +165,117 @@ def unified_event_schema(schemas: list[pa.Schema]) -> pa.Schema:
     """Unified target over the observed DDIC versions (wrapper around
     :func:`sapray.schema.unify_schemas` for the event path)."""
     return unify_schemas(schemas)
+
+
+# ---------------------------------------------------------------------------
+# Stream-link merge (M15) — ODataEntity.java:70-84
+# ---------------------------------------------------------------------------
+
+
+def merge_stream_properties(
+    first: pa.ChunkedArray | pa.Array, second: pa.ChunkedArray | pa.Array
+) -> pa.StructArray:
+    """Null-coalescing merge of two sparse Stream-property struct columns
+    into one (M15).
+
+    Mirrors the reference's READ+EDIT ``ClientLink`` merge
+    (``reference src/main/java/io/cdap/plugin/sap/odata/ODataEntity.java:70-84``):
+    when both sides are present, ``mediaEtag``/``mediaContentType`` come
+    from the first and each link field is ``first ?? second``; a row
+    present on only one side passes through unchanged.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(first, pa.ChunkedArray):
+        first = first.combine_chunks()
+    if isinstance(second, pa.ChunkedArray):
+        second = second.combine_chunks()
+    fv = pc.is_valid(first)
+
+    def field(arr: pa.StructArray, name: str) -> pa.Array:
+        # struct nulls mask their children: a null parent row yields null
+        col = pc.struct_field(arr, name)
+        return pc.if_else(pc.is_valid(arr), col, pa.nulls(len(arr), col.type))
+
+    etag = pc.if_else(fv, field(first, "mediaEtag"), field(second, "mediaEtag"))
+    ctype = pc.if_else(
+        fv, field(first, "mediaContentType"), field(second, "mediaContentType")
+    )
+    read = pc.coalesce(field(first, "mediaReadLink"), field(second, "mediaReadLink"))
+    edit = pc.coalesce(field(first, "mediaEditLink"), field(second, "mediaEditLink"))
+    both_null = pc.and_(pc.invert(fv), pc.invert(pc.is_valid(second)))
+    return pa.StructArray.from_arrays(
+        [etag, ctype, read, edit],
+        names=["mediaEtag", "mediaContentType", "mediaReadLink", "mediaEditLink"],
+        mask=both_null.combine_chunks()
+        if isinstance(both_null, pa.ChunkedArray)
+        else both_null,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DateTimeOffset / Duration formatting kernels (M8) — …Transformer.java:325-342
+# ---------------------------------------------------------------------------
+
+
+def format_datetimeoffset(
+    ts: pa.ChunkedArray | pa.Array, offset_minutes: int = 0
+) -> pa.Array:
+    """Timestamp -> ISO-8601 string with an explicit zone offset, e.g.
+    ``2019-08-29T14:52:08.155+02:00``.
+
+    The reference converts Calendar/Timestamp values through Olingo's
+    ``EdmDateTimeOffset.valueToString`` (``…Transformer.java:325-331``;
+    format documented at ``docs/SapEcc-batchsource.md:61``). Fractional
+    seconds are printed only when non-zero, trailing zeros trimmed; the
+    offset suffix is always signed ``±HH:MM``.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    shifted = pc.add(ts, pa.scalar(offset_minutes * 60_000_000, pa.duration("us")))
+    # Arrow's %S embeds the fractional part for sub-second timestamps —
+    # format whole seconds from a second-resolution cast, fraction below
+    whole = pc.cast(pc.floor_temporal(shifted, unit="second"), pa.timestamp("s"))
+    base = pc.strftime(whole, format="%Y-%m-%dT%H:%M:%S")
+    us = pc.cast(shifted, pa.int64()).to_numpy(zero_copy_only=False) % 1_000_000
+    frac = pa.array(
+        ["" if u == 0 else (".%06d" % u).rstrip("0") for u in us], pa.string()
+    )
+    sign = "+" if offset_minutes >= 0 else "-"
+    off = abs(offset_minutes)
+    suffix = f"{sign}{off // 60:02d}:{off % 60:02d}"
+    return pc.binary_join_element_wise(
+        base, frac, pa.array([suffix] * len(base)), ""
+    )
+
+
+def format_duration(seconds: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Seconds (decimal/int) -> ISO-8601 duration string, e.g.
+    ``P12DT23H59M59.999999999999S``.
+
+    Mirrors Olingo's ``EdmDuration.valueToString``
+    (``…Transformer.java:333-342``; format documented at
+    ``docs/SapEcc-batchsource.md:82``): sign prefix, whole days, then
+    T-separated hours/minutes/seconds with the value's fractional scale
+    carried verbatim on the seconds component.
+    """
+    from decimal import Decimal
+
+    out: list[str | None] = []
+    for v in seconds.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        d = v if isinstance(v, Decimal) else Decimal(str(v))
+        sign = "-" if d < 0 else ""
+        d = abs(d)
+        total = int(d)
+        frac = d - total
+        days, rem = divmod(total, 86_400)
+        hours, rem = divmod(rem, 3_600)
+        minutes, secs = divmod(rem, 60)
+        sec_str = str(secs + frac) if frac else str(secs)
+        out.append(f"{sign}P{days}DT{hours}H{minutes}M{sec_str}S")
+    return pa.array(out, pa.string())

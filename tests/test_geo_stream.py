@@ -1,0 +1,223 @@
+"""Geospatial / stream-property / offset-duration conformance tests.
+
+Golden values mirror the reference's transformer tests
+(``reference src/test/java/io/cdap/plugin/sap/ODataEntryToRecordTransformerTest.java``:
+geospatial shapes ``:197-614``, stream properties ``:616-655``) and the
+documented formats (``docs/SapEcc-batchsource.md:61,82``).
+"""
+
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sapray import geo
+from sapray.schema import edm_to_arrow
+from sapray.transform import (
+    decode_column,
+    format_datetimeoffset,
+    format_duration,
+    merge_stream_properties,
+)
+
+
+def _pt(dim, x, y, z=0.0):
+    return {"dimension": dim, "x": x, "y": y, "z": z}
+
+
+def test_point_geometry_and_geography():
+    # testTransformOData4GeospatialPoint (:199-218)
+    got = geo.extract_geospatial(
+        {"type": "Point", "coordinates": [1.0, 1.0], "dimension": "GEOMETRY"}
+    )
+    assert got == _pt("GEOMETRY", 1.0, 1.0)
+    got = geo.extract_geospatial(
+        {"type": "Point", "coordinates": [2.0, 2.0], "dimension": "GEOGRAPHY"}
+    )
+    assert got == _pt("GEOGRAPHY", 2.0, 2.0)
+
+
+def test_linestring_and_multipoint_share_shape():
+    # LineString/MultiPoint schemas identical, disambiguated by `type`
+    # (:222-250; SapODataConstants.java:77)
+    ls = geo.extract_geospatial(
+        {"type": "LineString", "coordinates": [[1.0, 0.0], [2.0, 1.0]],
+         "dimension": "GEOMETRY"}
+    )
+    assert ls["type"] == "LineString"
+    assert ls["coordinates"] == [_pt("GEOMETRY", 1.0, 0.0), _pt("GEOMETRY", 2.0, 1.0)]
+    mp = geo.extract_geospatial(
+        {"type": "MultiPoint", "coordinates": [[3.0, 1.0], [4.0, 1.0]],
+         "dimension": "GEOGRAPHY"}
+    )
+    assert mp["type"] == "MultiPoint"
+    assert mp["coordinates"] == [_pt("GEOGRAPHY", 3.0, 1.0), _pt("GEOGRAPHY", 4.0, 1.0)]
+
+
+def test_polygon_rings_and_count():
+    # polygon with one interior ring (:264-281, :315)
+    poly = geo.extract_geospatial(
+        {
+            "type": "Polygon",
+            "dimension": "GEOMETRY",
+            "coordinates": [
+                [[100.0, 0.0], [101.0, 0.0], [101.0, 1.0], [100.0, 0.0]],
+                [[100.2, 0.2], [100.8, 0.2], [100.2, 0.8], [100.2, 0.2]],
+            ],
+        }
+    )
+    assert poly["type"] == "Polygon"
+    assert poly["numberOfInteriorRings"] == 1
+    assert poly["exterior"][0] == _pt("GEOMETRY", 100.0, 0.0)
+    assert poly["interior"][0]["type"] == "LineString"
+    assert poly["interior"][0]["coordinates"][1] == _pt("GEOMETRY", 100.8, 0.2)
+
+
+def test_multilinestring_multipolygon():
+    mls = geo.extract_geospatial(
+        {"type": "MultiLineString", "dimension": "GEOMETRY",
+         "coordinates": [[[1.0, 0.0], [2.0, 1.0]], [[3.0, 1.0], [4.0, 2.0]]]}
+    )
+    assert mls["type"] == "MultiLineString"
+    assert [len(ls["coordinates"]) for ls in mls["coordinates"]] == [2, 2]
+    assert mls["coordinates"][1]["coordinates"][0] == _pt("GEOMETRY", 3.0, 1.0)
+
+    mpoly = geo.extract_geospatial(
+        {"type": "MultiPolygon", "dimension": "GEOGRAPHY",
+         "coordinates": [
+             [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]],
+             [[[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 5.0]],
+              [[5.2, 5.2], [5.8, 5.2], [5.2, 5.8], [5.2, 5.2]]],
+         ]}
+    )
+    assert mpoly["type"] == "MultiPolygon"
+    assert mpoly["coordinates"][0]["numberOfInteriorRings"] == 0
+    assert mpoly["coordinates"][1]["numberOfInteriorRings"] == 1
+
+
+def test_collection_bucketizes_and_skips_nested():
+    # collection members land in per-shape buckets; nested collections
+    # skipped (…Transformer.java:199-239, SapODataConstants.java:209)
+    col = geo.extract_geospatial(
+        {
+            "type": "GeometryCollection",
+            "dimension": "GEOMETRY",
+            "geometries": [
+                {"type": "Point", "coordinates": [1.0, 2.0]},
+                {"type": "LineString", "coordinates": [[0.0, 0.0], [1.0, 1.0]]},
+                {"type": "GeometryCollection", "geometries": []},  # nested: skip
+                {"type": "MultiPoint", "coordinates": [[9.0, 9.0]]},
+            ],
+        }
+    )
+    assert col["type"] == "GeometryCollection"
+    assert col["points"] == [_pt("GEOMETRY", 1.0, 2.0)]
+    assert len(col["lineStrings"]) == 1
+    assert col["multiPoints"][0]["type"] == "MultiPoint"
+    assert col["polygons"] == [] and col["multiPolygons"] == []
+
+
+def test_decode_geo_column_typed():
+    arr = pa.array(
+        ['{"type": "Point", "coordinates": [1.5, -0.25], "dimension": "GEOMETRY"}',
+         None]
+    )
+    out = geo.decode_geo_column(arr, "Point")
+    assert out.type == edm_to_arrow("Edm.GeometryPoint")
+    assert out[0].as_py() == _pt("GEOMETRY", 1.5, -0.25)
+    assert out[1].as_py() is None
+
+
+def test_unknown_shape_errors():
+    with pytest.raises(ValueError, match="unsupported geospatial type"):
+        geo.extract_geospatial({"type": "Frobnicate", "coordinates": []})
+
+
+def test_all_geo_edm_types_registered():
+    # MultiLineString/MultiPolygon/Collection present (SapODataConstants.java:159-211)
+    mls = edm_to_arrow("Edm.GeometryMultiLineString")
+    assert mls.field("coordinates").type.value_type.field("type").type == pa.string()
+    mpoly = edm_to_arrow("Edm.GeographyMultiPolygon")
+    assert mpoly.field("coordinates").type.value_type.field("numberOfInteriorRings").type == pa.int32()
+    coll = edm_to_arrow("Edm.GeometryCollection")
+    assert {f.name for f in coll} == {
+        "type", "dimension", "points", "lineStrings", "polygons",
+        "multiPoints", "multiLineStrings", "multiPolygons",
+    }
+
+
+# ---------------------------------------------------------------- M15 / M14
+
+
+STREAM_T = edm_to_arrow("Edm.Stream")
+
+
+def _stream_arr(rows):
+    return pa.array(rows, STREAM_T)
+
+
+def test_merge_stream_properties_coalesce():
+    # mirror of the READ+EDIT link merge (ODataEntity.java:70-84;
+    # transformer test :616-655): read side carries the read link, edit
+    # side the edit link; merged row has both, etag/type from the first
+    read = _stream_arr([
+        {"mediaEtag": "W/1", "mediaContentType": "MEDIA_READ",
+         "mediaReadLink": "http://r/1", "mediaEditLink": None},
+        None,                                     # row 1: only edit side
+        {"mediaEtag": "W/3", "mediaContentType": "MEDIA_READ",
+         "mediaReadLink": "http://r/3", "mediaEditLink": None},
+        None,                                     # row 3: neither side
+    ])
+    edit = _stream_arr([
+        {"mediaEtag": "W/1", "mediaContentType": "MEDIA_EDIT",
+         "mediaReadLink": None, "mediaEditLink": "http://e/1"},
+        {"mediaEtag": "W/2", "mediaContentType": "MEDIA_EDIT",
+         "mediaReadLink": None, "mediaEditLink": "http://e/2"},
+        None,                                     # row 2: only read side
+        None,
+    ])
+    out = merge_stream_properties(read, edit)
+    assert out.type == STREAM_T
+    rows = out.to_pylist()
+    assert rows[0] == {"mediaEtag": "W/1", "mediaContentType": "MEDIA_READ",
+                       "mediaReadLink": "http://r/1", "mediaEditLink": "http://e/1"}
+    assert rows[1]["mediaEditLink"] == "http://e/2" and rows[1]["mediaReadLink"] is None
+    assert rows[2]["mediaReadLink"] == "http://r/3" and rows[2]["mediaEditLink"] is None
+    assert rows[3] is None
+
+
+def test_complex_type_rejected():
+    # v4 normalization: complex value for a primitive field must raise
+    # the reference's message (ODataEntity.java:87-106)
+    col = _stream_arr([{"mediaEtag": "W/1", "mediaContentType": "x",
+                        "mediaReadLink": None, "mediaEditLink": None}])
+    with pytest.raises(ValueError, match="Complex types are not supported"):
+        decode_column(col, pa.field("f", pa.string()))
+
+
+# ------------------------------------------------------------------- M8
+
+
+def test_format_datetimeoffset_golden():
+    ts = pa.array(
+        np.array(["2019-08-29T12:52:08.155000", "2020-01-01T00:00:00.000000"],
+                 dtype="datetime64[us]")
+    )
+    # docs/SapEcc-batchsource.md:61 example: 2019-08-29T14:52:08.155+02:00
+    out = format_datetimeoffset(ts, offset_minutes=120).to_pylist()
+    assert out[0] == "2019-08-29T14:52:08.155+02:00"
+    assert out[1] == "2020-01-01T02:00:00+02:00"
+    neg = format_datetimeoffset(ts, offset_minutes=-330).to_pylist()
+    assert neg[0] == "2019-08-29T07:22:08.155-05:30"
+
+
+def test_format_duration_golden():
+    # docs/SapEcc-batchsource.md:82 example: P12DT23H59M59.999999999999S
+    secs = pa.array([Decimal("1123199.999999999999"), Decimal("0"), None],
+                    pa.decimal128(30, 12))
+    out = format_duration(secs).to_pylist()
+    assert out[0] == "P12DT23H59M59.999999999999S"
+    assert out[1] == "P0DT0H0M0S"
+    assert out[2] is None
+    assert format_duration(pa.array([-90])).to_pylist() == ["-P0DT0H1M30S"]
