@@ -1031,6 +1031,53 @@ FROM events
 """
 
 
+def asof_join_events(sf_dir: str):
+    """As-of join: every event picks the latest checkpoint (events with
+    event_id % 5 == 0, LWW-unique per (user, ts)) at or before its own
+    timestamp — sapray.window.asof_join, one keyed exchange + vectorized
+    per-partition sweep. Oracle: DuckDB ASOF LEFT JOIN."""
+    from sapray import window
+
+    left = ops.read_projected(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    right = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def checkpoints(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(_mod(batch.column("event_id"), 5), 0))
+
+    right = right.map_batches(checkpoints, batch_format="pyarrow", zero_copy_batch=True)
+    # unique per (user, ts): keep the max-event_id checkpoint (ties would
+    # make the asof pick nondeterministic on both engines)
+    right = ops.latest_by_key(right, ("user_id", "ts"), "event_id", num_partitions=16)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "cp_event": batch.column("event_id"),
+                "cp_value": batch.column("value"),
+            }
+        )
+
+    right = right.map_batches(rename, batch_format="pyarrow")
+    return window.asof_join(left, right, key="user_id", ts_column="ts")
+
+
+ASOF_JOIN_EVENTS_SQL = """
+WITH cp AS (
+  SELECT user_id, ts,
+         max(event_id)            AS cp_event,
+         arg_max(value, event_id) AS cp_value
+  FROM events WHERE event_id % 5 = 0 GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts, cp.cp_event, cp.cp_value
+FROM events l ASOF LEFT JOIN cp
+  ON l.user_id = cp.user_id AND l.ts >= cp.ts
+"""
+
+
 def anti_join_customers(sf_dir: str):
     """Broadcast anti-join: orders whose customer is NOT in the BUILDING
     segment (the small key set rides the object store once; no shuffle)."""
@@ -1177,6 +1224,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "anti_join_customers": {
             "fn": anti_join_customers, "sql": ANTI_JOIN_CUSTOMERS_SQL,
         },
+        "asof_join_events": {"fn": asof_join_events, "sql": ASOF_JOIN_EVENTS_SQL},
         "sample_docs": {"fn": sample_docs, "sql": SAMPLE_DOCS_SQL},
         "cdc_replay_flagship": {"fn": cdc_replay_flagship, "sql": _flagship_sql(sf_name)},
         "cdc_replay_delta": {"fn": cdc_replay_delta, "sql": _flagship_sql(sf_name)},

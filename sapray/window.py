@@ -129,6 +129,93 @@ def session_counts(
     return partitioned_apply(ds, key, kernel, num_partitions)
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    ts_column: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """As-of (nearest-preceding) join: each left row picks the LATEST
+    right row of the same key with ``right.ts <= left.ts``.
+
+    Ray Data has no asof operator; this is the documented composition
+    (task brief "custom operators"): tag both sides, ONE hash exchange
+    on the key, then a vectorized per-partition sweep — sort by
+    (key, ts, side) with right rows first at equal ts (<= semantics),
+    ``np.maximum.accumulate`` over right-row indices, invalidated across
+    key boundaries. Equivalent to DuckDB ``ASOF LEFT JOIN``.
+
+    Right rows must be unique per (key, ts) — pre-reduce with
+    ``ops.latest_by_key`` otherwise; column names besides ``key`` and
+    ``ts_column`` must be disjoint between the sides. Output: every left
+    row with the matched right value columns appended (null when no
+    right row precedes it).
+    """
+    l_schema = dict(zip(left.schema().names, left.schema().types))
+    r_schema = dict(zip(right.schema().names, right.schema().types))
+    r_value_cols = [c for c in r_schema if c not in (key, ts_column)]
+    l_cols = list(l_schema)
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+            for c in l_cols:
+                cols[c] = (
+                    batch.column(c) if c in batch.column_names
+                    else pa.nulls(n, l_schema[c])
+                )
+            for c in r_value_cols:
+                cols[c] = (
+                    batch.column(c) if side == 0 and c in batch.column_names
+                    else pa.nulls(n, r_schema[c])
+                )
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return f
+
+    tagged = right.map_batches(tag(0), batch_format="pyarrow").union(
+        left.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        tsi = (
+            t.column(ts_column)
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            if pa.types.is_timestamp(t.schema.field(ts_column).type)
+            else t.column(ts_column).to_numpy(zero_copy_only=False)
+        )
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        idx = np.lexsort((side, tsi, codes))
+        t = t.take(pa.array(idx))
+        codes, side = codes[idx], side[idx]
+        n = len(codes)
+        r_idx = np.where(side == 0, np.arange(n, dtype=np.int64), -1)
+        last_r = np.maximum.accumulate(r_idx)
+        starts = _run_starts(codes)
+        pos = np.arange(n, dtype=np.int64)
+        run_start = starts[np.searchsorted(starts, pos, side="right") - 1]
+        valid = last_r >= run_start  # matched right row is in THIS key's run
+        left_mask = side == 1
+        out_rows = t.filter(pa.array(left_mask))
+        gather = np.clip(last_r[left_mask], 0, max(n - 1, 0))
+        match = valid[left_mask]
+        cols = {c: out_rows.column(c) for c in l_cols}
+        for c in r_value_cols:
+            src = t.column(c).combine_chunks().take(pa.array(gather))
+            cols[c] = pa.compute.if_else(
+                pa.array(match), src, pa.nulls(len(match), r_schema[c])
+            )
+        return pa.table(cols)
+
+    return partitioned_apply(tagged, key, kernel, num_partitions)
+
+
 def trailing_counts(
     ds: ray.data.Dataset,
     key: str,

@@ -102,3 +102,26 @@ def test_apply_refuses_partition_count_mismatch(tmp_path):
     eng = CDCEngine(CDCConfig(lake_dir=lake, num_partitions=32))
     with pytest.raises(ValueError, match="num_partitions"):
         eng.apply("/nonexistent/changelog")
+
+
+def test_asof_join_semantics(ray_session):
+    from sapray.window import asof_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 1, 1, 2], pa.int64()),
+                  "t": pa.array([5, 7, 9, 3], pa.int64()),
+                  "lv": pa.array([50, 70, 90, 30], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "t": pa.array([4, 7, 9], pa.int64()),
+                  "w": pa.array([100, 101, 102], pa.int64())})
+    )
+    out = asof_join(left, right, key="k", ts_column="t", num_partitions=4)
+    rows = {(r["k"], r["t"]): r["w"] for r in out.to_pandas().to_dict("records")}
+    import pandas as pd
+
+    assert rows[(1, 5)] == 100          # latest right t<=5 is t=4
+    assert rows[(1, 7)] == 101          # equal ts included (<= semantics)
+    assert rows[(1, 9)] == 101
+    assert pd.isna(rows[(2, 3)])        # key 2 has no right row at/before t=3
