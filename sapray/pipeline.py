@@ -345,6 +345,14 @@ class CDCEngine:
         one keyed exchange. Used when the winner set would be too large
         to broadcast, or explicitly via ``winner_strategy="shuffle"``."""
         cfg = self.cfg
+        # decode-then-combine, decode at the default (small) batch size:
+        # a combine-before-decode variant was measured SLOWER end-to-end
+        # (13.7 s -> 83.6 s first exchange at m80/8 CPUs) — fusing a
+        # whole-block combine directly onto a multi-file read task
+        # buffers the task's entire raw input as one in-heap batch and
+        # destroys read-side streaming, which costs far more than
+        # decoding the ~75% of rows the combine later discards (their
+        # content columns are zero-copy references through decode anyway)
         ds = self.events_dataset(changelog_dir)
 
         def assign_combine(batch: pa.Table) -> pa.Table:
