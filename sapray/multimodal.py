@@ -1,18 +1,25 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Media are opaque ``binary`` columns with typed metadata — exactly the
+Media are opaque ``binary`` columns with typed metadata — the
 reference's stream-property model (etag/content-type/read-link,
 ``reference src/main/java/io/cdap/plugin/sap/odata/StreamProperty.java:32-52``)
 generalized to inline payloads. Decode / feature-extract stages are
-actor-pool ``map_batches`` classes whose Ray-side plumbing (schema,
-batch sizing, actor signature, output layout) is real and tested; the
-codec call itself is stubbed (pillow/librosa/ffmpeg are not in this
-container) behind ``decode_fn`` — inject a real decoder, or use the
-deterministic fake for tests.
+actor-pool ``map_batches`` classes.
+
+Two REAL pure-numpy decoders are built in — BMP (BITMAPINFOHEADER
+24-bit) and WAV (RIFF/PCM) header+payload parsing — so the decode path
+is exercised against genuine format bytes without any codec library.
+Other content types fall through to ``decode_fn`` (inject pillow /
+soundfile / pyav there) or the deterministic ``_stub_decode`` fake.
+The synthetic corpus emits real BMP/WAV files whose header fields are
+integer formulas of ``media_id``, making the full decode round-trip
+SQL-predictable (the oracle recomputes the formulas; the engine must
+actually parse the bytes to match).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable
 
 import numpy as np
@@ -34,49 +41,110 @@ FEATURE_SCHEMA = pa.schema(
         pa.field("media_id", pa.int64(), nullable=False),
         pa.field("content_type", pa.string()),
         pa.field("n_bytes", pa.int64()),
-        pa.field("width", pa.int32()),
-        pa.field("height", pa.int32()),
+        pa.field("width", pa.int32()),        # image only
+        pa.field("height", pa.int32()),       # image only
+        pa.field("sample_rate", pa.int32()),  # audio only
+        pa.field("n_samples", pa.int64()),    # audio only
         pa.field("feature", pa.list_(pa.float32())),
     ]
 )
 
 
-def _stub_decode(payload: bytes, content_type: str) -> dict:
-    """Real decoder goes here (PIL.Image.open / soundfile / pyav).
+def _histogram_feature(body: np.ndarray) -> np.ndarray:
+    hist = np.bincount(body >> 4, minlength=16).astype(np.float32)
+    total = hist.sum() or 1.0
+    return hist / total
 
-    The deterministic fake derives stable pseudo-dimensions and a
-    16-dim byte-histogram feature from the payload so the full pipeline
-    (schema, batching, actor lifecycle) is exercised end-to-end.
-    """
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a BITMAPINFOHEADER BMP: magic, pixel offset, width/height;
+    16-bin histogram over the pixel bytes. Pure struct/numpy."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    body = np.frombuffer(payload, dtype=np.uint8, offset=pixel_offset)
+    return {
+        "width": int(width),
+        "height": int(abs(height)),
+        "sample_rate": None,
+        "n_samples": None,
+        "feature": _histogram_feature(body),
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE PCM file: fmt chunk (channels, sample rate,
+    bits) and data chunk size -> sample count. Pure struct/numpy."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos = 12
+    fmt = None
+    data_size = None
+    data_off = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data_size, data_off = size, pos + 8
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_size is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    _, channels, sample_rate, _, block_align, _ = fmt
+    body = np.frombuffer(payload, dtype=np.uint8, offset=data_off, count=data_size)
+    return {
+        "width": None,
+        "height": None,
+        "sample_rate": int(sample_rate),
+        "n_samples": int(data_size // block_align),
+        "feature": _histogram_feature(body),
+    }
+
+
+def _stub_decode(payload: bytes, content_type: str) -> dict:
+    """Injection point for real codecs (PIL.Image.open / soundfile /
+    pyav — absent from this container). The deterministic fake derives
+    stable pseudo-dimensions and a histogram feature from the payload so
+    unknown content types still exercise the full pipeline."""
     if payload is None:
         raise NotImplementedError("media decode requires a payload")
     b = np.frombuffer(payload, dtype=np.uint8)
-    hist = np.bincount(b >> 4, minlength=16).astype(np.float32)
-    total = hist.sum() or 1.0
     return {
         "width": int(64 + (len(b) % 512)),
         "height": int(64 + ((len(b) // 7) % 512)),
-        "feature": (hist / total),
+        "sample_rate": None,
+        "n_samples": None,
+        "feature": _histogram_feature(b),
     }
+
+
+def default_decode(payload: bytes, content_type: str) -> dict:
+    """Dispatch by content type: real BMP/WAV parsers, stub otherwise."""
+    if content_type == "image/bmp":
+        return decode_bmp(payload)
+    if content_type == "audio/wav":
+        return decode_wav(payload)
+    return _stub_decode(payload, content_type)
 
 
 class MediaFeatureExtractor:
     """Actor-pool decode + feature-extract stage.
 
-    ``__init__`` loads the (possibly heavy) decoder once per actor; use
+    ``__init__`` binds the (possibly heavy) decoder once per actor; use
     small ``batch_size`` for large payloads so batch x concurrency fits
     worker heap (SURVEY.md §7.4 "very wide rows").
     """
 
     def __init__(self, decode_fn: Callable[[bytes, str], dict] | None = None):
-        self.decode = decode_fn or _stub_decode
+        self.decode = decode_fn or default_decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
         ctypes = batch.column("content_type").to_pylist()
         payloads = batch.column("payload").to_pylist()
-        rows = {"media_id": [], "content_type": [], "n_bytes": [],
-                "width": [], "height": [], "feature": []}
+        rows = {k: [] for k in ("media_id", "content_type", "n_bytes", "width",
+                                "height", "sample_rate", "n_samples", "feature")}
         for mid, ct, p in zip(ids, ctypes, payloads):
             d = self.decode(p, ct)
             rows["media_id"].append(mid)
@@ -84,6 +152,8 @@ class MediaFeatureExtractor:
             rows["n_bytes"].append(len(p))
             rows["width"].append(d["width"])
             rows["height"].append(d["height"])
+            rows["sample_rate"].append(d.get("sample_rate"))
+            rows["n_samples"].append(d.get("n_samples"))
             rows["feature"].append(d["feature"])
         return pa.table(
             {
@@ -92,6 +162,8 @@ class MediaFeatureExtractor:
                 "n_bytes": pa.array(rows["n_bytes"], pa.int64()),
                 "width": pa.array(rows["width"], pa.int32()),
                 "height": pa.array(rows["height"], pa.int32()),
+                "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+                "n_samples": pa.array(rows["n_samples"], pa.int64()),
                 "feature": pa.array(
                     [np.asarray(f, dtype=np.float32) for f in rows["feature"]],
                     pa.list_(pa.float32()),
@@ -117,16 +189,57 @@ def extract_media_features(
     )
 
 
+# --------------------------------------------------------------- synthesis
+
+
+def make_bmp(width: int, height: int, seed: int) -> bytes:
+    """A real 24-bit BMP: 54-byte header + 4-byte-aligned pixel rows."""
+    row = ((3 * width + 3) // 4) * 4
+    pix = np.random.default_rng(seed).integers(0, 256, size=row * height,
+                                               dtype=np.uint8).tobytes()
+    size = 54 + len(pix)
+    header = (
+        b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix),
+                      2835, 2835, 0, 0)
+    )
+    return header + pix
+
+
+def make_wav(sample_rate: int, n_samples: int, channels: int, seed: int) -> bytes:
+    """A real RIFF/PCM WAV: 44-byte header + 16-bit samples."""
+    block_align = channels * 2
+    data = np.random.default_rng(seed).integers(
+        -32768, 32767, size=n_samples * channels, dtype=np.int16
+    ).tobytes()
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                                sample_rate * block_align, block_align, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return header + data
+
+
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus for tests (opaque binary payloads)."""
-    rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=int(64 + 100 * i), dtype=np.uint8).tobytes() for i in range(n)]
+    """Deterministic media corpus of REAL format bytes: even ids are
+    24-bit BMPs, odd ids are PCM WAVs; every header field is an integer
+    formula of media_id (mirrored by the SQL oracle), so a correct
+    decode — actual byte parsing — is externally checkable."""
+    payloads, ctypes = [], []
+    for i in range(n):
+        if i % 2 == 0:
+            payloads.append(make_bmp(8 + i % 32, 8 + (i * 3) % 32, seed + i))
+            ctypes.append("image/bmp")
+        else:
+            payloads.append(
+                make_wav(8000 + 100 * i, 64 + 10 * i, 1 + i % 2, seed + i)
+            )
+            ctypes.append("audio/wav")
     return pa.table(
         {
             "media_id": pa.array(range(n), pa.int64()),
-            "content_type": pa.array(
-                ["image/jpeg" if i % 2 == 0 else "audio/wav" for i in range(n)]
-            ),
+            "content_type": pa.array(ctypes),
             "payload": pa.array(payloads, pa.binary()),
             "etag": pa.array([f'W/"{i}"' for i in range(n)]),
         }

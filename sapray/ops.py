@@ -306,6 +306,80 @@ def dedup_first(
 
 
 # --------------------------------------------------------------------------
+# set operations (EXCEPT / INTERSECT with DISTINCT semantics)
+# --------------------------------------------------------------------------
+
+
+def _set_op(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    columns: list[str],
+    keep_if_in_right: bool,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Distinct set operation over ``columns``: one hash exchange routes
+    both sides' (distinct-per-batch) key rows to partitions, then a
+    vectorized per-partition membership test — no per-group Python, no
+    broadcast of either side."""
+    from sapray.hashing import hash_key
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            b = batch.select(columns).group_by(columns).aggregate([])
+            kh = hash_key(b, tuple(columns))
+            part = (kh % np.uint64(num_partitions)).astype(np.int32)
+            return b.append_column("__side", pa.array(np.full(b.num_rows, side, np.int8))) \
+                    .append_column("__part", pa.array(part))
+
+        return f
+
+    tagged = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        from sapray.hashing import composite_key
+
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        key = composite_key(g, tuple(columns))
+        codes = key.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        right_codes = np.unique(codes[side == 1])
+        left_mask = side == 0
+        in_right = np.isin(codes[left_mask], right_codes)
+        keep = in_right if keep_if_in_right else ~in_right
+        lrows = g.filter(pa.array(left_mask)).select(columns)
+        lcodes = codes[left_mask][keep]
+        out = lrows.filter(pa.array(keep))
+        # distinct: first occurrence per code among kept left rows
+        _, first = np.unique(lcodes, return_index=True)
+        return out.take(pa.array(np.sort(first)))
+
+    return tagged.groupby("__part").map_groups(kernel, batch_format="pyarrow")
+
+
+def except_distinct(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    columns: list[str],
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """SQL ``EXCEPT``: distinct left key rows absent from the right."""
+    return _set_op(left, right, columns, keep_if_in_right=False,
+                   num_partitions=num_partitions)
+
+
+def intersect_distinct(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    columns: list[str],
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """SQL ``INTERSECT``: distinct key rows present on both sides."""
+    return _set_op(left, right, columns, keep_if_in_right=True,
+                   num_partitions=num_partitions)
+
+
+# --------------------------------------------------------------------------
 # partitioned, resumable query output (S10 — the sink the reference lacks)
 # --------------------------------------------------------------------------
 

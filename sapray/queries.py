@@ -718,25 +718,44 @@ FROM embeddings WHERE vec_id % 10 = 0
 
 
 def media_features(sf_dir: str):
+    """Actor-pool media decode over REAL format bytes: the synthetic
+    corpus is genuine 24-bit BMPs and PCM WAVs whose header fields are
+    integer formulas of media_id; the engine must actually parse the
+    binary headers (multimodal.decode_bmp / decode_wav — pure
+    struct/numpy) for the oracle's recomputed formulas to match."""
     from sapray import multimodal
 
     ds = ray.data.from_arrow(multimodal.synth_media_table(64))
     out = multimodal.extract_media_features(ds, batch_size=16, concurrency=2)
-    return out.select_columns(["media_id", "content_type", "n_bytes", "width", "height"])
+    return out.select_columns(
+        ["media_id", "content_type", "n_bytes", "width", "height",
+         "sample_rate", "n_samples"]
+    )
 
 
-# the seeded synth corpus has payload length 64 + 100*i and the stub
-# decoder derives width/height from the byte count alone, so the whole
-# actor-pool pipeline's output is recomputable in SQL (multimodal.py
-# _stub_decode mirrored; generate_series stands in for the media table)
+# mirrors multimodal.synth_media_table's header formulas: BMP n_bytes =
+# 54 + 4-byte-aligned row * height; WAV n_bytes = 44 + samples*channels*2
 MEDIA_FEATURES_SQL = """
-WITH m AS (SELECT unnest(generate_series(0, 63)) AS media_id)
+WITH m AS (SELECT unnest(generate_series(0, 63)) AS media_id),
+f AS (
+  SELECT media_id,
+         8 + media_id % 32        AS w,
+         8 + (3 * media_id) % 32  AS h,
+         8000 + 100 * media_id    AS sr,
+         64 + 10 * media_id       AS ns,
+         1 + media_id % 2         AS ch
+  FROM m
+)
 SELECT media_id,
-       CASE WHEN media_id % 2 = 0 THEN 'image/jpeg' ELSE 'audio/wav' END AS content_type,
-       (64 + 100 * media_id)::BIGINT                   AS n_bytes,
-       (64 + ((64 + 100 * media_id) % 512))::INT       AS width,
-       (64 + (((64 + 100 * media_id) // 7) % 512))::INT AS height
-FROM m
+       CASE WHEN media_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS content_type,
+       CASE WHEN media_id % 2 = 0
+            THEN 54 + ((3 * w + 3) // 4) * 4 * h
+            ELSE 44 + ns * ch * 2 END::BIGINT AS n_bytes,
+       CASE WHEN media_id % 2 = 0 THEN w END::INT        AS width,
+       CASE WHEN media_id % 2 = 0 THEN h END::INT        AS height,
+       CASE WHEN media_id % 2 = 1 THEN sr END::INT       AS sample_rate,
+       CASE WHEN media_id % 2 = 1 THEN ns END::BIGINT    AS n_samples
+FROM f
 """
 
 
@@ -1031,6 +1050,73 @@ FROM events
 """
 
 
+def median_value_by_user(sf_dir: str):
+    """Exact per-key discrete median (quantile_disc 0.5 semantics) — one
+    shuffle + vectorized per-partition selection (window.grouped_quantile).
+    Exact-selection float output, so the value hash is float-safe."""
+    from sapray import window
+
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "value"])
+    return window.grouped_quantile(ds, "user_id", "value", 0.5, out_name="median_value")
+
+
+MEDIAN_VALUE_BY_USER_SQL = """
+SELECT user_id, quantile_disc(value, 0.5) AS median_value
+FROM events GROUP BY user_id
+"""
+
+
+def _typed_user_hours(sf_dir: str, event_type: str):
+    """Distinct (user_id, hour) buckets holding events of one type."""
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"), event_type))
+        return pa.table(
+            {"user_id": b.column("user_id"),
+             "hour": pc.floor_temporal(b.column("ts"), unit="hour")}
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def except_users(sf_dir: str):
+    """SQL EXCEPT as a distributed operator: (user, hour) buckets with a
+    click but no purchase (ops.except_distinct — one keyed exchange,
+    vectorized per-partition membership)."""
+    return ops.except_distinct(
+        _typed_user_hours(sf_dir, "click"),
+        _typed_user_hours(sf_dir, "purchase"),
+        ["user_id", "hour"],
+    )
+
+
+EXCEPT_USERS_SQL = """
+SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events WHERE event_type = 'purchase'
+"""
+
+
+def intersect_users(sf_dir: str):
+    """SQL INTERSECT as a distributed operator: (user, hour) buckets
+    with both a click and a purchase."""
+    return ops.intersect_distinct(
+        _typed_user_hours(sf_dir, "click"),
+        _typed_user_hours(sf_dir, "purchase"),
+        ["user_id", "hour"],
+    )
+
+
+INTERSECT_USERS_SQL = """
+SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events WHERE event_type = 'purchase'
+"""
+
+
 def asof_join_events(sf_dir: str):
     """As-of join: every event picks the latest checkpoint (events with
     event_id % 5 == 0, LWW-unique per (user, ts)) at or before its own
@@ -1225,6 +1311,11 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "fn": anti_join_customers, "sql": ANTI_JOIN_CUSTOMERS_SQL,
         },
         "asof_join_events": {"fn": asof_join_events, "sql": ASOF_JOIN_EVENTS_SQL},
+        "median_value_by_user": {
+            "fn": median_value_by_user, "sql": MEDIAN_VALUE_BY_USER_SQL,
+        },
+        "except_users": {"fn": except_users, "sql": EXCEPT_USERS_SQL},
+        "intersect_users": {"fn": intersect_users, "sql": INTERSECT_USERS_SQL},
         "sample_docs": {"fn": sample_docs, "sql": SAMPLE_DOCS_SQL},
         "cdc_replay_flagship": {"fn": cdc_replay_flagship, "sql": _flagship_sql(sf_name)},
         "cdc_replay_delta": {"fn": cdc_replay_delta, "sql": _flagship_sql(sf_name)},

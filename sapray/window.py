@@ -129,6 +129,41 @@ def session_counts(
     return partitioned_apply(ds, key, kernel, num_partitions)
 
 
+def grouped_quantile(
+    ds: ray.data.Dataset,
+    key: str,
+    value_column: str,
+    q: float,
+    out_name: str = "quantile",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Exact discrete quantile per key (``quantile_disc`` semantics: the
+    element at index ``floor(q * (n-1))`` of the key's sorted values).
+
+    One hash exchange, then a vectorized per-partition sweep: sort by
+    (key, value), locate each key run, gather the run's quantile
+    element — no per-key Python. Exact selection (an actual element is
+    returned), so float results compare bit-exactly across engines.
+    """
+    if not (0.0 <= q <= 1.0):
+        raise ValueError("q must be in [0, 1]")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        vals = t.column(value_column).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((vals, codes))
+        codes_s = codes[idx]
+        starts = _run_starts(codes_s)
+        ends = np.concatenate([starts[1:], [len(codes_s)]])
+        sel = starts + np.floor(q * (ends - starts - 1)).astype(np.int64)
+        pick = idx[sel]
+        keys_out = t.column(key).take(pa.array(idx[starts]))
+        vals_out = t.column(value_column).take(pa.array(pick))
+        return pa.table({key: keys_out, out_name: vals_out})
+
+    return partitioned_apply(ds, key, kernel, num_partitions)
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
