@@ -60,9 +60,10 @@ def cmd_compact(args: argparse.Namespace) -> int:
         if args.partitions
         else sorted(read_manifests(args.lake))
     )
+    key_columns = tuple(args.key_columns.split(","))
     done = 0
     for p in parts:
-        m = compact_partition(args.lake, p)
+        m = compact_partition(args.lake, p, key_columns, args.seq_column)
         if m is not None:
             done += 1
     print(json.dumps({"compacted": done, "partitions": len(parts)}))
@@ -105,6 +106,9 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="fold delta files into snapshots")
     c.add_argument("--lake", required=True)
     c.add_argument("--partitions", default=None, help="comma-separated ids (default: all)")
+    c.add_argument("--key-columns", default="repo,path",
+                   help="comma-separated upsert key columns (must match the apply config)")
+    c.add_argument("--seq-column", default="seq")
     c.set_defaults(fn=cmd_compact)
 
     st = sub.add_parser("state", help="inspect the committed lake")
