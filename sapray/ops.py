@@ -306,6 +306,88 @@ def dedup_first(
 
 
 # --------------------------------------------------------------------------
+# exact global quantile (two-pass distributed selection)
+# --------------------------------------------------------------------------
+
+
+def exact_global_quantile(
+    ds: ray.data.Dataset,
+    column: str,
+    q: float,
+    num_buckets: int = 4096,
+) -> float:
+    """Exact discrete quantile of a whole column at any scale.
+
+    Classic two-pass distributed selection: pass 1 aggregates min/max
+    and a fixed-width histogram per batch (combiner) and merges the tiny
+    per-batch histograms; the driver walks the merged histogram to the
+    bucket containing the target rank. Pass 2 re-scans, keeps ONLY that
+    bucket's values (a ~1/num_buckets fraction), and selects the exact
+    in-bucket order statistic. No full materialization, no global sort;
+    the driver holds one bucket, not the column.
+
+    Returns the element at index ``floor(q * (n-1))`` of the sorted
+    column (``quantile_disc`` semantics, exact selection — bit-identical
+    across engines for float columns).
+    """
+    if not (0.0 <= q <= 1.0):
+        raise ValueError("q must be in [0, 1]")
+
+    # pass 1a: global min/max + count via tiny per-batch partials
+    def mm(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        return pa.table(
+            {
+                "mn": pa.array([pa.compute.min(col).as_py()], pa.float64()),
+                "mx": pa.array([pa.compute.max(col).as_py()], pa.float64()),
+                "n": pa.array([batch.num_rows - col.null_count], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(mm, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    lo, hi, n = float(parts["mn"].min()), float(parts["mx"].max()), int(parts["n"].sum())
+    if n == 0:
+        raise ValueError(f"column '{column}' has no non-null values")
+    rank = int(np.floor(q * (n - 1)))
+    if lo == hi:
+        return lo
+    width = (hi - lo) / num_buckets
+
+    # pass 1b: per-batch histogram partials (num_buckets ints per batch)
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+        b = np.minimum(((v - lo) / width).astype(np.int64), num_buckets - 1)
+        counts = np.bincount(b, minlength=num_buckets)
+        return pa.table({"bucket": pa.array(np.arange(num_buckets, dtype=np.int64)),
+                         "cnt": pa.array(counts)})
+
+    hdf = (
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    cum = hdf["sum(cnt)"].cumsum().to_numpy()
+    bucket = int(np.searchsorted(cum, rank + 1))
+    rank_in_bucket = rank - (int(cum[bucket - 1]) if bucket else 0)
+
+    # pass 2: collect ONLY the target bucket's values, exact selection
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False)
+        b = np.minimum(((v - lo) / width).astype(np.int64), num_buckets - 1)
+        return pa.table({column: pa.array(v[b == bucket])})
+
+    vals = (
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()[column]
+        .to_numpy()
+    )
+    return float(np.partition(vals, rank_in_bucket)[rank_in_bucket])
+
+
+# --------------------------------------------------------------------------
 # set operations (EXCEPT / INTERSECT with DISTINCT semantics)
 # --------------------------------------------------------------------------
 

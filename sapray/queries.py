@@ -1117,6 +1117,25 @@ SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events WHERE event_
 """
 
 
+def global_quantiles_events(sf_dir: str):
+    """Exact global p50/p90 of events.value via two-pass distributed
+    selection (ops.exact_global_quantile): histogram partials -> target
+    bucket -> in-bucket exact order statistic. The driver holds one
+    histogram and one bucket, never the column."""
+    def run():
+        ds = ops.read_projected(_p(sf_dir, "events"), columns=["value"])
+        p50 = ops.exact_global_quantile(ds, "value", 0.5)
+        p90 = ops.exact_global_quantile(ds, "value", 0.9)
+        return pa.table({"p50": pa.array([p50]), "p90": pa.array([p90])})
+
+    return run()
+
+
+GLOBAL_QUANTILES_EVENTS_SQL = """
+SELECT quantile_disc(value, 0.5) AS p50, quantile_disc(value, 0.9) AS p90 FROM events
+"""
+
+
 def asof_join_events(sf_dir: str):
     """As-of join: every event picks the latest checkpoint (events with
     event_id % 5 == 0, LWW-unique per (user, ts)) at or before its own
@@ -1316,6 +1335,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "except_users": {"fn": except_users, "sql": EXCEPT_USERS_SQL},
         "intersect_users": {"fn": intersect_users, "sql": INTERSECT_USERS_SQL},
+        "global_quantiles_events": {
+            "fn": global_quantiles_events, "sql": GLOBAL_QUANTILES_EVENTS_SQL,
+        },
         "sample_docs": {"fn": sample_docs, "sql": SAMPLE_DOCS_SQL},
         "cdc_replay_flagship": {"fn": cdc_replay_flagship, "sql": _flagship_sql(sf_name)},
         "cdc_replay_delta": {"fn": cdc_replay_delta, "sql": _flagship_sql(sf_name)},
