@@ -376,6 +376,7 @@ def exact_global_quantile(
     # pass 2: collect ONLY the target bucket's values, exact selection
     def keep(batch: pa.Table) -> pa.Table:
         v = batch.column(column).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
         b = np.minimum(((v - lo) / width).astype(np.int64), num_buckets - 1)
         return pa.table({column: pa.array(v[b == bucket])})
 

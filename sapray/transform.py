@@ -239,9 +239,16 @@ def format_datetimeoffset(
     # format whole seconds from a second-resolution cast, fraction below
     whole = pc.cast(pc.floor_temporal(shifted, unit="second"), pa.timestamp("s"))
     base = pc.strftime(whole, format="%Y-%m-%dT%H:%M:%S")
-    us = pc.cast(shifted, pa.int64()).to_numpy(zero_copy_only=False) % 1_000_000
+    usf = pc.cast(shifted, pa.int64()).to_numpy(zero_copy_only=False)
     frac = pa.array(
-        ["" if u == 0 else (".%06d" % u).rstrip("0") for u in us], pa.string()
+        [
+            None
+            if u != u  # null timestamp -> NaN after to_numpy
+            else ("" if int(u) % 1_000_000 == 0
+                  else (".%06d" % (int(u) % 1_000_000)).rstrip("0"))
+            for u in usf
+        ],
+        pa.string(),
     )
     sign = "+" if offset_minutes >= 0 else "-"
     off = abs(offset_minutes)

@@ -221,3 +221,11 @@ def test_format_duration_golden():
     assert out[1] == "P0DT0H0M0S"
     assert out[2] is None
     assert format_duration(pa.array([-90])).to_pylist() == ["-P0DT0H1M30S"]
+
+
+def test_format_datetimeoffset_null_passthrough():
+    ts = pa.array([None, np.datetime64("2020-06-01T10:00:00.500000", "us")],
+                  pa.timestamp("us"))
+    out = format_datetimeoffset(ts, offset_minutes=0).to_pylist()
+    assert out[0] is None
+    assert out[1] == "2020-06-01T10:00:00.5+00:00"

@@ -125,3 +125,27 @@ def test_asof_join_semantics(ray_session):
     assert rows[(1, 7)] == 101          # equal ts included (<= semantics)
     assert rows[(1, 9)] == 101
     assert pd.isna(rows[(2, 3)])        # key 2 has no right row at/before t=3
+
+
+def test_trailing_counts_overflow_fallback(ray_session):
+    """Timestamps spanning ~2^61 us force the banded searchsorted to use
+    the per-run fallback; counts must match the banded path's semantics."""
+    from sapray.window import trailing_counts
+
+    base = np.int64(0)
+    far = np.int64(1) << 61
+    ts = pa.array(
+        np.array([base, base + 10**6, far, far + 10**6, far + 10**13],
+                 dtype="datetime64[us]")
+    )
+    t = pa.table({"k": pa.array([1, 1, 2, 2, 2], pa.int64()),
+                  "eid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "ts": ts})
+    out = trailing_counts(
+        ray.data.from_arrow(t), "k", "ts", np.timedelta64(1, "h"), "eid",
+        out_name="n", num_partitions=2,
+    ).to_pandas()
+    got = dict(zip(out["eid"], out["n"]))
+    # within 1h: eid2 sees eid1 (+1s apart); eid4 sees eid3; eid5 is
+    # ~115 days after eid4 -> alone
+    assert got == {1: 1, 2: 2, 3: 1, 4: 2, 5: 1}
