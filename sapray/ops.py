@@ -20,15 +20,12 @@ Ray Data compositions designed for the 100 TB shape:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 from sapray.hashing import hash_key
 from sapray.partition import lww_reduce
