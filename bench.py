@@ -129,6 +129,20 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def host_probe() -> float:
+    """Fresh-page alloc+copy GB/s — the resource shuffles actually bind
+    on. A healthy host measures GB/s; a hypervisor-memory-starved one
+    drops to ~0.01-0.2 GB/s and every shuffle number taken then is a
+    measurement of the host, not the engine (BASELINE.md round-2 notes).
+    Emitted beside each result so numbers carry their context."""
+    import numpy as np
+
+    src = np.ones(32 * 1024 * 1024, dtype=np.uint8)
+    t0 = time.perf_counter()
+    src.copy()
+    return round(0.03125 / (time.perf_counter() - t0), 3)
+
+
 def one_shot(num_cpus: int, with_queries: bool) -> dict:
     import ray
 
@@ -150,6 +164,7 @@ def one_shot(num_cpus: int, with_queries: bool) -> dict:
         "queries": run_queries(SF_DIR) if with_queries else {},
         "sf": SF_DIR,
         "num_cpus": num_cpus,
+        "host_alloc_copy_gbps": host_probe(),
     }
     ray.shutdown()
     return result
@@ -216,6 +231,8 @@ def scaling() -> dict:
         "all_rates_8cpu": [r["events_per_sec"] for r in runs[8]],
         "all_rates_32cpu": [r["events_per_sec"] for r in runs[32]],
         "n_events": best8["n_events"],
+        "host_probe_8cpu": best8.get("host_alloc_copy_gbps"),
+        "host_probe_32cpu": best32.get("host_alloc_copy_gbps"),
         "strategy": SCALING_STRATEGY,
         "queries": {},
         "sf": SF_DIR,
