@@ -1117,6 +1117,102 @@ SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events WHERE event_
 """
 
 
+def range_join_events(sf_dir: str):
+    """Range self-join as a window operator: per event, how many of the
+    same user's events fall within ±30 minutes (window.windowed_agg with
+    a symmetric band). The SQL oracle is the equivalent inequality
+    self-join."""
+    from sapray import window
+
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+    half = np.timedelta64(30, "m")
+    return window.windowed_agg(
+        ds, "user_id", "ts", before=half, after=half, id_column="event_id",
+        out_count="n_window",
+    )
+
+
+RANGE_JOIN_EVENTS_SQL = """
+SELECT l.user_id, l.event_id, count(*) AS n_window
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts + INTERVAL 30 MINUTE
+GROUP BY l.user_id, l.event_id
+"""
+
+
+def trailing_sum_events(sf_dir: str):
+    """Trailing 1-hour RANGE-window SUM (plus count) per user — windowed
+    aggregation beyond counting. Values ride as floor(value*100) int64
+    cents so the windowed sum is bit-exact across engines (floor is
+    rounding-mode-free, unlike round's half-even/half-away split)."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.multiply(batch.column("value"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return batch.append_column("cents", c).drop_columns(["value"])
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return window.windowed_agg(
+        ds, "user_id", "ts", before=np.timedelta64(1, "h"),
+        after=np.timedelta64(0, "m"), id_column="event_id",
+        value_column="cents", out_count="n_1h", out_sum="sum_cents_1h",
+    )
+
+
+TRAILING_SUM_EVENTS_SQL = """
+SELECT user_id, event_id,
+       count(*) OVER w AS n_1h,
+       sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS sum_cents_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_events(sf_dir: str):
+    """Pivot (conditional aggregation): per-user counts per event type
+    as wide columns — indicator columns per batch, then the partial-agg
+    combiner groupby."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": batch.column("user_id")}
+        et = batch.column("event_type")
+        for t in _EVENT_TYPES:
+            cols[f"{t}_n"] = pc.cast(pc.equal(et, t), pa.int64())
+        return pa.table(cols)
+
+    ds = ds.map_batches(indicators, batch_format="pyarrow", zero_copy_batch=True)
+    spec = {f"{t}_n": (f"{t}_n", "sum") for t in _EVENT_TYPES}
+    spec["total_n"] = (None, "count")
+    return ops.grouped_aggregate(ds, ["user_id"], spec)
+
+
+PIVOT_EVENTS_SQL = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click_n,
+       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error_n,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_n,
+       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup_n,
+       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view_n,
+       count(*) AS total_n
+FROM events GROUP BY user_id
+"""
+
+
 def global_quantiles_events(sf_dir: str):
     """Exact global p50/p90 of events.value via two-pass distributed
     selection (ops.exact_global_quantile): histogram partials -> target
@@ -1338,6 +1434,11 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "global_quantiles_events": {
             "fn": global_quantiles_events, "sql": GLOBAL_QUANTILES_EVENTS_SQL,
         },
+        "range_join_events": {"fn": range_join_events, "sql": RANGE_JOIN_EVENTS_SQL},
+        "trailing_sum_events": {
+            "fn": trailing_sum_events, "sql": TRAILING_SUM_EVENTS_SQL,
+        },
+        "pivot_events": {"fn": pivot_events, "sql": PIVOT_EVENTS_SQL},
         "sample_docs": {"fn": sample_docs, "sql": SAMPLE_DOCS_SQL},
         "cdc_replay_flagship": {"fn": cdc_replay_flagship, "sql": _flagship_sql(sf_name)},
         "cdc_replay_delta": {"fn": cdc_replay_delta, "sql": _flagship_sql(sf_name)},

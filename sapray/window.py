@@ -129,6 +129,71 @@ def session_counts(
     return partitioned_apply(ds, key, kernel, num_partitions)
 
 
+def windowed_agg(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_column: str,
+    before: np.timedelta64,
+    after: np.timedelta64,
+    id_column: str,
+    value_column: str | None = None,
+    out_count: str = "n_window",
+    out_sum: str | None = None,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Range-window aggregate: per row, COUNT (and optionally SUM of an
+    int column) over the same key's rows with
+    ``ts - before <= ts_other <= ts + after``.
+
+    ``after=0`` is the trailing RANGE window; ``before=after>0`` is a
+    symmetric range self-join. Same banded-searchsorted sweep as
+    :func:`trailing_counts`; the SUM uses prefix sums over the sorted
+    partition, so the window aggregate is O(1) per row after the sort.
+    Use integer value columns for cross-engine exact sums.
+    """
+    bef = before.astype("timedelta64[us]").astype(np.int64)
+    aft = after.astype("timedelta64[us]").astype(np.int64)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        tsi = (
+            t.column(ts_column)
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        idx = np.lexsort((tsi, codes))
+        codes_s, tsi_s = codes[idx], tsi[idx]
+        n = len(codes_s)
+        if n == 0:
+            out = t.select([key, id_column])
+            return out.append_column(out_count, pa.array([], pa.int64()))
+        span = int(tsi_s.max() - tsi_s.min()) + bef + aft + 2
+        n_codes = int(codes_s.max()) + 1
+        if n_codes * span >= (1 << 62):
+            raise ValueError(
+                "key-cardinality x time-span too large for one partition; "
+                "raise num_partitions"
+            )
+        combined = codes_s.astype(np.int64) * span + (tsi_s - tsi_s.min())
+        lo = np.searchsorted(combined, combined - bef, side="left")
+        hi = np.searchsorted(combined, combined + aft, side="right")
+        out = t.take(pa.array(idx)).select([key, id_column])
+        out = out.append_column(out_count, pa.array(hi - lo))
+        if value_column is not None and out_sum is not None:
+            v = (
+                t.column(value_column)
+                .take(pa.array(idx))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            csum = np.concatenate([[0], np.cumsum(v)])
+            out = out.append_column(out_sum, pa.array(csum[hi] - csum[lo]))
+        return out
+
+    return partitioned_apply(ds, key, kernel, num_partitions)
+
+
 def grouped_quantile(
     ds: ray.data.Dataset,
     key: str,
