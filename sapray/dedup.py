@@ -18,7 +18,6 @@ full text.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -154,8 +153,8 @@ def minhash_lsh_candidates(
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs_fn(id_column, bucket_cap), batch_format="pandas"
+    pairs = _bucket_pairs(
+        exploded, ("band", "band_hash"), id_column, bucket_cap, num_partitions=32
     )
     # distinct pairs (a pair can fire in several bands)
     from sapray.ops import distinct
@@ -163,31 +162,65 @@ def minhash_lsh_candidates(
     return distinct(pairs, ["id_a", "id_b"])
 
 
-def _bucket_pairs_fn(id_column: str, bucket_cap: int):
-    """Per-bucket candidate pair emitter with a size cap.
+def _bucket_pairs(
+    rows: ray.data.Dataset,
+    bucket_columns: tuple[str, ...],
+    id_column: str,
+    bucket_cap: int,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Candidate pairs from LSH bucket membership rows, at scale.
 
-    A degenerate bucket (boilerplate / empty docs sharing one band hash)
-    would emit O(n^2) pairs; above ``bucket_cap`` members the bucket
-    degrades to a STAR on the min-id representative — O(n) pairs that
-    keep every member connected to one cluster head, which is what
-    dedup clustering consumes. Exhaustive in-bucket pairing only ever
-    runs on <= bucket_cap^2 / 2 candidates.
+    Buckets are routed with ONE hash exchange on the bucket id and
+    expanded inside a vectorized per-PARTITION kernel: singleton buckets
+    (the overwhelming majority) are dropped wholesale by a run-length
+    filter without ever touching Python, and only multi-member runs emit
+    pairs — a per-bucket ``map_groups`` callback would pay the
+    interpreter once per bucket instead.
+
+    A degenerate bucket (boilerplate / empty docs sharing one hash)
+    would emit O(n^2) pairs; above ``bucket_cap`` members it degrades to
+    a STAR on the min-id representative — O(n) pairs that keep every
+    member connected to one cluster head, which is what dedup clustering
+    consumes.
     """
+    from sapray.hashing import hash_key
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group[id_column].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype="int64"),
-                 "id_b": pd.Series([], dtype="int64")}
-            )
-        if len(ids) > bucket_cap:
-            return pd.DataFrame({"id_a": np.full(len(ids) - 1, ids[0]),
-                                 "id_b": ids[1:]})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+    def route(batch: pa.Table) -> pa.Table:
+        kh = hash_key(batch, bucket_columns)
+        part = (kh % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__bh", pa.array(kh)).append_column(
+            "__part", pa.array(part)
+        )
 
-    return bucket_pairs
+    routed = rows.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        bh = g.column("__bh").to_numpy(zero_copy_only=False)
+        ids = g.column(id_column).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bh))
+        bh_s, ids_s = bh[order], ids[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(bh_s))[0] + 1]) if len(bh_s) else np.empty(0, np.int64)
+        ends = np.concatenate([starts[1:], [len(bh_s)]]) if len(bh_s) else starts
+        sizes = ends - starts
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            run = ids_s[s:e]
+            if len(run) > bucket_cap:
+                out_a.append(np.full(len(run) - 1, run[0]))
+                out_b.append(run[1:])
+            else:
+                a, b = np.triu_indices(len(run), k=1)
+                out_a.append(run[a])
+                out_b.append(run[b])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a)),
+                         "id_b": pa.array(np.concatenate(out_b))})
+
+    return routed.groupby("__part").map_groups(kernel, batch_format="pyarrow")
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
@@ -464,8 +497,8 @@ def embedding_neardup_pairs(
         )
 
     sigs = ds.map_batches(add_sig, batch_format="pyarrow")
-    candidates = sigs.groupby(["table", "bucket"]).map_groups(
-        _bucket_pairs_fn(id_column, bucket_cap), batch_format="pandas"
+    candidates = _bucket_pairs(
+        sigs, ("table", "bucket"), id_column, bucket_cap, num_partitions
     )
     from sapray.ops import distinct
 

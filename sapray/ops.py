@@ -270,16 +270,30 @@ def latest_by_key(
 # --------------------------------------------------------------------------
 
 
-def distinct(ds: ray.data.Dataset, columns: list[str]) -> ray.data.Dataset:
-    """Distinct over columns with a per-batch unique combiner."""
+def distinct(
+    ds: ray.data.Dataset, columns: list[str], num_partitions: int = 32
+) -> ray.data.Dataset:
+    """Distinct over columns: per-batch unique combiner, ONE hash
+    exchange on the key columns, then one vectorized Arrow unique per
+    PARTITION — not a Python callback per distinct value (a per-group
+    map_groups pays the interpreter once per key; with millions of
+    distinct values that dispatch dominates)."""
+    from sapray.hashing import hash_key
 
     def local_unique(batch: pa.Table) -> pa.Table:
-        return batch.select(columns).group_by(columns).aggregate([])
+        b = batch.select(columns).group_by(columns).aggregate([])
+        kh = hash_key(b, tuple(columns))
+        part = (kh % np.uint64(num_partitions)).astype(np.int32)
+        return b.append_column("__part", pa.array(part))
 
     ds = ds.map_batches(local_unique, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby(columns).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+
+    def partition_unique(g: pa.Table) -> pa.Table:
+        return (
+            g.drop_columns(["__part"]).group_by(columns).aggregate([])
+        )
+
+    return ds.groupby("__part").map_groups(partition_unique, batch_format="pyarrow")
 
 
 def dedup_first(
