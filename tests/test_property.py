@@ -1,0 +1,142 @@
+"""Property-based and randomized cross-checks.
+
+The reference has no randomized tests (SURVEY.md §5); these go beyond
+it: hypothesis drives the pure per-batch kernels against independent
+oracles, and seeded random corpora cross-check the distributed window
+operators against brute-force Python implementations.
+"""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+import ray.data
+
+from sapray.hashing import sha256_hex_column
+from sapray.partition import lww_reduce
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(0, 1000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_lww_reduce_matches_pandas(rows):
+    """lww_reduce == keep the max-seq row per (repo, path); ties on seq
+    are impossible by engine contract, so make seq unique per key."""
+    seen = {}
+    uniq = []
+    for r, p, s in rows:
+        key = (r, p)
+        seq = s * 100 + len([x for x in uniq if (x[0], x[1]) == key])
+        uniq.append((r, p, seq))
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{r}" for r, _, _ in uniq]),
+            "path": pa.array([f"p{p}" for _, p, _ in uniq]),
+            "seq": pa.array([s for _, _, s in uniq], pa.int64()),
+        }
+    )
+    got = lww_reduce(t, ("repo", "path"), "seq").to_pandas()
+    exp = (
+        t.to_pandas()
+        .sort_values("seq")
+        .groupby(["repo", "path"], as_index=False)
+        .last()
+    )
+    got = got.sort_values(["repo", "path"]).reset_index(drop=True)
+    exp = exp.sort_values(["repo", "path"]).reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=50)), max_size=30))
+def test_sha256_column_matches_hashlib(texts):
+    arr = pa.array(texts, pa.string())
+    got = sha256_hex_column(arr).to_pylist()
+    exp = [
+        hashlib.sha256(t.encode("utf-8")).hexdigest() if t is not None else None
+        for t in texts
+    ]
+    assert got == exp
+
+
+def _random_events(seed, n_keys=7, n_rows=300):
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, n_keys, n_rows)
+    ts = np.sort(rng.integers(0, 10**7, n_rows)).astype("datetime64[us]")
+    rng.shuffle(ts)
+    return pa.table(
+        {
+            "k": pa.array(keys, pa.int64()),
+            "eid": pa.array(np.arange(n_rows), pa.int64()),
+            "ts": pa.array(ts),
+            "v": pa.array(rng.integers(0, 1000, n_rows), pa.int64()),
+        }
+    )
+
+
+def test_windowed_agg_matches_bruteforce(ray_session):
+    from sapray.window import windowed_agg
+
+    t = _random_events(11)
+    w = np.timedelta64(1_000_000, "us")
+    out = windowed_agg(
+        ray.data.from_arrow(t), "k", "ts", before=w, after=w, id_column="eid",
+        value_column="v", out_count="n", out_sum="s", num_partitions=4,
+    ).to_pandas().set_index("eid")
+    df = t.to_pandas()
+    for _, row in df.iterrows():
+        m = df[(df["k"] == row["k"])
+               & (df["ts"] >= row["ts"] - w) & (df["ts"] <= row["ts"] + w)]
+        assert out.loc[row["eid"], "n"] == len(m)
+        assert out.loc[row["eid"], "s"] == m["v"].sum()
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    from sapray.window import asof_join
+
+    rng = np.random.default_rng(23)
+    lt = _random_events(5, n_rows=120)
+    rt_full = _random_events(6, n_rows=60)
+    # right unique per (k, ts)
+    rdf = rt_full.to_pandas().drop_duplicates(["k", "ts"], keep="last")
+    rt = pa.table(
+        {"k": pa.array(rdf["k"].to_numpy()),
+         "ts": pa.array(rdf["ts"].to_numpy().astype("datetime64[us]")),
+         "w": pa.array(rdf["v"].to_numpy(), pa.int64())}
+    )
+    out = asof_join(
+        ray.data.from_arrow(lt.select(["k", "eid", "ts"])),
+        ray.data.from_arrow(rt),
+        key="k", ts_column="ts", num_partitions=4,
+    ).to_pandas().set_index("eid")
+    for _, row in lt.to_pandas().iterrows():
+        cand = rdf[(rdf["k"] == row["k"]) & (rdf["ts"] <= row["ts"])]
+        exp = cand.sort_values("ts").iloc[-1]["v"] if len(cand) else None
+        got = out.loc[row["eid"], "w"]
+        if exp is None:
+            assert pd.isna(got)
+        else:
+            assert got == exp
+
+
+def test_grouped_quantile_matches_numpy(ray_session):
+    from sapray.window import grouped_quantile
+
+    t = _random_events(31)
+    for q in (0.0, 0.3, 0.5, 1.0):
+        out = grouped_quantile(
+            ray.data.from_arrow(t.select(["k", "v"])), "k", "v", q,
+            out_name="qv", num_partitions=4,
+        ).to_pandas().set_index("k")["qv"]
+        df = t.to_pandas()
+        for k, g in df.groupby("k"):
+            vals = np.sort(g["v"].to_numpy())
+            assert out.loc[k] == vals[int(np.floor(q * (len(vals) - 1)))]
