@@ -801,6 +801,37 @@ FROM events
 """
 
 
+def time_of_day_events(sf_dir: str):
+    """M10 time-of-day extraction (``…Transformer.java:344-356``) as a
+    gated query: timestamp -> time64[us] plus the reference's
+    millis/micros-of-day integer forms."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["event_id", "ts"])
+
+    def tod(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        t64 = pc.cast(ts, pa.time64("us"))
+        us_of_day = pc.cast(t64, pa.int64())
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "tod": t64,
+                "us_of_day": us_of_day,
+                "ms_of_day": pc.divide(us_of_day, pa.scalar(1000, pa.int64())),
+            }
+        )
+
+    return ds.map_batches(tod, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TIME_OF_DAY_EVENTS_SQL = """
+SELECT event_id,
+       ts::TIME                                            AS tod,
+       (epoch_us(ts) - epoch_us(date_trunc('day', ts)))    AS us_of_day,
+       (epoch_us(ts) - epoch_us(date_trunc('day', ts))) // 1000 AS ms_of_day
+FROM events
+"""
+
+
 def string_funcs_docs(sf_dir: str):
     """M8 string extractor analogues: upper, slice, replace, length."""
     ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
@@ -1410,6 +1441,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "fn": scalar_datetime_events, "sql": SCALAR_DATETIME_EVENTS_SQL,
         },
         "string_funcs_docs": {"fn": string_funcs_docs, "sql": STRING_FUNCS_DOCS_SQL},
+        "time_of_day_events": {"fn": time_of_day_events, "sql": TIME_OF_DAY_EVENTS_SQL},
         "decimal_normalize_lineitem": {
             "fn": decimal_normalize_lineitem, "sql": DECIMAL_NORMALIZE_LINEITEM_SQL,
         },
