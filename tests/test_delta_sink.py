@@ -108,3 +108,36 @@ def test_merge_delta_states_tombstones():
     rows = {(r["repo"], r["path"]): r for r in merged.to_pylist()}
     assert set(rows) == {("r", "b"), ("r", "c")}  # 'a' tombstoned
     assert rows[("r", "c")]["seq"] == 6
+
+
+def test_delta_mode_with_custom_key_columns(ray_session, changelog_dir, tmp_path):
+    """Delta merge-on-read must honor a non-default key config (ADVICE
+    round-1: read_partition_state used hardcoded ('repo','path')).
+    Keying LWW on repo alone yields one row per repo — the max-seq
+    non-delete event — and the merged delta reads must agree."""
+    import duckdb
+    import glob
+    import os
+
+    out, _ = changelog_dir
+    lake = str(tmp_path / "lake_repo_key")
+    eng = CDCEngine(
+        CDCConfig(lake_dir=lake, num_partitions=4, sink_mode="delta",
+                  compact_every=99, key_columns=("repo",))
+    )
+    eng.apply(out)
+    state = eng.state_table()
+
+    glob_pat = os.path.join(out, "v*", "*.parquet")
+    oracle = duckdb.sql(f"""
+      WITH ev AS (
+        SELECT seq, op, repo FROM read_parquet('{glob_pat}', union_by_name=true)
+      ), last AS (
+        SELECT repo, max(seq) AS seq, arg_max(op, seq) AS last_op
+        FROM ev GROUP BY repo
+      )
+      SELECT repo, seq FROM last WHERE last_op <> 'D'
+    """).df()
+    exp = dict(zip(oracle["repo"], oracle["seq"]))
+    got = {r["repo"]: r["seq"] for r in state.select(["repo", "seq"]).to_pylist()}
+    assert got == exp
