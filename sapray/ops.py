@@ -316,6 +316,79 @@ def dedup_first(
     return out.drop_columns(["__neg_order"])
 
 
+def rollup_aggregate(
+    ds: ray.data.Dataset, keys: list[str], spec: AggSpec
+) -> ray.data.Dataset:
+    """GROUP BY ROLLUP: one aggregate per grouping-set prefix of
+    ``keys`` (full, each prefix, grand total), rolled-up columns null.
+
+    The input is scanned ONCE: the finest-level partials feed every
+    coarser level (each level re-aggregates the previous level's
+    partial rows, never the raw data), so rollup costs one wide shuffle
+    plus log-small follow-ups — not len(keys)+1 scans.
+    """
+    finest = grouped_aggregate(ds, keys, spec)
+    # re-aggregate each level from the next-finer level's OUTPUT: counts
+    # become sums, sums stay sums, min/min max/max; mean would need
+    # weighted recombination, so reject it explicitly
+    if any(kind == "mean" for _, kind in spec.values()):
+        raise ValueError("rollup_aggregate does not support 'mean'; "
+                         "aggregate sum and count and divide downstream")
+    levels = [finest]
+    prev = finest
+    for depth in range(len(keys) - 1, -1, -1):
+        lvl_keys = keys[:depth]
+        respec: AggSpec = {}
+        for out, (col, kind) in spec.items():
+            respec[out] = (out, "sum" if kind == "count" else kind)
+        if lvl_keys:
+            lvl = grouped_aggregate(prev, lvl_keys, respec)
+        else:
+            # grand total: single global aggregate over the tiny level-1
+            # output (collected — it is one row per first-key value)
+            t = pa.Table.from_pandas(prev.to_pandas())
+            cols: dict[str, pa.Array] = {}
+            for out, (col, kind) in respec.items():
+                c = t.column(out)
+                if kind == "sum":
+                    cols[out] = pa.array([pa.compute.sum(c).as_py()], c.type)
+                elif kind == "min":
+                    cols[out] = pa.array([pa.compute.min(c).as_py()], c.type)
+                elif kind == "max":
+                    cols[out] = pa.array([pa.compute.max(c).as_py()], c.type)
+            lvl = ray.data.from_arrow(pa.table(cols))
+        levels.append(lvl)
+        prev = lvl
+
+    key_types = {f.name: f.type for f in _keys_schema(ds, keys)}
+
+    def pad(level_keys: list[str]):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {}
+            n = batch.num_rows
+            for k in keys:
+                cols[k] = (
+                    batch.column(k) if k in level_keys
+                    else pa.nulls(n, key_types[k])
+                )
+            for out in spec:
+                cols[out] = batch.column(out)
+            return pa.table(cols)
+
+        return f
+
+    out = levels[0].map_batches(pad(keys), batch_format="pyarrow")
+    for depth, lvl in enumerate(levels[1:]):
+        lvl_keys = keys[: len(keys) - 1 - depth]
+        out = out.union(lvl.map_batches(pad(lvl_keys), batch_format="pyarrow"))
+    return out
+
+
+def _keys_schema(ds: ray.data.Dataset, keys: list[str]) -> list[pa.Field]:
+    sch = dict(zip(ds.schema().names, ds.schema().types))
+    return [pa.field(k, sch[k]) for k in keys]
+
+
 # --------------------------------------------------------------------------
 # exact global quantile (two-pass distributed selection)
 # --------------------------------------------------------------------------

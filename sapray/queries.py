@@ -1244,6 +1244,26 @@ FROM events GROUP BY user_id
 """
 
 
+def rollup_events(sf_dir: str):
+    """GROUP BY ROLLUP (user_id, event_type): counts and exact-selection
+    min at every rollup level from ONE scan — coarser levels re-aggregate
+    the finer level's partial rows (ops.rollup_aggregate)."""
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "event_id"]
+    )
+    return ops.rollup_aggregate(
+        ds,
+        ["user_id", "event_type"],
+        {"n": (None, "count"), "min_event": ("event_id", "min")},
+    )
+
+
+ROLLUP_EVENTS_SQL = """
+SELECT user_id, event_type, count(*) AS n, min(event_id) AS min_event
+FROM events GROUP BY ROLLUP (user_id, event_type)
+"""
+
+
 def global_quantiles_events(sf_dir: str):
     """Exact global p50/p90 of events.value via two-pass distributed
     selection (ops.exact_global_quantile): histogram partials -> target
@@ -1471,6 +1491,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "fn": trailing_sum_events, "sql": TRAILING_SUM_EVENTS_SQL,
         },
         "pivot_events": {"fn": pivot_events, "sql": PIVOT_EVENTS_SQL},
+        "rollup_events": {"fn": rollup_events, "sql": ROLLUP_EVENTS_SQL},
         "sample_docs": {"fn": sample_docs, "sql": SAMPLE_DOCS_SQL},
         "cdc_replay_flagship": {"fn": cdc_replay_flagship, "sql": _flagship_sql(sf_name)},
         "cdc_replay_delta": {"fn": cdc_replay_delta, "sql": _flagship_sql(sf_name)},
