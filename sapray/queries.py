@@ -1057,6 +1057,19 @@ FROM o GROUP BY user_id
 """
 
 
+def streaming_sessionize_events(sf_dir: str):
+    """The sessionization window computed INCREMENTALLY: a time-ordered
+    tail feeds per-key running state in bucket actors
+    (sapray.streaming.streaming_sessionize — the raw-actor tier of the
+    custom-operator ladder); same oracle as the batch operator."""
+    from sapray import streaming
+
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    return streaming.streaming_sessionize(
+        ds, "user_id", "ts", np.timedelta64(30, "m"), num_buckets=2
+    )
+
+
 def trailing_window_events(sf_dir: str):
     """Sliding (RANGE) window: per event, how many of the same user's
     events fall in the trailing 1 hour — the Ray-native COUNT(*) OVER
@@ -1471,6 +1484,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "window_rank_orders": {"fn": window_rank_orders, "sql": WINDOW_RANK_ORDERS_SQL},
         "sessionize_events": {"fn": sessionize_events, "sql": SESSIONIZE_EVENTS_SQL},
+        "streaming_sessionize_events": {
+            "fn": streaming_sessionize_events, "sql": SESSIONIZE_EVENTS_SQL,
+        },
         "trailing_window_events": {
             "fn": trailing_window_events, "sql": TRAILING_WINDOW_EVENTS_SQL,
         },

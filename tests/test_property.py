@@ -140,3 +140,22 @@ def test_grouped_quantile_matches_numpy(ray_session):
         for k, g in df.groupby("k"):
             vals = np.sort(g["v"].to_numpy())
             assert out.loc[k] == vals[int(np.floor(q * (len(vals) - 1)))]
+
+
+def test_streaming_sessionize_matches_batch(ray_session):
+    """Incremental actor-bucket sessionizer == batch window operator,
+    with a tiny micro-batch size so sessions span batch boundaries."""
+    from sapray.streaming import streaming_sessionize
+    from sapray.window import session_counts
+
+    t = _random_events(77, n_keys=5, n_rows=200)
+    gap = np.timedelta64(500_000, "us")
+    inc = streaming_sessionize(
+        ray.data.from_arrow(t.select(["k", "ts"])), "k", "ts", gap,
+        num_buckets=3, batch_size=16,
+    ).to_pandas().set_index("k")["n_sessions"].sort_index()
+    bat = session_counts(
+        ray.data.from_arrow(t.select(["k", "ts"])), "k", "ts", gap,
+        num_partitions=4,
+    ).to_pandas().set_index("k")["n_sessions"].sort_index()
+    pd.testing.assert_series_equal(inc, bat, check_dtype=False)
