@@ -239,6 +239,13 @@ class CDCEngine:
                         f"{mp}; this apply is configured with "
                         f"{cfg.num_partitions} — refusing to re-route keys"
                     )
+        # design-time schema validation (the reference's configurePipeline
+        # step, SapODataSource.java:62-85): unify every segment's footer
+        # schema on the driver BEFORE any task runs, so an incompatible
+        # DDIC change fails fast with SchemaCompatError instead of
+        # surfacing as an Arrow conversion error inside a read task
+        self._files_and_schema(changelog_dir)
+
         manifests = committed if resume else {}
         watermarks = None
         if manifests:

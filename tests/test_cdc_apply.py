@@ -126,3 +126,35 @@ def test_amplified_apply_scales_keyspace(ray_session, changelog_dir, tmp_path):
         zip(t.column("path").to_pylist(), t.column("content_sha256").to_pylist())
     )
     assert key(replica0) == key(base)
+
+
+def test_incompatible_segment_schema_rejected(ray_session, tmp_path):
+    """A DDIC segment that changes a column to an incompatible type must
+    fail schema unification with the reference's message shape (M20 /
+    O-CDC3 reject path), before any data is applied."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sapray.schema import SchemaCompatError
+
+    cl = tmp_path / "badlog"
+    os.makedirs(cl / "v1")
+    os.makedirs(cl / "v2")
+    base = {
+        "seq": pa.array([1], pa.int64()), "op": pa.array(["I"]),
+        "repo": pa.array(["r"]), "path": pa.array(["p"]),
+        "commit": pa.array(["c"]), "content": pa.array(["x"]),
+    }
+    pq.write_table(pa.table(base), cl / "v1" / "part-0.parquet")
+    bad = dict(base)
+    bad["seq"] = pa.array(["not-an-int"])  # int64 -> string: not a widening
+    pq.write_table(pa.table(bad), cl / "v2" / "part-0.parquet")
+
+    from sapray.config import CDCConfig
+    from sapray.pipeline import CDCEngine
+
+    eng = CDCEngine(CDCConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    with pytest.raises(SchemaCompatError, match="not compatible"):
+        eng.apply(str(cl))
