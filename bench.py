@@ -116,6 +116,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "token_count_docs",
         "ann_topk_embeddings",
         "topk_events",
+        # round-2 operators tracked for regressions
+        "window_rank_orders",
+        "asof_join_events",
     ]
     reg = Q.registry(os.path.basename(os.path.normpath(sf_dir)))
     out: dict[str, float] = {}
