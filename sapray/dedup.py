@@ -401,11 +401,23 @@ def verify_pairs_jaccard(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                  "jaccard": pa.array([], pa.float64())}
             )
+        ia = batch.column("id_a").to_pylist()
+        ib = batch.column("id_b").to_pylist()
         va = batch.column("val_a").to_pylist()
         vb = batch.column("val_b").to_pylist()
+        # a doc in k candidate pairs would shingle k times — cache the
+        # shingle set per distinct id within the batch
+        sets: dict = {}
+        for ids, vals in ((ia, va), (ib, vb)):
+            for i, v in zip(ids, vals):
+                if i not in sets:
+                    sets[i] = set(_shingle_hashes(v or "", shingle_k))
+        def jac(sa, sb):
+            if not sa and not sb:
+                return 1.0
+            return len(sa & sb) / len(sa | sb)
         sims = pa.array(
-            [ngram_jaccard(a or "", b or "", shingle_k) for a, b in zip(va, vb)],
-            pa.float64(),
+            [jac(sets[a], sets[b]) for a, b in zip(ia, ib)], pa.float64()
         )
         out = pa.table(
             {"id_a": batch.column("id_a"), "id_b": batch.column("id_b"),

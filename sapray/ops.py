@@ -400,21 +400,33 @@ def exact_global_quantile(
     q: float,
     num_buckets: int = 4096,
 ) -> float:
-    """Exact discrete quantile of a whole column at any scale.
+    """Exact discrete quantile of a whole column (single-q wrapper over
+    :func:`exact_global_quantiles`)."""
+    return exact_global_quantiles(ds, column, [q], num_buckets)[0]
+
+
+def exact_global_quantiles(
+    ds: ray.data.Dataset,
+    column: str,
+    qs: list[float],
+    num_buckets: int = 4096,
+) -> list[float]:
+    """Exact discrete quantiles of a whole column at any scale.
 
     Classic two-pass distributed selection: pass 1 aggregates min/max
     and a fixed-width histogram per batch (combiner) and merges the tiny
     per-batch histograms; the driver walks the merged histogram to the
-    bucket containing the target rank. Pass 2 re-scans, keeps ONLY that
-    bucket's values (a ~1/num_buckets fraction), and selects the exact
-    in-bucket order statistic. No full materialization, no global sort;
-    the driver holds one bucket, not the column.
+    bucket containing each target rank. Pass 2 re-scans ONCE, keeps only
+    the target buckets' values (a ~len(qs)/num_buckets fraction), and
+    selects each exact in-bucket order statistic — all requested
+    quantiles share the same two scans. No full materialization, no
+    global sort; the driver holds the target buckets, not the column.
 
-    Returns the element at index ``floor(q * (n-1))`` of the sorted
+    Returns the elements at index ``floor(q * (n-1))`` of the sorted
     column (``quantile_disc`` semantics, exact selection — bit-identical
     across engines for float columns).
     """
-    if not (0.0 <= q <= 1.0):
+    if any(not (0.0 <= q <= 1.0) for q in qs):
         raise ValueError("q must be in [0, 1]")
 
     # pass 1a: global min/max + count via tiny per-batch partials
@@ -432,9 +444,9 @@ def exact_global_quantile(
     lo, hi, n = float(parts["mn"].min()), float(parts["mx"].max()), int(parts["n"].sum())
     if n == 0:
         raise ValueError(f"column '{column}' has no non-null values")
-    rank = int(np.floor(q * (n - 1)))
+    ranks = [int(np.floor(q * (n - 1))) for q in qs]
     if lo == hi:
-        return lo
+        return [lo] * len(qs)
     width = (hi - lo) / num_buckets
 
     # pass 1b: per-batch histogram partials (num_buckets ints per batch)
@@ -454,22 +466,26 @@ def exact_global_quantile(
         .sort_values("bucket")
     )
     cum = hdf["sum(cnt)"].cumsum().to_numpy()
-    bucket = int(np.searchsorted(cum, rank + 1))
-    rank_in_bucket = rank - (int(cum[bucket - 1]) if bucket else 0)
+    buckets = [int(np.searchsorted(cum, r + 1)) for r in ranks]
+    ranks_in_bucket = [
+        r - (int(cum[b - 1]) if b else 0) for r, b in zip(ranks, buckets)
+    ]
+    targets = np.array(sorted(set(buckets)), dtype=np.int64)
 
-    # pass 2: collect ONLY the target bucket's values, exact selection
+    # pass 2: collect ONLY the target buckets' values, exact selection
     def keep(batch: pa.Table) -> pa.Table:
         v = batch.column(column).to_numpy(zero_copy_only=False)
         v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
         b = np.minimum(((v - lo) / width).astype(np.int64), num_buckets - 1)
-        return pa.table({column: pa.array(v[b == bucket])})
+        mask = np.isin(b, targets)
+        return pa.table({column: pa.array(v[mask]), "__b": pa.array(b[mask])})
 
-    vals = (
-        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()[column]
-        .to_numpy()
-    )
-    return float(np.partition(vals, rank_in_bucket)[rank_in_bucket])
+    kept = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out: list[float] = []
+    for b, rib in zip(buckets, ranks_in_bucket):
+        vals = kept[kept["__b"] == b][column].to_numpy()
+        out.append(float(np.partition(vals, rib)[rib]))
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -1282,13 +1282,9 @@ def global_quantiles_events(sf_dir: str):
     selection (ops.exact_global_quantile): histogram partials -> target
     bucket -> in-bucket exact order statistic. The driver holds one
     histogram and one bucket, never the column."""
-    def run():
-        ds = ops.read_projected(_p(sf_dir, "events"), columns=["value"])
-        p50 = ops.exact_global_quantile(ds, "value", 0.5)
-        p90 = ops.exact_global_quantile(ds, "value", 0.9)
-        return pa.table({"p50": pa.array([p50]), "p90": pa.array([p90])})
-
-    return run()
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["value"])
+    p50, p90 = ops.exact_global_quantiles(ds, "value", [0.5, 0.9])
+    return pa.table({"p50": pa.array([p50]), "p90": pa.array([p90])})
 
 
 GLOBAL_QUANTILES_EVENTS_SQL = """
