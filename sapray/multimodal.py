@@ -244,3 +244,91 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
             "etag": pa.array([f'W/"{i}"' for i in range(n)]),
         }
     )
+
+
+# ----------------------------------------------------- transform operators
+
+
+def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize of a 24-bit BMP, pure numpy: parse
+    the header, gather pixel rows (4-byte-aligned), index-sample to the
+    target grid, re-encode a valid BMP."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    height = abs(height)
+    row = ((3 * width + 3) // 4) * 4
+    body = np.frombuffer(payload, dtype=np.uint8, offset=pixel_offset,
+                         count=row * height).reshape(height, row)
+    pix = body[:, : 3 * width].reshape(height, width, 3)
+    ys = np.minimum((np.arange(out_h) * height) // out_h, height - 1)
+    xs = np.minimum((np.arange(out_w) * width) // out_w, width - 1)
+    out = pix[ys][:, xs]  # nearest neighbor
+    out_row = ((3 * out_w + 3) // 4) * 4
+    padded = np.zeros((out_h, out_row), dtype=np.uint8)
+    padded[:, : 3 * out_w] = out.reshape(out_h, 3 * out_w)
+    data = padded.tobytes()
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+    )
+    return header + data
+
+
+# RAWV: the engine's documented synthetic video container (no codec libs
+# in this sandbox): b"RAWV" + u32 n_frames + u32 width + u32 height,
+# then n_frames grayscale frames of width*height bytes each.
+def make_rawv(n_frames: int, width: int, height: int, seed: int) -> bytes:
+    frames = np.random.default_rng(seed).integers(
+        0, 256, size=n_frames * width * height, dtype=np.uint8
+    ).tobytes()
+    return b"RAWV" + struct.pack("<III", n_frames, width, height) + frames
+
+
+def sample_frames(payload: bytes, every_k: int) -> list[bytes]:
+    """Frame-sample a RAWV container: every k-th frame as raw bytes."""
+    if payload[:4] != b"RAWV":
+        raise ValueError("not a RAWV payload")
+    n, w, h = struct.unpack_from("<III", payload, 4)
+    fsz = w * h
+    body = memoryview(payload)[16:]
+    return [bytes(body[i * fsz : (i + 1) * fsz]) for i in range(0, n, every_k)]
+
+
+class MediaTransformer:
+    """Actor-pool media TRANSFORM stage (vs the feature EXTRACT stage):
+    resizes images to a fixed thumbnail and frame-samples videos,
+    emitting one row per output artifact. Unknown types pass through."""
+
+    def __init__(self, thumb_w: int = 16, thumb_h: int = 16, every_k: int = 4):
+        self.tw, self.th, self.k = thumb_w, thumb_h, every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "kind": [], "artifact": []}
+        for mid, ct, p in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("content_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if ct == "image/bmp":
+                out["media_id"].append(mid)
+                out["kind"].append("thumbnail")
+                out["artifact"].append(resize_bmp(p, self.tw, self.th))
+            elif ct == "video/rawv":
+                for f in sample_frames(p, self.k):
+                    out["media_id"].append(mid)
+                    out["kind"].append("frame")
+                    out["artifact"].append(f)
+            else:
+                out["media_id"].append(mid)
+                out["kind"].append("passthrough")
+                out["artifact"].append(p)
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "kind": pa.array(out["kind"], pa.string()),
+                "artifact": pa.array(out["artifact"], pa.binary()),
+            }
+        )
