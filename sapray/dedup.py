@@ -109,13 +109,17 @@ def minhash_lsh_candidates(
     shingle_k: int = 5,
     concurrency: int = 4,
     bucket_cap: int = 1024,
+    distinct_pairs: bool = True,
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs via MinHash+LSH.
 
     shingle->minhash per batch (actor pool) -> explode to
     (band, band_hash, id) -> groupby band buckets -> within-bucket pairs
-    (capped, see ``_bucket_pairs_fn``). Only signatures cross the
-    shuffle. Output: (id_a, id_b) with id_a < id_b, distinct.
+    (capped, see ``_bucket_pairs``). Only signatures cross the
+    shuffle. Output: (id_a, id_b) with id_a < id_b; distinct unless
+    ``distinct_pairs=False`` (a pair can fire in several bands — pass
+    False when feeding :func:`verify_pairs_jaccard`, whose reunite step
+    deduplicates pairs structurally, saving this extra all-to-all).
     """
     rows_per_band = num_perm // bands
 
@@ -156,7 +160,8 @@ def minhash_lsh_candidates(
     pairs = _bucket_pairs(
         exploded, ("band", "band_hash"), id_column, bucket_cap, num_partitions=32
     )
-    # distinct pairs (a pair can fire in several bands)
+    if not distinct_pairs:
+        return pairs
     from sapray.ops import distinct
 
     return distinct(pairs, ["id_a", "id_b"])
@@ -254,7 +259,10 @@ def _values_for_pairs(
     survive. Exchange 2 (by mixed pair hash) reunites the two sides.
     Size ``num_partitions`` so corpus/num_partitions fits a worker's
     heap — exchange-1 groups hold that partition's full value stream.
-    Output: one row per pair with ``val_a``/``val_b`` columns.
+    Output: one row per DISTINCT pair with ``val_a``/``val_b`` columns —
+    duplicate input pairs collapse structurally (the reunite sweep emits
+    one row per 0->1 side transition of each sorted (id_a, id_b) run),
+    so callers need not pre-distinct their candidate stream.
     """
     vtype = dict(zip(values.schema().names, values.schema().types))[value_column]
 
@@ -509,14 +517,14 @@ def embedding_neardup_pairs(
         )
 
     sigs = ds.map_batches(add_sig, batch_format="pyarrow")
+    # no distinct stage: a pair colliding in several tables reaches the
+    # verify duplicated, and verify's reunite step structurally emits one
+    # row per distinct pair (single 0->1 side transition per sorted run)
     candidates = _bucket_pairs(
         sigs, ("table", "bucket"), id_column, bucket_cap, num_partitions
     )
-    from sapray.ops import distinct
-
-    pairs = distinct(candidates, ["id_a", "id_b"])
     return verify_pairs_cosine(
-        pairs, ds, id_column, vec_column, threshold, num_partitions
+        candidates, ds, id_column, vec_column, threshold, num_partitions
     )
 
 

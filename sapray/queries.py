@@ -435,7 +435,9 @@ def minhash_dedup_docs(sf_dir: str):
     (original, original+1e6) for every third doc — SQL-checkable.
     """
     aug = _neardup_docs(sf_dir)
-    pairs = dedup.minhash_lsh_candidates(aug, concurrency=2)
+    # distinct_pairs=False: the verify's reunite dedups structurally,
+    # saving the candidate-distinct all-to-all
+    pairs = dedup.minhash_lsh_candidates(aug, concurrency=2, distinct_pairs=False)
     verified = dedup.verify_pairs_jaccard(
         pairs, _neardup_docs(sf_dir), threshold=0.8
     )
