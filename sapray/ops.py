@@ -316,6 +316,58 @@ def dedup_first(
     return out.drop_columns(["__neg_order"])
 
 
+def hll_distinct_count(
+    ds: ray.data.Dataset, columns: list[str], b: int = 12
+) -> float:
+    """Approximate COUNT(DISTINCT columns) via HyperLogLog, one pass.
+
+    Per-batch combiner emits (register, max_rho) partials — at most
+    ``m = 2^b`` rows per batch regardless of batch size — merged by a
+    tiny ``groupby(register).max`` (the only exchange moves <= m rows
+    per batch); the driver folds the m registers into the standard HLL
+    estimate with small-range (linear counting) correction. Hashing is
+    the engine's fixed-key siphash, so the estimate is deterministic for
+    a fixed multiset. Standard error ~1.04/sqrt(m) (~1.6% at b=12).
+    """
+    from sapray.hashing import hash_key
+
+    m = 1 << b
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = hash_key(batch, tuple(columns))
+        reg = (h >> np.uint64(64 - b)).astype(np.int64)
+        rest = (h << np.uint64(b)) | np.uint64((1 << b) - 1)
+        # rho = leading-zero count + 1. frexp on float64 is only exact
+        # below 2^53, so take the MSB of each 32-bit half separately
+        # (uint32 -> float64 is exact); the |(2^b - 1) floor guarantees
+        # rest > 0 so the low half is nonzero when the high half is
+        hi = (rest >> np.uint64(32)).astype(np.float64)
+        lo = (rest & np.uint64(0xFFFFFFFF)).astype(np.float64)
+        e_hi = np.frexp(hi)[1]  # MSB position + 1, 0 when hi == 0
+        e_lo = np.frexp(lo)[1]
+        msb1 = np.where(e_hi > 0, e_hi + 32, e_lo)  # 1-based MSB position
+        rho = (64 - msb1 + 1).astype(np.int64)
+        order = np.lexsort((rho, reg))
+        reg_s, rho_s = reg[order], rho[order]
+        last = np.concatenate([np.nonzero(np.diff(reg_s))[0], [len(reg_s) - 1]])
+        return pa.table({"reg": pa.array(reg_s[last]), "rho": pa.array(rho_s[last])})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("reg")
+        .max("rho")
+        .to_pandas()
+    )
+    registers = np.zeros(m, dtype=np.int64)
+    registers[merged["reg"].to_numpy()] = merged["max(rho)"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear-counting small-range fix
+    return float(est)
+
+
 def rollup_aggregate(
     ds: ray.data.Dataset, keys: list[str], spec: AggSpec
 ) -> ray.data.Dataset:

@@ -1259,6 +1259,29 @@ FROM events GROUP BY user_id
 """
 
 
+def approx_distinct_events(sf_dir: str):
+    """HyperLogLog distinct count (ops.hll_distinct_count, b=12) over
+    event_id, gated by its ratio to the exact count: the sketch is
+    deterministic (fixed-key siphash), its ~1.6% standard error rounds
+    to 1.0 at one decimal, and the exact count rides alongside — so the
+    oracle verifies both the exact plumbing and that the sketch landed
+    within rounding of truth."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["event_id"])
+    est = ops.hll_distinct_count(ds, ["event_id"], b=12)
+    n_exact = ops.read_projected(_p(sf_dir, "events"), columns=["event_id"]).count()
+    return pa.table(
+        {
+            "n_exact": pa.array([n_exact], pa.int64()),
+            "hll_ratio": pa.array([round(est / n_exact, 1)], pa.float64()),
+        }
+    )
+
+
+APPROX_DISTINCT_EVENTS_SQL = """
+SELECT count(DISTINCT event_id) AS n_exact, 1.0 AS hll_ratio FROM events
+"""
+
+
 def rollup_events(sf_dir: str):
     """GROUP BY ROLLUP (user_id, event_type): counts and exact-selection
     min at every rollup level from ONE scan — coarser levels re-aggregate
@@ -1506,6 +1529,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "pivot_events": {"fn": pivot_events, "sql": PIVOT_EVENTS_SQL},
         "rollup_events": {"fn": rollup_events, "sql": ROLLUP_EVENTS_SQL},
+        "approx_distinct_events": {
+            "fn": approx_distinct_events, "sql": APPROX_DISTINCT_EVENTS_SQL,
+        },
         "sample_docs": {"fn": sample_docs, "sql": SAMPLE_DOCS_SQL},
         "cdc_replay_flagship": {"fn": cdc_replay_flagship, "sql": _flagship_sql(sf_name)},
         "cdc_replay_delta": {"fn": cdc_replay_delta, "sql": _flagship_sql(sf_name)},
