@@ -173,6 +173,9 @@ def _bucket_pairs(
     id_column: str,
     bucket_cap: int,
     num_partitions: int = 32,
+    cap_mode: str = "star",
+    prehashed: str | None = None,
+    local_distinct: bool = False,
 ) -> ray.data.Dataset:
     """Candidate pairs from LSH bucket membership rows, at scale.
 
@@ -184,15 +187,28 @@ def _bucket_pairs(
     interpreter once per bucket instead.
 
     A degenerate bucket (boilerplate / empty docs sharing one hash)
-    would emit O(n^2) pairs; above ``bucket_cap`` members it degrades to
-    a STAR on the min-id representative — O(n) pairs that keep every
-    member connected to one cluster head, which is what dedup clustering
-    consumes.
+    would emit O(n^2) pairs; above ``bucket_cap`` members it degrades
+    per ``cap_mode``:
+
+    * ``"star"`` — O(n) pairs against the min-id representative, keeping
+      every member connected to one cluster head (what LSH dedup
+      clustering consumes);
+    * ``"drop"`` — the bucket emits nothing (what an inverted-index
+      posting list wants: a shingle shared by more than ``bucket_cap``
+      docs is a stopword carrying no near-dup signal).
+
+    ``prehashed`` names a uint64-uniform int64 column to route on
+    directly, skipping the generic composite-key hash. With
+    ``local_distinct`` the kernel collapses duplicate pairs within its
+    partition (cheap ``np.unique``) before they enter the next exchange.
     """
     from sapray.hashing import hash_key
 
     def route(batch: pa.Table) -> pa.Table:
-        kh = hash_key(batch, bucket_columns)
+        if prehashed is not None:
+            kh = batch.column(prehashed).to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            kh = hash_key(batch, bucket_columns)
         part = (kh % np.uint64(num_partitions)).astype(np.int32)
         return batch.append_column("__bh", pa.array(kh)).append_column(
             "__part", pa.array(part)
@@ -213,6 +229,8 @@ def _bucket_pairs(
         for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
             run = ids_s[s:e]
             if len(run) > bucket_cap:
+                if cap_mode == "drop":
+                    continue
                 out_a.append(np.full(len(run) - 1, run[0]))
                 out_b.append(run[1:])
             else:
@@ -222,8 +240,14 @@ def _bucket_pairs(
         if not out_a:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
-        return pa.table({"id_a": pa.array(np.concatenate(out_a)),
-                         "id_b": pa.array(np.concatenate(out_b))})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        if local_distinct and len(a):
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            keep = np.concatenate([[True], (np.diff(a) != 0) | (np.diff(b) != 0)])
+            a, b = a[keep], b[keep]
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
 
     return routed.groupby("__part").map_groups(kernel, batch_format="pyarrow")
 
@@ -234,6 +258,87 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+# ------------------------------------------- n-gram Jaccard (inverted index)
+
+
+def ngram_inverted_candidates(
+    ds: ray.data.Dataset,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    shingle_k: int = 5,
+    df_cap: int = 64,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Candidate near-dup pairs via a shingle INVERTED INDEX — the exact
+    counterpart of :func:`minhash_lsh_candidates`.
+
+    Each doc emits its distinct k-shingle hashes as ``(shingle, id)``
+    posting rows; one exchange on the shingle hash co-locates each
+    posting list, and every pair sharing a shingle becomes a candidate.
+    Unlike MinHash (fixed ``num_perm`` rows/doc, probabilistic recall),
+    the exchange here moves ~``len(text)`` rows/doc but recall is exact
+    for any pair sharing at least one shingle with document frequency
+    <= ``df_cap``.
+
+    ``df_cap`` drops stopword shingles (posting lists longer than the
+    cap emit nothing — ``cap_mode="drop"``): a shingle shared by
+    hundreds of docs carries no near-dup signal but would emit O(df^2)
+    pairs. A true near-dup pair at Jaccard >= t shares >= t/(1+t) of its
+    shingles, so it survives unless EVERY shared shingle is a stopword —
+    pick ``df_cap`` above the corpus' per-doc minimum shingle df
+    (sf fixtures: <= 36 on the augmented corpus; default 64).
+    Duplicate pair rows (a pair shares many shingles) are collapsed
+    per-partition (``local_distinct``) before the verify exchange.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_column).to_pylist()
+        sh = [_shingle_hashes(t or "", shingle_k) for t in texts]
+        counts = np.array([len(s) for s in sh], dtype=np.int64)
+        return pa.table(
+            {
+                "shingle": pa.array(
+                    np.concatenate(sh).astype(np.int64)
+                    if sh else np.array([], np.int64)
+                ),
+                id_column: pa.array(np.repeat(ids, counts)),
+            }
+        )
+
+    postings = ds.map_batches(explode, batch_format="pyarrow")
+    return _bucket_pairs(
+        postings,
+        ("shingle",),
+        id_column,
+        bucket_cap=df_cap,
+        num_partitions=num_partitions,
+        cap_mode="drop",
+        prehashed="shingle",
+        local_distinct=True,
+    )
+
+
+def ngram_jaccard_dedup(
+    ds: ray.data.Dataset,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    df_cap: int = 64,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Exact n-gram-Jaccard near-dup pairs: inverted-index candidates ->
+    distributed exact-Jaccard verify (texts reach verifiers via keyed
+    exchanges, never a driver broadcast)."""
+    candidates = ngram_inverted_candidates(
+        ds, id_column, text_column, shingle_k, df_cap
+    )
+    return verify_pairs_jaccard(
+        candidates, ds, id_column, text_column, threshold, shingle_k, num_partitions
+    )
 
 
 # ------------------------------------------------- distributed pair verify

@@ -472,6 +472,23 @@ WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
 """
 
 
+def ngram_jaccard_docs(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs via a shingle inverted index
+    (df-capped posting lists, distributed verify) — the deterministic
+    counterpart of ``minhash_dedup_docs`` over the same augmented corpus
+    and the same exact-Jaccard SQL ground truth, with guaranteed (not
+    probabilistic) recall for pairs sharing any shingle with df <= cap.
+    """
+    verified = dedup.ngram_jaccard_dedup(_neardup_docs(sf_dir), threshold=0.8)
+    return verified.select_columns(["id_a", "id_b"])
+
+
+# ground truth identical to the MinHash query: exact 5-char-shingle
+# Jaccard >= 0.8 over the augmented corpus (two different distributed
+# algorithms gated against one oracle)
+NGRAM_JACCARD_DOCS_SQL = MINHASH_DEDUP_DOCS_SQL
+
+
 def simhash_docs(sf_dir: str):
     ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=(1, 2))
@@ -1482,6 +1499,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "events_hourly": {"fn": events_hourly, "sql": EVENTS_HOURLY_SQL},
         "dedup_exact_docs": {"fn": dedup_exact_docs, "sql": DEDUP_EXACT_DOCS_SQL},
         "minhash_dedup_docs": {"fn": minhash_dedup_docs, "sql": MINHASH_DEDUP_DOCS_SQL},
+        "ngram_jaccard_docs": {"fn": ngram_jaccard_docs, "sql": NGRAM_JACCARD_DOCS_SQL},
         "simhash_docs": {"fn": simhash_docs, "sql": SIMHASH_DOCS_SQL},
         "fingerprint_docs": {"fn": fingerprint_docs, "sql": FINGERPRINT_DOCS_SQL},
         "token_count_docs": {"fn": token_count_docs, "sql": TOKEN_COUNT_DOCS_SQL},
