@@ -92,6 +92,10 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "minhash", pa.array([], pa.list_(pa.int64()))
+            )
         sigs = np.stack(
             [self.signature(t or "") for t in batch.column(self.text_column).to_pylist()]
         )
@@ -135,6 +139,12 @@ def minhash_lsh_candidates(
     )
 
     def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"band": pa.array([], pa.int32()),
+                 "band_hash": pa.array([], pa.int64()),
+                 id_column: pa.array([], pa.int64())}
+            )
         ids = batch.column(id_column).to_numpy(zero_copy_only=False)
         sigs = np.stack(batch.column("minhash").to_pandas().to_numpy()).astype(np.uint64)
         n = len(ids)
@@ -599,6 +609,12 @@ def embedding_neardup_pairs(
     """
 
     def add_sig(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"table": pa.array([], pa.int32()),
+                 "bucket": pa.array([], pa.int64()),
+                 id_column: pa.array([], pa.int64())}
+            )
         v = np.stack(batch.column(vec_column).to_pandas().to_numpy()).astype(np.float64)
         ids = batch.column(id_column).to_numpy(zero_copy_only=False)
         # seeded rng -> identical plane tables in every batch/task

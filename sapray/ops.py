@@ -191,6 +191,13 @@ def broadcast_join(
         small = small.rename_columns(
             [left_on if i == idx else c for i, c in enumerate(small.column_names)]
         )
+    if how in ("right", "outer"):
+        # per-batch joins are unsound for these: every batch would emit
+        # the small side's unmatched rows again (N blocks -> N copies)
+        raise ValueError(
+            f"broadcast_join cannot run how={how!r} batch-wise; "
+            "use shuffle_join for right/full outer joins"
+        )
     ref = ray.put(small)
     join_type = _ARROW_JOIN_TYPE.get(how, how)
 
@@ -201,12 +208,10 @@ def broadcast_join(
     return ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
 
 
-# pandas-style names -> Arrow Acero join types
+# pandas-style names -> Arrow Acero join types (batch-wise-sound only)
 _ARROW_JOIN_TYPE = {
     "inner": "inner",
     "left": "left outer",
-    "right": "right outer",
-    "outer": "full outer",
 }
 
 
@@ -220,7 +225,12 @@ def semi_join_filter(
 ) -> ray.data.Dataset:
     """Semi (or anti) join: broadcast the key set, filter inside
     map_batches with Arrow's zero-copy ``pc.is_in`` membership kernel."""
-    value_set = keys if isinstance(keys, (pa.Array, pa.ChunkedArray)) else pa.array(sorted(keys))
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        value_set = keys
+    else:
+        # sort only for broadcast determinism; None is unorderable and
+        # never matches is_in semantics anyway — drop it first
+        value_set = pa.array(sorted(k for k in keys if k is not None))
     ref = ray.put(value_set)
 
     def filt(batch: pa.Table) -> pa.Table:
@@ -334,6 +344,9 @@ def hll_distinct_count(
     m = 1 << b
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"reg": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
         h = hash_key(batch, tuple(columns))
         reg = (h >> np.uint64(64 - b)).astype(np.int64)
         rest = (h << np.uint64(b)) | np.uint64((1 << b) - 1)
@@ -484,11 +497,20 @@ def exact_global_quantiles(
     # pass 1a: global min/max + count via tiny per-batch partials
     def mm(batch: pa.Table) -> pa.Table:
         col = batch.column(column)
+        v = col.to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "f":
+            # NaN is not an Arrow null but is excluded from the
+            # histogram and pass-2 selection — exclude it from the
+            # population count too, or ranks shift/overflow the buckets.
+            # Nulls surface as NaN in to_numpy, so isnan covers both.
+            n_valid = batch.num_rows - int(np.isnan(v).sum())
+        else:
+            n_valid = batch.num_rows - col.null_count
         return pa.table(
             {
                 "mn": pa.array([pa.compute.min(col).as_py()], pa.float64()),
                 "mx": pa.array([pa.compute.max(col).as_py()], pa.float64()),
-                "n": pa.array([batch.num_rows - col.null_count], pa.int64()),
+                "n": pa.array([n_valid], pa.int64()),
             }
         )
 

@@ -151,7 +151,11 @@ class CDCEngine:
         self.cfg.validate()
 
     # ------------------------------------------------------------------ scan
-    def events_dataset(self, changelog_dir: str) -> ray.data.Dataset:
+    def events_dataset(
+        self,
+        changelog_dir: str,
+        scan: tuple[list[str], pa.Schema] | None = None,
+    ) -> ray.data.Dataset:
         """Streaming multi-schema scan (O-CDC1/2/3): ONE ``read_parquet``
         over every DDIC-version segment with the unified target schema
         (per-segment footers -> ``unify_schemas``: add-column fills null,
@@ -160,8 +164,11 @@ class CDCEngine:
         A single read operator matters for utilization: per-segment reads
         unioned together fragment the streaming executor's per-operator
         resource reservation — three read branches on an 8-CPU node each
-        got ~2 concurrent tasks."""
-        files, schema = self._files_and_schema(changelog_dir)
+        got ~2 concurrent tasks. ``scan`` threads a precomputed
+        (files, schema) pair through so callers that already globbed and
+        unified (apply's driver-side validation) don't redo the metadata
+        I/O."""
+        files, schema = scan if scan is not None else self._files_and_schema(changelog_dir)
         ds = ray.data.read_parquet(
             files, schema=schema, override_num_blocks=self._n_blocks(len(files))
         )
@@ -243,8 +250,10 @@ class CDCEngine:
         # step, SapODataSource.java:62-85): unify every segment's footer
         # schema on the driver BEFORE any task runs, so an incompatible
         # DDIC change fails fast with SchemaCompatError instead of
-        # surfacing as an Arrow conversion error inside a read task
-        self._files_and_schema(changelog_dir)
+        # surfacing as an Arrow conversion error inside a read task;
+        # the (files, schema) result is threaded into the scans below so
+        # the glob + footer reads happen once per apply
+        scan = self._files_and_schema(changelog_dir)
 
         manifests = committed if resume else {}
         watermarks = None
@@ -259,12 +268,12 @@ class CDCEngine:
         )
 
         if cfg.winner_strategy == "shuffle":
-            return self._apply_payload_shuffle(changelog_dir, hot, watermarks)
+            return self._apply_payload_shuffle(changelog_dir, hot, watermarks, scan)
 
         # ---- pass 1: skinny winner resolution
         winners = self._resolve_winners(changelog_dir, hot, watermarks)
         if winners.num_rows > cfg.winner_broadcast_limit:
-            return self._apply_payload_shuffle(changelog_dir, hot, watermarks)
+            return self._apply_payload_shuffle(changelog_dir, hot, watermarks, scan)
 
         if winners.num_rows == 0 or "seq" not in winners.column_names:
             # nothing above the watermarks — no-op replay
@@ -276,7 +285,7 @@ class CDCEngine:
         # ---- pass 2: payload routing of winners only — ONE read operator
         # over all segments (unified schema) so the executor's resource
         # reservation isn't fragmented across union branches
-        files, schema = self._files_and_schema(changelog_dir)
+        files, schema = scan
         ds = ray.data.read_parquet(
             files, schema=schema, override_num_blocks=self._n_blocks(len(files))
         ).map_batches(
@@ -346,7 +355,11 @@ class CDCEngine:
         return winners
 
     def _apply_payload_shuffle(
-        self, changelog_dir: str, hot: np.ndarray, watermarks: np.ndarray | None
+        self,
+        changelog_dir: str,
+        hot: np.ndarray,
+        watermarks: np.ndarray | None,
+        scan: tuple[list[str], pa.Schema] | None = None,
     ) -> dict:
         """Single-pass plan: full event rows (payload included) through
         one keyed exchange. Used when the winner set would be too large
@@ -360,7 +373,7 @@ class CDCEngine:
         # destroys read-side streaming, which costs far more than
         # decoding the ~75% of rows the combine later discards (their
         # content columns are zero-copy references through decode anyway)
-        ds = self.events_dataset(changelog_dir)
+        ds = self.events_dataset(changelog_dir, scan=scan)
 
         def assign_combine(batch: pa.Table) -> pa.Table:
             if cfg.amplification > 1:

@@ -65,6 +65,19 @@ def _key_codes(table: pa.Table, key: str) -> np.ndarray:
     return col.dictionary_encode().indices.to_numpy(zero_copy_only=False)
 
 
+def _descending_key(vals: np.ndarray) -> np.ndarray:
+    """An array whose ascending sort orders ``vals`` DESCENDING.
+
+    Plain unary minus raises on datetime64 and wraps on unsigned ints;
+    handle both: datetimes sort by negated int64 epoch, unsigned by
+    bitwise complement (``~x`` = max - x, an exact order reversal)."""
+    if vals.dtype.kind == "M":
+        return -vals.astype("datetime64[us]").astype(np.int64)
+    if vals.dtype.kind == "u":
+        return ~vals
+    return -vals
+
+
 def rank_in_key(
     ds: ray.data.Dataset,
     key: str,
@@ -83,7 +96,7 @@ def rank_in_key(
         codes = _key_codes(t, key)
         order_vals = t.column(order_column).to_numpy(zero_copy_only=False)
         tie = t.column(tiebreak_column).to_numpy(zero_copy_only=False)
-        ov = -order_vals if descending else order_vals
+        ov = _descending_key(order_vals) if descending else order_vals
         idx = np.lexsort((tie, ov, codes))
         t = t.take(pa.array(idx))
         codes = codes[idx]
@@ -167,8 +180,14 @@ def windowed_agg(
         n = len(codes_s)
         if n == 0:
             out = t.select([key, id_column])
-            return out.append_column(out_count, pa.array([], pa.int64()))
-        span = int(tsi_s.max() - tsi_s.min()) + bef + aft + 2
+            out = out.append_column(out_count, pa.array([], pa.int64()))
+            if value_column is not None and out_sum is not None:
+                out = out.append_column(out_sum, pa.array([], pa.int64()))
+            return out
+        # guard arithmetic in PYTHON ints: np.int64 products silently
+        # wrap, letting an overflowed band pass the very check meant to
+        # catch it (product >= 2^63 wraps negative, "passing" < 2^62)
+        span = int(tsi_s.max()) - int(tsi_s.min()) + int(bef) + int(aft) + 2
         n_codes = int(codes_s.max()) + 1
         if n_codes * span >= (1 << 62):
             raise ValueError(
@@ -424,7 +443,9 @@ def trailing_counts(
         n = len(codes_s)
         if n == 0:
             return t.append_column(out_name, pa.array([], pa.int64()))
-        span = int(tsi_s.max() - tsi_s.min()) + win + 2
+        # Python-int guard arithmetic: np.int64 products wrap silently,
+        # so an overflowed band would otherwise pass this check
+        span = int(tsi_s.max()) - int(tsi_s.min()) + int(win) + 2
         n_codes = int(codes_s.max()) + 1 if n else 1
         if n_codes * span < (1 << 62):
             combined = codes_s.astype(np.int64) * span + (tsi_s - tsi_s.min())

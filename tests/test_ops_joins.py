@@ -149,3 +149,94 @@ def test_trailing_counts_overflow_fallback(ray_session):
     # within 1h: eid2 sees eid1 (+1s apart); eid4 sees eid3; eid5 is
     # ~115 days after eid4 -> alone
     assert got == {1: 1, 2: 2, 3: 1, 4: 2, 5: 1}
+
+
+def test_trailing_counts_guard_survives_int64_wrap(ray_session):
+    """5 keys x ~2^61-us span: the Python-int guard product (~1.15e19)
+    exceeds 2^63, where np.int64 arithmetic would wrap NEGATIVE and
+    silently take the banded path with non-monotonic bands (the round-2
+    review finding) — the fallback must engage and count correctly."""
+    from sapray.window import trailing_counts
+
+    far = np.int64(1) << 61
+    ts_vals, keys, eids = [], [], []
+    for k in range(5):
+        base = np.int64(k)  # keep per-key pairs 1s apart
+        ts_vals += [base, base + 10**6]
+        keys += [k, k]
+        eids += [2 * k + 1, 2 * k + 2]
+    ts_vals[-1] = far  # stretch the global span past 2^61
+    t = pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "eid": pa.array(eids, pa.int64()),
+        "ts": pa.array(np.array(ts_vals, dtype="datetime64[us]")),
+    })
+    out = trailing_counts(
+        ray.data.from_arrow(t), "k", "ts", np.timedelta64(1, "h"), "eid",
+        out_name="n", num_partitions=1,
+    ).to_pandas()
+    got = dict(zip(out["eid"], out["n"]))
+    expect = {2 * k + 1: 1 for k in range(5)} | {2 * k + 2: 2 for k in range(4)}
+    expect[10] = 1  # key 4's second event was moved to `far` -> alone
+    assert got == expect
+
+
+def test_global_quantiles_ignore_nan(ray_session):
+    """NaN values are not Arrow nulls; they must be excluded from the
+    population count, not just the histogram (review finding: high-q
+    ranks overflowed the cumulative histogram and crashed)."""
+    vals = np.concatenate([np.arange(100, dtype=np.float64), [np.nan] * 50])
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)}))
+    got = ops.exact_global_quantiles(ds, "v", [0.0, 0.5, 0.99, 1.0])
+    clean = np.sort(vals[~np.isnan(vals)])
+    expect = [clean[int(np.floor(q * (len(clean) - 1)))] for q in (0.0, 0.5, 0.99, 1.0)]
+    assert got == expect
+
+
+def test_broadcast_join_rejects_outer_modes(ray_session):
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    small = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array(["a"])})
+    for how in ("right", "outer"):
+        with pytest.raises(ValueError, match="shuffle_join"):
+            ops.broadcast_join(ds, small, "k", "k", how=how)
+
+
+def test_rank_in_key_descending_timestamp(ray_session):
+    """descending=True on a datetime64 order column (unary minus raises
+    on datetime64 — review finding): top-1 most recent per key."""
+    from sapray.window import rank_in_key
+
+    ts = pa.array(np.array([0, 10**6, 5, 7], dtype="datetime64[us]"))
+    t = pa.table({"k": pa.array([1, 1, 2, 2], pa.int64()),
+                  "eid": pa.array([1, 2, 3, 4], pa.int64()), "ts": ts})
+    out = rank_in_key(
+        ray.data.from_arrow(t), "k", "ts", "eid", top_n=1, descending=True,
+        num_partitions=2,
+    ).to_pandas()
+    assert sorted(out["eid"]) == [2, 4]
+
+
+def test_semi_join_filter_accepts_none_keys(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    )
+    out = ops.semi_join_filter(ds, {None, 2, 3}, "k").to_pandas()
+    assert sorted(out["k"]) == [2, 3]
+
+
+def test_dedup_stages_handle_empty_blocks(ray_session):
+    """Empty blocks flow through minhash/inverted-index stages without
+    np.stack/np.concatenate crashes (review finding)."""
+    from sapray import dedup
+
+    full = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array(["abcdefghij", "abcdefghij"])})
+    empty = full.slice(0, 0)
+    ds = ray.data.from_arrow([full, empty])
+    pairs = dedup.minhash_lsh_candidates(ds, concurrency=1).to_pandas()
+    assert [(1, 2)] == list(zip(pairs["id_a"], pairs["id_b"]))
+    # duplicate pairs across shingle partitions are contract (the verify
+    # stage collapses them structurally); within a partition they're
+    # collapsed by local_distinct
+    pairs2 = dedup.ngram_inverted_candidates(ds).to_pandas()
+    assert {(1, 2)} == set(zip(pairs2["id_a"], pairs2["id_b"]))
