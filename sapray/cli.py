@@ -76,7 +76,7 @@ def cmd_state(args: argparse.Namespace) -> int:
 
     _init_ray(args.num_cpus)
     eng = CDCEngine(CDCConfig(lake_dir=args.lake))
-    ds = eng.state_dataset()
+    ds = eng.state_dataset(as_of=args.as_of)
     n = ds.count()
     out = {"rows": n}
     if args.limit:
@@ -114,6 +114,8 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("state", help="inspect the committed lake")
     st.add_argument("--lake", required=True)
     st.add_argument("--limit", type=int, default=0)
+    st.add_argument("--as-of", type=int, default=None, dest="as_of",
+                    help="time-travel a delta-mode lake to this commit watermark")
     st.add_argument("--num-cpus", type=int, default=None)
     st.set_defaults(fn=cmd_state)
 

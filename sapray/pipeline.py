@@ -423,17 +423,23 @@ class CDCEngine:
         }
 
     # ------------------------------------------------------------------ read
-    def state_dataset(self) -> ray.data.Dataset:
+    def state_dataset(self, as_of: int | None = None) -> ray.data.Dataset:
         """The committed lake as a streaming Dataset (manifest-guided).
 
         Snapshot-mode lakes stream the files directly; a lake with delta
         manifests is merged per partition inside the read tasks
-        (LWW + tombstone removal — merge-on-read)."""
+        (LWW + tombstone removal — merge-on-read). ``as_of`` time-travels
+        a delta-mode lake to an earlier commit watermark (exact at commit
+        boundaries; see ``sink.read_partition_state``)."""
         cfg = self.cfg
         manifests = read_manifests(cfg.lake_dir)
         if not manifests:
             return ray.data.from_arrow(pa.table({}))
         if not any(m.get("mode") == "delta" for m in manifests.values()):
+            if as_of is not None and any(
+                as_of < m.get("watermark", -1) for m in manifests.values()
+            ):
+                raise ValueError("snapshot-mode lakes retain no history")
             return ray.data.read_parquet(lake_files(cfg.lake_dir))
 
         from sapray.sink import read_manifest, read_partition_state
@@ -447,7 +453,7 @@ class CDCEngine:
             for p in batch.column("part").to_pylist():
                 t = read_partition_state(
                     lake_dir, int(p), read_manifest(lake_dir, int(p)),
-                    key_columns, seq_column,
+                    key_columns, seq_column, as_of=as_of,
                 )
                 if t is not None and t.num_rows:
                     from sapray.schema import normalize_table
@@ -459,7 +465,7 @@ class CDCEngine:
 
         return parts.map_batches(load, batch_format="pyarrow", batch_size=4)
 
-    def state_table(self) -> pa.Table:
+    def state_table(self, as_of: int | None = None) -> pa.Table:
         """Whole committed lake as one Arrow table — tests/small scales only."""
         from sapray.sink import read_partition_state
         from sapray.transform import STATE_SCHEMA
@@ -469,7 +475,7 @@ class CDCEngine:
         for p in sorted(manifests):
             t = read_partition_state(
                 self.cfg.lake_dir, p, manifests[p],
-                self.cfg.key_columns, self.cfg.seq_column,
+                self.cfg.key_columns, self.cfg.seq_column, as_of=as_of,
             )
             if t is not None and t.num_rows:
                 from sapray.schema import normalize_table

@@ -1564,6 +1564,54 @@ def cdc_replay_delta(sf_dir: str):
     return state.select(["repo", "path", "commit", "seq", "content_sha256"])
 
 
+def cdc_time_travel(sf_dir: str):
+    """TIME-TRAVEL read of a delta-mode lake: apply the changelog in two
+    incremental commits (first the v1 DDIC segment, then the rest with
+    watermark resume skipping the already-applied events), then read the
+    state ``as_of`` the FIRST commit's watermark — later updates and
+    tombstones revert to their commit-1 values. The oracle replays only
+    the v1 segment's events, which is exactly the state at that commit
+    boundary (segment seq ranges are disjoint and increasing)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    cl_dir = _changelog_dir_for(sf_dir)
+    generate_changelog(sf_dir, cl_dir, n_updates=3000)
+    # stage 1: a changelog view containing only the v1 segment
+    stage1 = os.path.join(ORACLE_TMP, name, "changelog_stage1")
+    shutil.rmtree(stage1, ignore_errors=True)
+    os.makedirs(stage1)
+    os.symlink(os.path.join(cl_dir, "v1"), os.path.join(stage1, "v1"))
+    lake = os.path.join(ORACLE_TMP, name, "lake_tt")
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = CDCEngine(
+        CDCConfig(lake_dir=lake, num_partitions=16, sink_mode="delta",
+                  compact_every=1000)  # keep the full delta history
+    )
+    s1 = eng.apply(stage1)
+    w1 = int(s1["watermark"])
+    eng.apply(cl_dir)  # commits 2+: remaining segments via resume
+    state = eng.state_table(as_of=w1)
+    return state.select(["repo", "path", "commit", "seq", "content_sha256"])
+
+
+def _time_travel_sql(sf_name: str) -> str:
+    glob = os.path.join(ORACLE_TMP, sf_name, "changelog", "v1", "*.parquet")
+    return f"""
+WITH ev AS (
+  SELECT seq, op, repo, path, commit, content
+  FROM read_parquet('{glob}', union_by_name=true)
+), last AS (
+  SELECT repo, path,
+         max(seq)              AS seq,
+         arg_max(op, seq)      AS last_op,
+         arg_max(commit, seq)  AS commit,
+         arg_max(content, seq) AS content
+  FROM ev GROUP BY repo, path
+)
+SELECT repo, path, commit, seq, sha256(content) AS content_sha256
+FROM last WHERE last_op <> 'D'
+"""
+
+
 def _flagship_sql(sf_name: str) -> str:
     glob = os.path.join(ORACLE_TMP, sf_name, "changelog", "v*", "*.parquet")
     return f"""
@@ -1666,4 +1714,5 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "sample_docs": {"fn": sample_docs, "sql": SAMPLE_DOCS_SQL},
         "cdc_replay_flagship": {"fn": cdc_replay_flagship, "sql": _flagship_sql(sf_name)},
         "cdc_replay_delta": {"fn": cdc_replay_delta, "sql": _flagship_sql(sf_name)},
+        "cdc_time_travel": {"fn": cdc_time_travel, "sql": _time_travel_sql(sf_name)},
     }

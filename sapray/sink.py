@@ -68,12 +68,24 @@ def read_manifests(lake_dir: str) -> dict[int, dict]:
     return out
 
 
+def _history_floor(files: list[str]) -> int:
+    """Oldest state representable by this file list: the max watermark of
+    any base SNAPSHOT file (``data-w…``). Compaction folds all history at
+    or below its watermark into one snapshot of winners, so states before
+    it are unrecoverable. -1 when the full delta chain is intact."""
+    floors = [
+        int(f.split("-")[1][1:]) for f in files if f.startswith("data-w")
+    ]
+    return max(floors, default=-1)
+
+
 def read_partition_state(
     lake_dir: str,
     part: int,
     manifest: dict | None,
     key_columns: tuple[str, ...] = ("repo", "path"),
     seq_column: str = "seq",
+    as_of: int | None = None,
 ) -> pa.Table | None:
     """Read the committed state for a partition via its manifest.
 
@@ -82,11 +94,36 @@ def read_partition_state(
     ``seq_column`` per ``key_columns``, tombstone rows (``is_delete``)
     removed. Callers with a non-default key config must thread
     ``cfg.key_columns``/``cfg.seq_column`` through.
+
+    ``as_of`` time-travels to the state as of that sequence watermark:
+    delta rows with seq > as_of are excluded BEFORE the merge, so keys
+    updated or tombstoned later revert to their older committed value.
+    Exact at commit boundaries (each commit stores only its window's
+    winners — intermediate per-event states never existed in the lake).
+    Raises when the requested point predates the retained history
+    (snapshot-mode lakes retain none; compaction folds history up to its
+    watermark).
     """
     if not manifest or not manifest.get("files"):
         return None
     pdir = _part_dir(lake_dir, part)
+    travel = as_of is not None and as_of < manifest.get("watermark", -1)
+    if travel:
+        floor = _history_floor(manifest["files"])
+        if manifest.get("mode") != "delta" or as_of < floor:
+            raise ValueError(
+                f"cannot time-travel partition {part} to seq {as_of}: "
+                + ("snapshot-mode lakes retain no history"
+                   if manifest.get("mode") != "delta"
+                   else f"history compacted up to seq {floor}")
+            )
     tables = [pq.read_table(os.path.join(pdir, f)) for f in manifest["files"]]
+    if travel:
+        import pyarrow.compute as pc
+
+        tables = [
+            t.filter(pc.less_equal(t.column(seq_column), as_of)) for t in tables
+        ]
     if len(tables) == 1 and "is_delete" not in tables[0].column_names:
         return tables[0]
     return merge_delta_states(tables, key_columns, seq_column)

@@ -141,3 +141,60 @@ def test_delta_mode_with_custom_key_columns(ray_session, changelog_dir, tmp_path
     exp = dict(zip(oracle["repo"], oracle["seq"]))
     got = {r["repo"]: r["seq"] for r in state.select(["repo", "seq"]).to_pylist()}
     assert got == exp
+
+
+def test_time_travel_reads_prior_commit(ray_session, changelog_dir, tmp_path):
+    """as_of the first commit's watermark must reproduce the prefix-only
+    oracle state: later updates revert, later tombstones un-delete."""
+    import os
+    import shutil
+
+    out, _ = changelog_dir
+    pref = tmp_path / "prefix"
+    os.makedirs(pref)
+    shutil.copytree(os.path.join(out, "v1"), pref / "v1")
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(
+        CDCConfig(lake_dir=lake, num_partitions=8, sink_mode="delta", compact_every=99)
+    )
+    w1 = int(eng.apply(str(pref))["watermark"])
+    eng.apply(out)
+
+    _assert_matches_oracle(eng.state_table(as_of=w1), oracle_replay(str(pref)))
+    assert eng.state_dataset(as_of=w1).count() == eng.state_table(as_of=w1).num_rows
+    # as_of at/above the current watermark is just the current state
+    _assert_matches_oracle(
+        eng.state_table(as_of=1 << 60), oracle_replay(out)
+    )
+
+
+def test_time_travel_guards(ray_session, changelog_dir, tmp_path):
+    """Snapshot-mode lakes and compacted-away history must refuse."""
+    out, _ = changelog_dir
+
+    snap = str(tmp_path / "snap_lake")
+    eng = CDCEngine(CDCConfig(lake_dir=snap, num_partitions=8))
+    eng.apply(out)
+    with pytest.raises(ValueError, match="history"):
+        eng.state_table(as_of=1)
+
+    # compacted delta lake: history below the compaction floor is gone
+    import os
+    import shutil
+
+    pref = tmp_path / "prefix"
+    os.makedirs(pref)
+    shutil.copytree(os.path.join(out, "v1"), pref / "v1")
+    comp = str(tmp_path / "comp_lake")
+    eng2 = CDCEngine(
+        CDCConfig(lake_dir=comp, num_partitions=8, sink_mode="delta", compact_every=99)
+    )
+    w1 = int(eng2.apply(str(pref))["watermark"])
+    eng2.apply(out)
+    from sapray.sink import compact_partition
+
+    for p in sorted(read_manifests(comp)):
+        compact_partition(comp, p)
+    with pytest.raises(ValueError, match="history"):
+        eng2.state_table(as_of=w1)
