@@ -2,7 +2,8 @@
 
     python -m sapray.cli apply --changelog DIR --lake DIR [options]
     python -m sapray.cli compact --lake DIR [--partitions 0,1,2]
-    python -m sapray.cli state --lake DIR [--limit N]
+    python -m sapray.cli state --lake DIR [--limit N] [--as-of W]
+    python -m sapray.cli changes --lake DIR [--since W] [--until W2]
 
 On a cluster this module is the job driver: ``ray job submit --
 python -m sapray.cli apply ...`` (the job connects to the cluster's
@@ -88,6 +89,24 @@ def cmd_state(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_changes(args: argparse.Namespace) -> int:
+    from sapray.config import CDCConfig
+    from sapray.pipeline import CDCEngine
+
+    _init_ray(args.num_cpus)
+    eng = CDCEngine(CDCConfig(lake_dir=args.lake))
+    ds = eng.changes_dataset(since=args.since, until=args.until)
+    n = ds.count()
+    out = {"rows": n}
+    if args.limit:
+        out["sample"] = [
+            {k: v for k, v in r.items() if k != "content"}
+            for r in ds.take(args.limit)
+        ]
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="sapray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -118,6 +137,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="time-travel a delta-mode lake to this commit watermark")
     st.add_argument("--num-cpus", type=int, default=None)
     st.set_defaults(fn=cmd_state)
+
+    ch = sub.add_parser(
+        "changes", help="change-data-feed of a delta-mode lake"
+    )
+    ch.add_argument("--lake", required=True)
+    ch.add_argument("--since", type=int, default=-1,
+                    help="exclusive lower seq bound (a commit watermark)")
+    ch.add_argument("--until", type=int, default=None,
+                    help="inclusive upper seq bound (default: current)")
+    ch.add_argument("--limit", type=int, default=0)
+    ch.add_argument("--num-cpus", type=int, default=None)
+    ch.set_defaults(fn=cmd_changes)
 
     args = ap.parse_args(argv)
     rc = args.fn(args)

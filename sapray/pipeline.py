@@ -143,6 +143,19 @@ def _merge_salted_winners(winners: pa.Table) -> pa.Table:
     return winners.take(pa.array(np.sort(order[last])))
 
 
+def _changes_schema() -> pa.Schema:
+    """Change-feed row schema: STATE_SCHEMA + change_op ('U'/'D').
+    Tombstone rows carry null payload columns, so every not-null payload
+    field is relaxed to nullable (keys/seq stay required)."""
+    from sapray.transform import STATE_SCHEMA
+
+    fields = [
+        f if f.name in ("repo", "path", "seq") else f.with_nullable(True)
+        for f in STATE_SCHEMA
+    ]
+    return pa.schema(fields).append(pa.field("change_op", pa.string()))
+
+
 class CDCEngine:
     """Driver-facing engine handle. Does NOT own the Ray session."""
 
@@ -464,6 +477,56 @@ class CDCEngine:
             )
 
         return parts.map_batches(load, batch_format="pyarrow", batch_size=4)
+
+    def changes_dataset(
+        self, since: int = -1, until: int | None = None
+    ) -> ray.data.Dataset:
+        """Change-data-feed: the committed change stream (upserts +
+        tombstones, ``change_op`` column) with ``since < seq <= until``,
+        as a streaming Dataset — one read task per partition, delta files
+        pruned by their name watermark (see
+        ``sink.read_partition_changes``). ``state(as_of=a)`` merged with
+        ``changes(a, b)`` reproduces ``state(as_of=b)`` exactly."""
+        from sapray.schema import normalize_table
+        from sapray.sink import read_manifest, read_partition_changes
+
+        cfg = self.cfg
+        manifests = read_manifests(cfg.lake_dir)
+        schema = _changes_schema()
+        if not manifests:
+            return ray.data.from_arrow(schema.empty_table())
+        lake_dir, seq_column = cfg.lake_dir, cfg.seq_column
+        parts = ray.data.from_items([{"part": p} for p in sorted(manifests)])
+
+        def load(batch: pa.Table) -> pa.Table:
+            tables = []
+            for p in batch.column("part").to_pylist():
+                t = read_partition_changes(
+                    lake_dir, int(p), read_manifest(lake_dir, int(p)),
+                    seq_column, since=since, until=until,
+                )
+                if t is not None and t.num_rows:
+                    tables.append(normalize_table(t, schema))
+            return pa.concat_tables(tables) if tables else schema.empty_table()
+
+        return parts.map_batches(load, batch_format="pyarrow", batch_size=4)
+
+    def changes_table(self, since: int = -1, until: int | None = None) -> pa.Table:
+        """Whole change feed as one Arrow table — tests/small scales only."""
+        from sapray.schema import normalize_table
+        from sapray.sink import read_partition_changes
+
+        manifests = read_manifests(self.cfg.lake_dir)
+        schema = _changes_schema()
+        tables = []
+        for p in sorted(manifests):
+            t = read_partition_changes(
+                self.cfg.lake_dir, p, manifests[p],
+                self.cfg.seq_column, since=since, until=until,
+            )
+            if t is not None and t.num_rows:
+                tables.append(normalize_table(t, schema))
+        return pa.concat_tables(tables) if tables else schema.empty_table()
 
     def state_table(self, as_of: int | None = None) -> pa.Table:
         """Whole committed lake as one Arrow table — tests/small scales only."""

@@ -1564,14 +1564,14 @@ def cdc_replay_delta(sf_dir: str):
     return state.select(["repo", "path", "commit", "seq", "content_sha256"])
 
 
-def cdc_time_travel(sf_dir: str):
-    """TIME-TRAVEL read of a delta-mode lake: apply the changelog in two
-    incremental commits (first the v1 DDIC segment, then the rest with
-    watermark resume skipping the already-applied events), then read the
-    state ``as_of`` the FIRST commit's watermark — later updates and
-    tombstones revert to their commit-1 values. The oracle replays only
-    the v1 segment's events, which is exactly the state at that commit
-    boundary (segment seq ranges are disjoint and increasing)."""
+def _two_commit_delta_lake(sf_dir: str, lake_name: str):
+    """Build a delta-mode lake in TWO incremental commits: first the v1
+    DDIC segment alone, then the full changelog with watermark resume
+    skipping the already-applied events. Returns ``(engine, w1)`` where
+    ``w1`` is the first commit's watermark — the boundary both the
+    time-travel and change-feed queries pivot on (segment seq ranges are
+    disjoint and increasing, so commit 2 applies exactly the v2+
+    events)."""
     name = os.path.basename(os.path.normpath(sf_dir))
     cl_dir = _changelog_dir_for(sf_dir)
     generate_changelog(sf_dir, cl_dir, n_updates=3000)
@@ -1580,17 +1580,62 @@ def cdc_time_travel(sf_dir: str):
     shutil.rmtree(stage1, ignore_errors=True)
     os.makedirs(stage1)
     os.symlink(os.path.join(cl_dir, "v1"), os.path.join(stage1, "v1"))
-    lake = os.path.join(ORACLE_TMP, name, "lake_tt")
+    lake = os.path.join(ORACLE_TMP, name, lake_name)
     shutil.rmtree(lake, ignore_errors=True)
     eng = CDCEngine(
         CDCConfig(lake_dir=lake, num_partitions=16, sink_mode="delta",
                   compact_every=1000)  # keep the full delta history
     )
     s1 = eng.apply(stage1)
-    w1 = int(s1["watermark"])
-    eng.apply(cl_dir)  # commits 2+: remaining segments via resume
+    eng.apply(cl_dir)  # commit 2: remaining segments via resume
+    return eng, int(s1["watermark"])
+
+
+def cdc_time_travel(sf_dir: str):
+    """TIME-TRAVEL read of a delta-mode lake: read the state ``as_of``
+    the FIRST commit's watermark — later updates and tombstones revert
+    to their commit-1 values. The oracle replays only the v1 segment's
+    events, which is exactly the state at that commit boundary."""
+    eng, w1 = _two_commit_delta_lake(sf_dir, "lake_tt")
     state = eng.state_table(as_of=w1)
     return state.select(["repo", "path", "commit", "seq", "content_sha256"])
+
+
+def cdc_change_feed(sf_dir: str):
+    """CHANGE-DATA-FEED of a delta-mode lake: the committed change stream
+    (per-key winners + tombstones, ``change_op`` column) between the
+    first commit's watermark and now. The oracle recomputes commit 2's
+    winners directly from the changelog: per-key arg_max over the events
+    with seq above the v1 segment's max — exactly what resume applied and
+    the delta sink stored."""
+    eng, w1 = _two_commit_delta_lake(sf_dir, "lake_cdf")
+    feed = eng.changes_table(since=w1)
+    return feed.select(
+        ["repo", "path", "commit", "seq", "change_op", "content_sha256"]
+    )
+
+
+def _change_feed_sql(sf_name: str) -> str:
+    glob_all = os.path.join(ORACLE_TMP, sf_name, "changelog", "v*", "*.parquet")
+    glob_v1 = os.path.join(ORACLE_TMP, sf_name, "changelog", "v1", "*.parquet")
+    return f"""
+WITH ev AS (
+  SELECT seq, op, repo, path, commit, content
+  FROM read_parquet('{glob_all}', union_by_name=true)
+  WHERE seq > (SELECT max(seq) FROM read_parquet('{glob_v1}', union_by_name=true))
+), last AS (
+  SELECT repo, path,
+         max(seq)              AS seq,
+         arg_max(op, seq)      AS last_op,
+         arg_max(commit, seq)  AS commit,
+         arg_max(content, seq) AS content
+  FROM ev GROUP BY repo, path
+)
+SELECT repo, path, commit, seq,
+       CASE WHEN last_op = 'D' THEN 'D' ELSE 'U' END AS change_op,
+       CASE WHEN last_op = 'D' THEN NULL ELSE sha256(content) END AS content_sha256
+FROM last
+"""
 
 
 def _time_travel_sql(sf_name: str) -> str:
@@ -1715,4 +1760,5 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "cdc_replay_flagship": {"fn": cdc_replay_flagship, "sql": _flagship_sql(sf_name)},
         "cdc_replay_delta": {"fn": cdc_replay_delta, "sql": _flagship_sql(sf_name)},
         "cdc_time_travel": {"fn": cdc_time_travel, "sql": _time_travel_sql(sf_name)},
+        "cdc_change_feed": {"fn": cdc_change_feed, "sql": _change_feed_sql(sf_name)},
     }

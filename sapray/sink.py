@@ -129,6 +129,65 @@ def read_partition_state(
     return merge_delta_states(tables, key_columns, seq_column)
 
 
+def read_partition_changes(
+    lake_dir: str,
+    part: int,
+    manifest: dict | None,
+    seq_column: str = "seq",
+    since: int = -1,
+    until: int | None = None,
+) -> pa.Table | None:
+    """Change-data-feed for one partition: the ordered stream of committed
+    change rows (upserts + tombstones) with ``since < seq <= until``.
+
+    Delta-mode lakes store exactly these rows — each commit appends its
+    window's per-key winners — so the feed is a metadata-pruned scan of
+    the delta files (a file whose name watermark is <= ``since`` cannot
+    contain feed rows), no merge. Rows superseded *within* one commit
+    window never existed in the lake, same boundary-exactness contract as
+    time travel. Output adds ``change_op`` ('U' upsert / 'D' delete) and
+    is seq-ordered. Raises when ``since`` predates the retained history
+    (snapshot-mode lakes keep none; compaction folds history up to its
+    watermark)."""
+    import pyarrow.compute as pc
+
+    if not manifest or not manifest.get("files"):
+        return None
+    if manifest.get("mode") != "delta":
+        # a fully-compacted delta partition is indistinguishable from a
+        # snapshot one (compaction rewrites the manifest in snapshot form)
+        raise ValueError(
+            f"partition {part}: no change history retained "
+            "(snapshot mode or fully compacted)"
+        )
+    floor = _history_floor(manifest["files"])
+    if since < floor:
+        raise ValueError(
+            f"partition {part}: change history compacted up to seq {floor}"
+        )
+    pdir = _part_dir(lake_dir, part)
+    tables = []
+    for f in manifest["files"]:
+        # name watermark upper-bounds the file's seqs; base snapshots
+        # (data-w…) hold only folded history at/below the floor <= since
+        if f.startswith("data-w") or int(f.split("-")[1][1:]) <= since:
+            continue
+        t = pq.read_table(os.path.join(pdir, f))
+        seq = t.column(seq_column)
+        mask = pc.greater(seq, since)
+        if until is not None:
+            mask = pc.and_(mask, pc.less_equal(seq, until))
+        tables.append(t.filter(mask))
+    if not tables:
+        return None
+    feed = pa.concat_tables(tables, promote_options="default")
+    is_del = feed.column("is_delete").combine_chunks()
+    change_op = pc.if_else(is_del, "D", "U")
+    feed = feed.drop_columns(["is_delete"]).append_column("change_op", change_op)
+    order = pc.sort_indices(feed.column(seq_column))
+    return feed.take(order)
+
+
 def merge_delta_states(
     tables: list[pa.Table],
     key_columns: tuple[str, ...] = ("repo", "path"),

@@ -169,6 +169,79 @@ def test_time_travel_reads_prior_commit(ray_session, changelog_dir, tmp_path):
     )
 
 
+def _feed_as_delta(feed: pa.Table) -> pa.Table:
+    """Change-feed rows back in delta-file form (is_delete flag)."""
+    import pyarrow.compute as pc
+
+    is_del = pc.equal(feed.column("change_op"), "D").combine_chunks()
+    return feed.drop_columns(["change_op"]).append_column("is_delete", is_del)
+
+
+def test_change_feed_reconstructs_state(ray_session, changelog_dir, tmp_path):
+    """state(as_of=w1) LWW-merged with changes(w1 -> now) must equal the
+    current state exactly — the defining property of a change feed."""
+    import os
+    import shutil
+
+    out, _ = changelog_dir
+    pref = tmp_path / "prefix"
+    os.makedirs(pref)
+    shutil.copytree(os.path.join(out, "v1"), pref / "v1")
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(
+        CDCConfig(lake_dir=lake, num_partitions=8, sink_mode="delta", compact_every=99)
+    )
+    w1 = int(eng.apply(str(pref))["watermark"])
+    eng.apply(out)
+
+    feed = eng.changes_table(since=w1)
+    assert feed.num_rows > 0
+    assert set(feed.column("change_op").to_pylist()) <= {"U", "D"}
+    # every feed row postdates the boundary
+    assert min(feed.column("seq").to_pylist()) > w1
+    reconstructed = merge_delta_states(
+        [eng.state_table(as_of=w1), _feed_as_delta(feed)]
+    )
+    _assert_matches_oracle(reconstructed, oracle_replay(out))
+
+    # until-bounded feed from the beginning == the first commit's state
+    first = merge_delta_states([_feed_as_delta(eng.changes_table(until=w1))])
+    _assert_matches_oracle(first, oracle_replay(str(pref)))
+
+    # streaming read agrees with the table read
+    assert eng.changes_dataset(since=w1).count() == feed.num_rows
+
+
+def test_change_feed_guards(ray_session, changelog_dir, tmp_path):
+    """Snapshot-mode lakes and compacted-away history must refuse."""
+    out, _ = changelog_dir
+    snap = str(tmp_path / "snap_lake")
+    eng = CDCEngine(CDCConfig(lake_dir=snap, num_partitions=8))
+    eng.apply(out)
+    with pytest.raises(ValueError, match="no change history"):
+        eng.changes_table()
+
+    import os
+    import shutil
+
+    pref = tmp_path / "prefix"
+    os.makedirs(pref)
+    shutil.copytree(os.path.join(out, "v1"), pref / "v1")
+    comp = str(tmp_path / "comp_lake")
+    eng2 = CDCEngine(
+        CDCConfig(lake_dir=comp, num_partitions=8, sink_mode="delta", compact_every=99)
+    )
+    eng2.apply(str(pref))
+    eng2.apply(out)
+    from sapray.sink import compact_partition
+
+    for p in sorted(read_manifests(comp)):
+        compact_partition(comp, p)
+    with pytest.raises(ValueError, match="no change history|compacted"):
+        eng2.changes_table(since=-1)
+
+
 def test_time_travel_guards(ray_session, changelog_dir, tmp_path):
     """Snapshot-mode lakes and compacted-away history must refuse."""
     out, _ = changelog_dir
