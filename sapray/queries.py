@@ -1615,6 +1615,59 @@ def cdc_change_feed(sf_dir: str):
     )
 
 
+def incremental_view_repo_stats(sf_dir: str):
+    """INCREMENTAL MATERIALIZED VIEW: per-repo file-count + total
+    content length, materialized at the first commit's watermark and
+    then advanced to the current state using ONLY the change feed plus
+    one pre-image semi-join against the old state (`view.py`) — the lake
+    is never re-aggregated. The oracle recomputes the same view directly
+    from the full replay, so any drift in the incremental maintenance
+    (missed retraction, double-counted addition, surviving empty group)
+    hash-mismatches."""
+    import pyarrow.compute as pc
+
+    from sapray.view import incremental_group_view
+
+    eng, w1 = _two_commit_delta_lake(sf_dir, "lake_ivm")
+
+    def prepare(ds):
+        def add_sz(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "__sz", pc.cast(pc.utf8_length(b.column("content")), pa.int64())
+            )
+
+        return ds.map_batches(add_sz, batch_format="pyarrow")
+
+    spec = {"n_files": (None, "count"), "total_bytes": ("__sz", "sum")}
+    view, _ = incremental_group_view(
+        eng, "repo", spec, since=w1, prepare=prepare
+    )
+    # partial-merge arithmetic runs in float64 (exact below 2^53);
+    # restore the integer dtype for the value-hash compare
+    i = view.schema.get_field_index("total_bytes")
+    return view.set_column(
+        i, "total_bytes", pc.cast(pc.round(view.column("total_bytes")), pa.int64())
+    )
+
+
+def _incremental_view_sql(sf_name: str) -> str:
+    glob_all = os.path.join(ORACLE_TMP, sf_name, "changelog", "v*", "*.parquet")
+    return f"""
+WITH ev AS (
+  SELECT seq, op, repo, path, content
+  FROM read_parquet('{glob_all}', union_by_name=true)
+), last AS (
+  SELECT repo, path,
+         arg_max(op, seq)      AS last_op,
+         arg_max(content, seq) AS content
+  FROM ev GROUP BY repo, path
+)
+SELECT repo, count(*) AS n_files,
+       CAST(sum(length(content)) AS BIGINT) AS total_bytes
+FROM last WHERE last_op <> 'D' GROUP BY repo
+"""
+
+
 def _change_feed_sql(sf_name: str) -> str:
     glob_all = os.path.join(ORACLE_TMP, sf_name, "changelog", "v*", "*.parquet")
     glob_v1 = os.path.join(ORACLE_TMP, sf_name, "changelog", "v1", "*.parquet")
@@ -1761,4 +1814,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "cdc_replay_delta": {"fn": cdc_replay_delta, "sql": _flagship_sql(sf_name)},
         "cdc_time_travel": {"fn": cdc_time_travel, "sql": _time_travel_sql(sf_name)},
         "cdc_change_feed": {"fn": cdc_change_feed, "sql": _change_feed_sql(sf_name)},
+        "incremental_view_repo_stats": {
+            "fn": incremental_view_repo_stats, "sql": _incremental_view_sql(sf_name),
+        },
     }

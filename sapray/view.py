@@ -1,0 +1,142 @@
+"""Incremental materialized-view maintenance (IVM) over the change feed.
+
+The canonical consumer of a CDC change feed: a grouped-aggregate view
+``V_a = agg(state(as_of=a))`` is advanced to watermark ``b`` WITHOUT
+rescanning or re-aggregating the lake:
+
+    V_b  =  V_a  (+)  agg(additions)  (-)  agg(retractions)
+
+* ``additions``   — the upsert rows of ``changes(a, b)`` (post-images).
+* ``retractions`` — the ``state(as_of=a)`` rows whose key appears in the
+  feed. The delta sink stores post-images only (appliers never read
+  prior state), so pre-images are recovered here with one keyed
+  semi-join against the old state — a broadcast of the feed's key set
+  and a ``pc.is_in`` filter scan, no shuffle (`ops.semi_join_filter`).
+
+Scale contract: the feed window between two view refreshes is small
+relative to the lake (that is the point of incremental maintenance), so
+its key set broadcasts; the old state is only *scanned and filtered*,
+never shuffled, and each side pre-aggregates per batch before the tiny
+per-group exchange (`ops.grouped_aggregate`). Supported aggregates are
+the self-decomposable ``count`` / ``sum`` / ``mean`` (mean via
+sum+count); groups whose row count reaches zero are dropped, matching
+SQL ``GROUP BY`` over the new state.
+
+The reference has no IVM analog (it implements no aggregations at all —
+``SapODataSource.java`` is a source + per-record transform); this
+operator exists because the engine's north rule is a CDC lake, and a
+maintained aggregate is what such feeds are for.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from sapray.ops import AggSpec, grouped_aggregate, semi_join_filter
+
+_KEY = "__ivm_key"
+
+
+def _decompose(spec: AggSpec) -> AggSpec:
+    """count/sum partials for the requested aggregates (mean -> both)."""
+    out: AggSpec = {}
+    for name, (col, kind) in spec.items():
+        if kind == "count":
+            out[name] = (None, "count")
+        elif kind == "sum":
+            out[name] = (col, "sum")
+        elif kind == "mean":
+            out[f"__sum_{name}"] = (col, "sum")
+            out.setdefault("__cnt", (None, "count"))
+        else:
+            raise ValueError(
+                f"aggregate {kind!r} is not incrementally maintainable "
+                "(self-decomposable count/sum/mean only)"
+            )
+    # a row-count partial is always carried to drop emptied groups
+    out.setdefault("__n", (None, "count"))
+    return out
+
+
+def _finalize(df: pd.DataFrame, spec: AggSpec, group: str) -> pa.Table:
+    df = df[df["__n"] > 0]
+    cols: dict[str, object] = {group: df[group]}
+    for name, (col, kind) in spec.items():
+        if kind == "count":
+            cols[name] = df[name].astype("int64")
+        elif kind == "sum":
+            cols[name] = df[name]
+        else:  # mean
+            cols[name] = df[f"__sum_{name}"] / df["__cnt"]
+    return pa.Table.from_pydict({k: pa.array(v) for k, v in cols.items()})
+
+
+def incremental_group_view(
+    eng,
+    group: str,
+    spec: AggSpec,
+    since: int,
+    until: int | None = None,
+    base_partials: pd.DataFrame | None = None,
+    prepare: Callable[[ray.data.Dataset], ray.data.Dataset] | None = None,
+) -> tuple[pa.Table, pd.DataFrame]:
+    """Advance the grouped view of ``eng``'s lake from watermark
+    ``since`` to ``until`` using only the change feed + one filtered
+    scan of the old state. ``prepare`` (optional) derives columns on
+    both streams before aggregation (e.g. a length column). Returns
+    ``(view, partials)``: the finalized view (one row per surviving
+    group) and the count/sum partials to pass back as ``base_partials``
+    on the next refresh — a chained refresh touches the OLD STATE only
+    for pre-images, never to re-aggregate. When ``base_partials`` is
+    omitted the base is materialized once from
+    ``state_dataset(as_of=since)``."""
+    import pyarrow.compute as pc
+
+    partials = _decompose(spec)
+
+    def agg_df(ds: ray.data.Dataset) -> pd.DataFrame:
+        if prepare is not None:
+            ds = prepare(ds)
+        return grouped_aggregate(ds, [group], partials).to_pandas()
+
+    if base_partials is None:
+        base_partials = agg_df(eng.state_dataset(as_of=since))
+
+    feed = eng.changes_table(since=since, until=until)
+    if feed.num_rows == 0:
+        return _finalize(base_partials, spec, group), base_partials
+
+    from sapray.hashing import composite_key
+
+    key_cols = eng.cfg.key_columns
+    feed_keys = pc.unique(composite_key(feed, key_cols))
+
+    additions = feed.filter(pc.equal(feed.column("change_op"), "U"))
+    add_df = agg_df(ray.data.from_arrow(additions)) if additions.num_rows else None
+
+    def tag_keys(batch: pa.Table) -> pa.Table:
+        return batch.append_column(_KEY, composite_key(batch, key_cols))
+
+    retract_ds = semi_join_filter(
+        eng.state_dataset(as_of=since).map_batches(
+            tag_keys, batch_format="pyarrow"
+        ),
+        feed_keys,
+        _KEY,
+    ).drop_columns([_KEY])
+    ret_df = agg_df(retract_ds)
+
+    merged = base_partials.set_index(group)
+    numeric = list(merged.columns)
+    if add_df is not None and len(add_df):
+        merged = merged.add(add_df.set_index(group)[numeric], fill_value=0)
+    if len(ret_df):
+        merged = merged.sub(ret_df.set_index(group)[numeric], fill_value=0)
+    out = merged.reset_index()
+    out = out[out["__n"] > 0].reset_index(drop=True)
+    return _finalize(out, spec, group), out
