@@ -6,21 +6,28 @@ rescanning or re-aggregating the lake:
 
     V_b  =  V_a  (+)  agg(additions)  (-)  agg(retractions)
 
-* ``additions``   — the upsert rows of ``changes(a, b)`` (post-images).
+* The feed is first LWW-reduced to ONE row per key (a window spanning
+  several commits carries one post-image per touched commit; only the
+  final one is the key's state at ``b``, and the single pre-image
+  retraction must pair with exactly one addition).
+* ``additions``   — the surviving upsert rows (post-images).
 * ``retractions`` — the ``state(as_of=a)`` rows whose key appears in the
   feed. The delta sink stores post-images only (appliers never read
-  prior state), so pre-images are recovered here with one keyed
-  semi-join against the old state — a broadcast of the feed's key set
-  and a ``pc.is_in`` filter scan, no shuffle (`ops.semi_join_filter`).
+  prior state), so pre-images are recovered with a broadcast of the
+  feed's key set and a ``pc.is_in`` filter over the old state — no
+  shuffle.
 
 Scale contract: the feed window between two view refreshes is small
 relative to the lake (that is the point of incremental maintenance), so
 its key set broadcasts; the old state is only *scanned and filtered*,
 never shuffled, and each side pre-aggregates per batch before the tiny
-per-group exchange (`ops.grouped_aggregate`). Supported aggregates are
-the self-decomposable ``count`` / ``sum`` / ``mean`` (mean via
-sum+count); groups whose row count reaches zero are dropped, matching
-SQL ``GROUP BY`` over the new state.
+per-group exchange (`ops.grouped_aggregate`). A cold refresh (no
+``base_partials``) computes the base aggregate AND the retractions in
+ONE pass over the old state (masked-column partials), so the lake is
+merge-on-read-scanned exactly once. Supported aggregates are the
+self-decomposable ``count`` / ``sum`` / ``mean`` (mean via sum+count);
+groups whose row count reaches zero are dropped, matching SQL
+``GROUP BY`` over the new state.
 
 The reference has no IVM analog (it implements no aggregations at all —
 ``SapODataSource.java`` is a source + per-record transform); this
@@ -32,12 +39,14 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data
 
-from sapray.ops import AggSpec, grouped_aggregate, semi_join_filter
+from sapray.ops import AggSpec, _cached_broadcast, grouped_aggregate, semi_join_filter
 
 _KEY = "__ivm_key"
 
@@ -76,6 +85,57 @@ def _finalize(df: pd.DataFrame, spec: AggSpec, group: str) -> pa.Table:
     return pa.Table.from_pydict({k: pa.array(v) for k, v in cols.items()})
 
 
+def _base_and_retractions(
+    eng,
+    group: str,
+    partials: AggSpec,
+    feed_keys: pa.Array,
+    since: int,
+    prepare,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """ONE pass over state(as_of=since) producing both the base partials
+    and the retraction partials: each per-row source column is summed
+    twice, once unmasked and once masked to feed-key rows."""
+    import pyarrow.compute as pc
+
+    from sapray.hashing import composite_key
+
+    key_cols = eng.cfg.key_columns
+    ref = ray.put(feed_keys)
+
+    sum_spec: AggSpec = {}
+    for name in partials:
+        sum_spec[name] = (f"__row_{name}", "sum")
+        sum_spec[f"__ret__{name}"] = (f"__ret_row_{name}", "sum")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ks = _cached_broadcast(ref, lambda k: k)
+        in_feed = pc.is_in(composite_key(batch, key_cols), value_set=ks)
+        for name, (col, kind) in partials.items():
+            row = (
+                pa.array(np.ones(batch.num_rows, dtype=np.int64))
+                if kind == "count"
+                else batch.column(col).combine_chunks()
+            )
+            batch = batch.append_column(f"__row_{name}", row)
+            batch = batch.append_column(
+                f"__ret_row_{name}",
+                pc.if_else(in_feed, row, pa.scalar(0, type=row.type)),
+            )
+        return batch
+
+    ds = eng.state_dataset(as_of=since)
+    if prepare is not None:
+        ds = prepare(ds)
+    ds = ds.map_batches(expand, batch_format="pyarrow")
+    df = grouped_aggregate(ds, [group], sum_spec).to_pandas()
+    base = df[[group, *partials]]
+    ret = df[[group, *(f"__ret__{n}" for n in partials)]].rename(
+        columns={f"__ret__{n}": n for n in partials}
+    )
+    return base, ret
+
+
 def incremental_group_view(
     eng,
     group: str,
@@ -93,9 +153,11 @@ def incremental_group_view(
     group) and the count/sum partials to pass back as ``base_partials``
     on the next refresh — a chained refresh touches the OLD STATE only
     for pre-images, never to re-aggregate. When ``base_partials`` is
-    omitted the base is materialized once from
-    ``state_dataset(as_of=since)``."""
+    omitted, base + retractions come from a single combined pass."""
     import pyarrow.compute as pc
+
+    from sapray.hashing import composite_key
+    from sapray.partition import lww_reduce
 
     partials = _decompose(spec)
 
@@ -104,32 +166,38 @@ def incremental_group_view(
             ds = prepare(ds)
         return grouped_aggregate(ds, [group], partials).to_pandas()
 
-    if base_partials is None:
-        base_partials = agg_df(eng.state_dataset(as_of=since))
-
     feed = eng.changes_table(since=since, until=until)
     if feed.num_rows == 0:
+        if base_partials is None:
+            base_partials = agg_df(eng.state_dataset(as_of=since))
         return _finalize(base_partials, spec, group), base_partials
 
-    from sapray.hashing import composite_key
-
+    # one row per key: only the final post-image is the key's state at
+    # the window end; earlier intra-window images must not be counted
     key_cols = eng.cfg.key_columns
-    feed_keys = pc.unique(composite_key(feed, key_cols))
+    feed = lww_reduce(feed, key_cols, eng.cfg.seq_column)
+    feed_keys = composite_key(feed, key_cols)
 
     additions = feed.filter(pc.equal(feed.column("change_op"), "U"))
     add_df = agg_df(ray.data.from_arrow(additions)) if additions.num_rows else None
 
-    def tag_keys(batch: pa.Table) -> pa.Table:
-        return batch.append_column(_KEY, composite_key(batch, key_cols))
+    if base_partials is None:
+        base_partials, ret_df = _base_and_retractions(
+            eng, group, partials, feed_keys, since, prepare
+        )
+    else:
 
-    retract_ds = semi_join_filter(
-        eng.state_dataset(as_of=since).map_batches(
-            tag_keys, batch_format="pyarrow"
-        ),
-        feed_keys,
-        _KEY,
-    ).drop_columns([_KEY])
-    ret_df = agg_df(retract_ds)
+        def tag_keys(batch: pa.Table) -> pa.Table:
+            return batch.append_column(_KEY, composite_key(batch, key_cols))
+
+        retract_ds = semi_join_filter(
+            eng.state_dataset(as_of=since).map_batches(
+                tag_keys, batch_format="pyarrow"
+            ),
+            feed_keys,
+            _KEY,
+        ).drop_columns([_KEY])
+        ret_df = agg_df(retract_ds)
 
     merged = base_partials.set_index(group)
     numeric = list(merged.columns)

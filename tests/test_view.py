@@ -143,6 +143,58 @@ def test_emptied_group_is_dropped(ray_session, tmp_path):
     assert _as_dict(view) == {"a": (1, 8)}
 
 
+def test_multi_commit_window_counts_each_key_once(ray_session, tmp_path):
+    """Regression: a refresh window spanning several commits carries one
+    post-image of the same key per touched commit; only the final one may
+    be added (and exactly one retraction paired), else sums double-count."""
+    from sapray.changelog import _events_chunk
+
+    def chunk(seqs, ops, repos, paths, contents):
+        return _events_chunk(
+            np.array(repos, dtype=object),
+            np.array(paths, dtype=object),
+            np.array(["py"] * len(seqs), dtype=object),
+            np.array(contents, dtype=object),
+            np.array(seqs, dtype=np.int64),
+            np.array(ops, dtype=object),
+            schema_ver=2,
+        )
+
+    cl = str(tmp_path / "cl")
+    for seg, rows in (
+        ("v1", ([1, 2], ["I", "I"], ["a", "a"], ["x.py", "y.py"], ["aa", "bbbb"])),
+        # x.py rewritten in BOTH later commits; y.py deleted then re-created
+        ("v2", ([3, 4], ["U", "D"], ["a", "a"], ["x.py", "y.py"], ["cccccc", None])),
+        ("v3", ([5, 6], ["U", "I"], ["a", "a"], ["x.py", "y.py"], ["d", "ee"])),
+    ):
+        os.makedirs(os.path.join(cl, seg))
+        pq.write_table(chunk(*rows), os.path.join(cl, seg, "chunk-0.parquet"))
+
+    stages = []
+    for i, segs in enumerate((["v1"], ["v1", "v2"]), start=1):
+        d = tmp_path / f"mstage{i}"
+        os.makedirs(d)
+        for s in segs:
+            shutil.copytree(os.path.join(cl, s), d / s)
+        stages.append(str(d))
+
+    eng = CDCEngine(
+        CDCConfig(
+            lake_dir=str(tmp_path / "lake"),
+            num_partitions=4,
+            sink_mode="delta",
+            compact_every=99,
+        )
+    )
+    w1 = int(eng.apply(stages[0])["watermark"])
+    eng.apply(stages[1])  # commit 2: v2 only (resume filters seq > w1)
+    eng.apply(cl)  # commit 3: v3 — two commits inside one refresh window
+
+    view, _ = incremental_group_view(eng, "repo", SPEC, since=w1, prepare=_prepare)
+    # final state: x.py="d" (1 byte), y.py="ee" (2 bytes)
+    assert _as_dict(view) == {"a": (2, 3)}
+
+
 def test_unsupported_aggregate_refused(ray_session, changelog_dir, tmp_path):
     out, _ = changelog_dir
     lake = str(tmp_path / "lake")
