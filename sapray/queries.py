@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from sapray import dedup, ops, similarity, text
+from sapray import dedup, ops, similarity, text, window
 from sapray.changelog import generate_changelog
 from sapray.config import CDCConfig
 from sapray.pipeline import CDCEngine
@@ -684,6 +684,180 @@ def _langid_sql() -> str:
 
 
 LANGID_DOCS_SQL = _langid_sql()
+
+
+def pii_redact_docs(sf_dir: str):
+    """PII scrubbing over an augmented corpus: the fixture docs carry no
+    emails/IPs/phones, so both sides append a deterministic contact line
+    derived from doc_id — the redactor then has real matches to replace,
+    and the output (redacted text + per-kind counts) is hash-exact
+    against DuckDB running the same RE2 patterns."""
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.string())
+        aug = pc.binary_join_element_wise(
+            batch.column("text"),
+            " u",
+            ids,
+            "@ex.com 10.1.",
+            pc.cast(_mod(batch.column("doc_id"), 250), pa.string()),
+            ".7 +1 555-0123",
+            "",
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "text": aug})
+
+    ds = ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(text.PiiRedact, batch_format="pyarrow", concurrency=(1, 2))
+    return out.select_columns(
+        ["doc_id", "redacted", "n_emails", "n_ips", "n_phones"]
+    )
+
+
+def _pii_sql() -> str:
+    from sapray.text import PiiRedact as P
+
+    aug = (
+        "text || ' u' || CAST(doc_id AS VARCHAR) || '@ex.com 10.1.' || "
+        "CAST(doc_id % 250 AS VARCHAR) || '.7 +1 555-0123'"
+    )
+    red = aug
+    for pattern, token in ((P.EMAIL, "<EMAIL>"), (P.IPV4, "<IP>"), (P.PHONE, "<PHONE>")):
+        red = f"regexp_replace({red}, '{pattern}', '{token}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all({prev}, '{pattern}')) AS {name}"
+        for name, prev, pattern in (
+            ("n_emails", aug, P.EMAIL),
+            (
+                "n_ips",
+                f"regexp_replace({aug}, '{P.EMAIL}', '<EMAIL>', 'g')",
+                P.IPV4,
+            ),
+            (
+                "n_phones",
+                f"regexp_replace(regexp_replace({aug}, '{P.EMAIL}', '<EMAIL>', 'g'),"
+                f" '{P.IPV4}', '<IP>', 'g')",
+                P.PHONE,
+            ),
+        )
+    )
+    return f"SELECT doc_id, {red} AS redacted, {counts} FROM documents"
+
+
+PII_REDACT_DOCS_SQL = _pii_sql()
+
+
+def repetition_docs(sf_dir: str):
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        text.RepetitionStats, batch_format="pyarrow", concurrency=(1, 2)
+    )
+    return out.select_columns(
+        ["doc_id", "n_words", "n_distinct_words", "max_word_repeat"]
+    )
+
+
+REPETITION_DOCS_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), per_word AS (
+  SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+)
+SELECT doc_id,
+       sum(c)::BIGINT          AS n_words,
+       count(*)::BIGINT        AS n_distinct_words,
+       max(c)::BIGINT          AS max_word_repeat
+FROM per_word GROUP BY doc_id
+"""
+
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 64, 16
+
+
+def chunk_docs(sf_dir: str):
+    """Overlapping fixed-size chunking — the flat-map (1 row -> many)
+    operator of a pretraining pipeline. Oracle re-derives every chunk
+    with a per-row generate_series + substr."""
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        text.ChunkDocs(size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+CHUNK_DOCS_SQL = f"""
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, (greatest(length(text), 1) - 1) // {_CHUNK_SIZE - _CHUNK_OVERLAP}
+         )) AS chunk_idx
+  FROM documents
+)
+SELECT doc_id, chunk_idx,
+       substr(text, chunk_idx * {_CHUNK_SIZE - _CHUNK_OVERLAP} + 1,
+              {_CHUNK_SIZE}) AS chunk_text
+FROM c
+"""
+
+
+def topk_per_group_docs(sf_dir: str):
+    """Best-k-documents-per-bucket selection (longest 5 per language,
+    deterministic doc_id tie-break) via the combiner-first grouped
+    top-k: blocks truncate locally before the one keyed exchange."""
+    ds = ops.read_projected(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+    out = window.grouped_topk(
+        ds, key="lang", order_column="n_chars", tiebreak_column="doc_id",
+        top_n=5, descending=True,
+    )
+    return out.select_columns(["lang", "doc_id", "n_chars", "rnk"])
+
+
+TOPK_PER_GROUP_DOCS_SQL = """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+           AS rnk
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, rnk FROM r WHERE rnk <= 5
+"""
+
+
+def stratified_sample_docs(sf_dir: str):
+    """Stratified sampling: exactly 10 docs per language, chosen by a
+    deterministic Knuth multiplicative hash of doc_id so the SQL oracle
+    reproduces the draw bit-exactly (same integer arithmetic). The
+    physical plan is the combiner-first grouped top-k ascending on the
+    hash — no full-table shuffle."""
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = _mod(pc.multiply(batch.column("doc_id"), pa.scalar(2654435761)),
+                 4294967296)
+        return batch.append_column("__h", h)
+
+    ds = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    out = window.grouped_topk(
+        ds, key="lang", order_column="__h", tiebreak_column="doc_id",
+        top_n=10, descending=False,
+    )
+    return out.select_columns(["lang", "doc_id", "rnk"])
+
+
+STRATIFIED_SAMPLE_DOCS_SQL = """
+WITH h AS (
+  SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS hh
+  FROM documents
+), r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rnk
+  FROM h
+)
+SELECT lang, doc_id, rnk FROM r WHERE rnk <= 10
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1762,6 +1936,15 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "token_count_docs": {"fn": token_count_docs, "sql": TOKEN_COUNT_DOCS_SQL},
         "quality_docs": {"fn": quality_docs, "sql": QUALITY_DOCS_SQL},
         "langid_docs": {"fn": langid_docs, "sql": LANGID_DOCS_SQL},
+        "pii_redact_docs": {"fn": pii_redact_docs, "sql": PII_REDACT_DOCS_SQL},
+        "repetition_docs": {"fn": repetition_docs, "sql": REPETITION_DOCS_SQL},
+        "chunk_docs": {"fn": chunk_docs, "sql": CHUNK_DOCS_SQL},
+        "topk_per_group_docs": {
+            "fn": topk_per_group_docs, "sql": TOPK_PER_GROUP_DOCS_SQL,
+        },
+        "stratified_sample_docs": {
+            "fn": stratified_sample_docs, "sql": STRATIFIED_SAMPLE_DOCS_SQL,
+        },
         "ann_topk_embeddings": {"fn": ann_topk_embeddings, "sql": ANN_TOPK_EMBEDDINGS_SQL},
         "ivf_topk_embeddings": {"fn": ivf_topk_embeddings, "sql": IVF_TOPK_EMBEDDINGS_SQL},
         "embedding_neardup": {"fn": embedding_neardup, "sql": EMBEDDING_NEARDUP_SQL},

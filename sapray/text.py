@@ -125,6 +125,137 @@ class Fingerprint:
         )
 
 
+class PiiRedact:
+    """PII scrubbing for training corpora (actor-pool stage).
+
+    Replaces emails / IPv4 addresses / phone-shaped numbers with typed
+    placeholder tokens and emits per-document match counts. Patterns are
+    RE2-compatible so a SQL oracle (DuckDB also uses RE2) reproduces the
+    redaction bit-exactly; all kernels are vectorized Arrow
+    (`replace_substring_regex` / `count_substring_regex`), no row loops.
+    The reference has no PII analog (it is a source + type transformer,
+    `SapODataSource.java`); this is an engine-added corpus operator.
+    """
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    PHONE = r"\+\d{1,3}[ -]\d{3}[ -]\d{4}"
+
+    def __init__(self, text_column: str = "text", out_column: str = "redacted"):
+        self.text_column = text_column
+        self.out_column = out_column
+        # ordered: emails first (their dotted domains must not be seen
+        # by the IP pattern), then IPs, then phones
+        self.rules = (
+            ("n_emails", self.EMAIL, "<EMAIL>"),
+            ("n_ips", self.IPV4, "<IP>"),
+            ("n_phones", self.PHONE, "<PHONE>"),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch.column(self.text_column)
+        for count_name, pattern, token in self.rules:
+            n = pc.count_substring_regex(s, pattern=pattern).cast(pa.int64())
+            s = pc.replace_substring_regex(s, pattern=pattern, replacement=token)
+            batch = batch.append_column(count_name, n)
+        return batch.append_column(self.out_column, s)
+
+
+class RepetitionStats:
+    """Gopher-style repetition signals per document (actor-pool stage).
+
+    Emits integer word-level counts — total words, distinct words, and
+    the highest single-word repeat — from which duplicate-word fraction
+    filters are thresholded. Split + explode is Arrow-vectorized; the
+    per-document distinct/max reduce is one pandas groupby over the
+    exploded (row, word) frame, not a Python loop per document.
+    """
+
+    def __init__(self, text_column: str = "text", sep: str = " "):
+        self.text_column = text_column
+        self.sep = sep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        words = pc.split_pattern(
+            batch.column(self.text_column), pattern=self.sep
+        ).combine_chunks()
+        n_words = pc.list_value_length(words).cast(pa.int64())
+        parent = np.repeat(np.arange(len(words)), n_words.to_numpy())
+        frame = pd.DataFrame(
+            {"i": parent, "w": words.flatten().to_pandas().to_numpy()}
+        )
+        per_word = frame.groupby(["i", "w"], sort=False).size()
+        by_row = per_word.groupby(level=0)
+        idx = np.arange(len(words))
+        n_distinct = by_row.size().reindex(idx, fill_value=0).to_numpy()
+        max_rep = by_row.max().reindex(idx, fill_value=0).to_numpy()
+        return (
+            batch.append_column("n_words", n_words)
+            .append_column("n_distinct_words", pa.array(n_distinct, pa.int64()))
+            .append_column("max_word_repeat", pa.array(max_rep, pa.int64()))
+        )
+
+
+class ChunkDocs:
+    """Fixed-size overlapping document chunking (rows out > rows in).
+
+    The standard training-data prep step: split each document into
+    ``size``-codepoint windows advancing by ``size - overlap``. The
+    per-batch kernel loops over CHUNK POSITIONS (a handful), not rows —
+    each position is one vectorized ``utf8_slice_codeunits`` over every
+    still-long-enough document, so a batch of 10k docs costs ~n_chunks
+    Arrow kernel calls. Emits (id, chunk_idx, chunk_text).
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        size: int = 64,
+        overlap: int = 16,
+    ):
+        if overlap >= size:
+            raise ValueError("overlap must be smaller than chunk size")
+        self.text_column = text_column
+        self.id_column = id_column
+        self.size = size
+        self.step = size - overlap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch.column(self.text_column)).to_numpy().astype(np.int64)
+        n_chunks = (np.maximum(n, 1) - 1) // self.step + 1
+        out_schema = pa.schema(
+            [
+                (self.id_column, batch.schema.field(self.id_column).type),
+                ("chunk_idx", pa.int64()),
+                ("chunk_text", pa.string()),
+            ]
+        )
+        parts = []
+        for c in range(int(n_chunks.max(initial=0))):
+            sub = batch.filter(pa.array(n_chunks > c))
+            start = c * self.step
+            parts.append(
+                pa.table(
+                    {
+                        self.id_column: sub.column(self.id_column),
+                        "chunk_idx": pa.array(
+                            np.full(len(sub), c, dtype=np.int64)
+                        ),
+                        "chunk_text": pc.utf8_slice_codeunits(
+                            sub.column(self.text_column),
+                            start=start,
+                            stop=start + self.size,
+                        ),
+                    },
+                    schema=out_schema,
+                )
+            )
+        return pa.concat_tables(parts) if parts else out_schema.empty_table()
+
+
 def analyze_documents(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
     """Full text-analysis pipeline: langid -> quality -> token counts."""
     return (

@@ -93,22 +93,66 @@ def rank_in_key(
     """
 
     def kernel(t: pa.Table) -> pa.Table:
-        codes = _key_codes(t, key)
-        order_vals = t.column(order_column).to_numpy(zero_copy_only=False)
-        tie = t.column(tiebreak_column).to_numpy(zero_copy_only=False)
-        ov = _descending_key(order_vals) if descending else order_vals
-        idx = np.lexsort((tie, ov, codes))
-        t = t.take(pa.array(idx))
-        codes = codes[idx]
-        starts = _run_starts(codes)
-        pos = np.arange(len(codes), dtype=np.int64)
-        run_start = starts[np.searchsorted(starts, pos, side="right") - 1]
-        rnk = pos - run_start + 1
-        keep = rnk <= top_n
-        out = t.filter(pa.array(keep))
-        return out.append_column(rank_name, pa.array(rnk[keep]))
+        out, rnk = _topn_sweep(t, key, order_column, tiebreak_column, top_n, descending)
+        return out.append_column(rank_name, pa.array(rnk))
 
     return partitioned_apply(ds, key, kernel, num_partitions)
+
+
+def _topn_sweep(
+    t: pa.Table,
+    key: str,
+    order_column: str,
+    tiebreak_column: str,
+    top_n: int,
+    descending: bool,
+) -> tuple[pa.Table, np.ndarray]:
+    """Sort by (key, order, tie), keep the first ``top_n`` rows of each
+    key run; returns the filtered table and its 1-based ranks."""
+    codes = _key_codes(t, key)
+    order_vals = t.column(order_column).to_numpy(zero_copy_only=False)
+    tie = t.column(tiebreak_column).to_numpy(zero_copy_only=False)
+    ov = _descending_key(order_vals) if descending else order_vals
+    idx = np.lexsort((tie, ov, codes))
+    t = t.take(pa.array(idx))
+    codes = codes[idx]
+    starts = _run_starts(codes)
+    pos = np.arange(len(codes), dtype=np.int64)
+    run_start = starts[np.searchsorted(starts, pos, side="right") - 1]
+    rnk = pos - run_start + 1
+    keep = rnk <= top_n
+    return t.filter(pa.array(keep)), rnk[keep]
+
+
+def grouped_topk(
+    ds: ray.data.Dataset,
+    key: str,
+    order_column: str,
+    tiebreak_column: str,
+    top_n: int,
+    descending: bool = True,
+    rank_name: str = "rnk",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Top-n rows per group with a pre-shuffle combiner.
+
+    Each input block first truncates locally to at most ``top_n`` rows
+    per key it contains (the global top-n per key is a subset of every
+    block's local top-n), so the keyed exchange moves at most
+    n·keys-per-block·blocks rows instead of the full table; the exact
+    rank is then assigned by the per-partition sweep. This is the
+    deterministic-order variant of the training-data "best k documents
+    per bucket" selection. Reference has no analog (SURVEY.md §2.4)."""
+
+    def local_truncate(t: pa.Table) -> pa.Table:
+        out, _ = _topn_sweep(t, key, order_column, tiebreak_column, top_n, descending)
+        return out
+
+    ds = ds.map_batches(local_truncate, batch_format="pyarrow", zero_copy_batch=True)
+    return rank_in_key(
+        ds, key, order_column, tiebreak_column, top_n,
+        descending=descending, rank_name=rank_name, num_partitions=num_partitions,
+    )
 
 
 def session_counts(
