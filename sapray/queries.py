@@ -860,6 +860,95 @@ SELECT lang, doc_id, rnk FROM r WHERE rnk <= 10
 """
 
 
+def pack_docs(sf_dir: str):
+    """Sequence packing: documents concatenated in doc_id order and cut
+    into 512-token training bins via a distributed prefix sum (two tiny
+    aggregates, one keyed exchange of (id, n_tokens) pairs — the corpus
+    text never enters an all-to-all)."""
+    from sapray import pack
+
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n = pc.add(
+            pc.count_substring(batch.column("text"), pattern=" "), 1
+        ).cast(pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"), "n_tokens": n})
+
+    ds = ds.map_batches(tokens, batch_format="pyarrow", zero_copy_batch=True)
+    out = pack.pack_by_token_budget(
+        ds, "doc_id", "n_tokens", budget=512, bucket_width=64
+    )
+    return out.select_columns(
+        ["doc_id", "n_tokens", "tok_before", "bin_id", "bin_offset"]
+    )
+
+
+PACK_DOCS_SQL = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_before,
+       tok_before // 512 AS bin_id, tok_before % 512 AS bin_offset
+FROM c
+"""
+
+
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: the eval set (doc_id % 50 == 0) is
+    exploded to distinct word 8-grams distributed, collected small, and
+    broadcast once; training docs count overlapping gram positions with
+    one vectorized membership kernel per batch."""
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def eval_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(_mod(b.column("doc_id"), 50), 0))
+
+    def train_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(_mod(b.column("doc_id"), 50), 0))
+
+    grams = text.eval_gram_array(
+        ds.map_batches(eval_only, batch_format="pyarrow", zero_copy_batch=True),
+        n=8,
+    )
+    ref = ray.put(grams)
+    train = ds.map_batches(train_only, batch_format="pyarrow", zero_copy_batch=True)
+    out = train.map_batches(
+        text.Decontaminate,
+        fn_constructor_kwargs={"eval_grams_ref": ref, "n": 8},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    out = out.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n_hits"), 0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return out.select_columns(["doc_id", "n_hits"])
+
+
+DECONTAMINATE_DOCS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), p AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w
+), g AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram FROM p
+), e AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+)
+SELECT g.doc_id, count(*)::BIGINT AS n_hits
+FROM g JOIN e USING (gram)
+WHERE g.doc_id % 50 <> 0
+GROUP BY g.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -1939,6 +2028,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "pii_redact_docs": {"fn": pii_redact_docs, "sql": PII_REDACT_DOCS_SQL},
         "repetition_docs": {"fn": repetition_docs, "sql": REPETITION_DOCS_SQL},
         "chunk_docs": {"fn": chunk_docs, "sql": CHUNK_DOCS_SQL},
+        "pack_docs": {"fn": pack_docs, "sql": PACK_DOCS_SQL},
+        "decontaminate_docs": {
+            "fn": decontaminate_docs, "sql": DECONTAMINATE_DOCS_SQL,
+        },
         "topk_per_group_docs": {
             "fn": topk_per_group_docs, "sql": TOPK_PER_GROUP_DOCS_SQL,
         },

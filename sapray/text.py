@@ -256,6 +256,78 @@ class ChunkDocs:
         return pa.concat_tables(parts) if parts else out_schema.empty_table()
 
 
+def word_ngrams(batch: pa.Table, text_column: str, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word ``n``-grams of every row, vectorized.
+
+    Returns ``(parent_row_index, gram_strings)`` — one entry per n-gram
+    POSITION (duplicates kept). Splitting is one Arrow kernel; gram
+    strings are built with ``n`` elementwise object-array concatenations
+    over shifted views of the flattened word array, not a per-row loop.
+    """
+    words = pc.split_pattern(batch.column(text_column), pattern=" ").combine_chunks()
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.flatten().to_numpy(zero_copy_only=False).astype(object)
+    doc_starts = np.concatenate([[0], np.cumsum(lens)])
+    n_grams = np.maximum(lens - n + 1, 0)
+    parent = np.repeat(np.arange(len(lens)), n_grams)
+    # start offset of each gram within the flattened word array
+    local = np.arange(len(parent)) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_grams)])[:-1], n_grams
+    )
+    starts = doc_starts[parent] + local
+    if len(starts) == 0:
+        return parent, np.empty(0, dtype=object)
+    grams = flat[starts]
+    sep = np.full(len(starts), " ", dtype=object)
+    for j in range(1, n):
+        grams = grams + sep + flat[starts + j]
+    return parent, grams
+
+
+class Decontaminate:
+    """Train/eval overlap detection (actor-pool stage).
+
+    Flags training documents that share any word ``n``-gram with a
+    broadcast evaluation-set gram collection — the standard benchmark
+    decontamination pass of a pretraining pipeline. The eval grams are
+    ``ray.put`` once (eval benchmarks are small relative to the corpus)
+    and converted to a ``pa.Array`` value set once per actor; each batch
+    does one vectorized ``pc.is_in`` membership over its gram positions
+    and a ``bincount`` reduce back to documents. Emits
+    ``n_hits`` = number of contaminated gram positions per document.
+
+    The reference has no analog (SURVEY.md §2.4); engine-added operator.
+    """
+
+    def __init__(self, eval_grams_ref, text_column: str = "text", n: int = 8):
+        self.text_column = text_column
+        self.n = n
+        self.value_set = pa.array(ray.get(eval_grams_ref), pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parent, grams = word_ngrams(batch, self.text_column, self.n)
+        hit = pc.is_in(
+            pa.array(grams, pa.string()), value_set=self.value_set
+        ).to_numpy(zero_copy_only=False)
+        n_hits = np.bincount(parent[hit], minlength=len(batch)).astype(np.int64)
+        return batch.append_column("n_hits", pa.array(n_hits))
+
+
+def eval_gram_array(
+    ds: ray.data.Dataset, text_column: str = "text", n: int = 8
+) -> list[str]:
+    """Distinct word n-grams of the (small) eval dataset, collected to
+    the driver for broadcast. Dedup happens distributed (per-batch gram
+    explode -> global distinct) so only unique grams reach the driver."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        _, grams = word_ngrams(batch, text_column, n)
+        return pa.table({"gram": pa.array(np.unique(grams.astype(str)), pa.string())})
+
+    out = ds.map_batches(explode, batch_format="pyarrow").unique("gram")
+    return sorted(out)
+
+
 def analyze_documents(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
     """Full text-analysis pipeline: langid -> quality -> token counts."""
     return (

@@ -159,3 +159,44 @@ def test_streaming_sessionize_matches_batch(ray_session):
         num_partitions=4,
     ).to_pandas().set_index("k")["n_sessions"].sort_index()
     pd.testing.assert_series_equal(inc, bat, check_dtype=False)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=8
+    ),
+    st.integers(2, 4),
+)
+def test_word_ngrams_matches_python(texts, n):
+    from sapray.text import word_ngrams
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    parent, grams = word_ngrams(t, "text", n)
+    expected = []
+    for i, s in enumerate(texts):
+        ws = s.split(" ")
+        for j in range(max(len(ws) - n + 1, 0)):
+            expected.append((i, " ".join(ws[j : j + n])))
+    assert list(zip(parent.tolist(), grams.tolist())) == expected
+
+
+def test_pack_prefix_sum_matches_numpy(ray_session):
+    from sapray.pack import pack_by_token_budget
+
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(317)  # scattered across blocks, not sorted
+    toks = rng.integers(1, 40, size=len(ids))
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(ids, pa.int64()), "n": pa.array(toks, pa.int64())})
+    ).repartition(5)
+    out = (
+        pack_by_token_budget(ds, "id", "n", budget=100, bucket_width=13,
+                             num_partitions=4)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    order = np.argsort(ids)
+    before = np.concatenate([[0], np.cumsum(toks[order])[:-1]])
+    assert (out["tok_before"].to_numpy() == before).all()
+    assert (out["bin_id"].to_numpy() == before // 100).all()
+    assert (out["bin_offset"].to_numpy() == before % 100).all()
