@@ -949,6 +949,66 @@ GROUP BY g.doc_id
 """
 
 
+def dedup_clusters_docs(sf_dir: str):
+    """Duplicate-pair clustering: chain edges between consecutive docs
+    sharing a 24-char text prefix OR suffix, then distributed
+    connected components (hash-to-min BSP — one keyed exchange per
+    round, no joins, no driver-side graph). Components merge ACROSS the
+    two keys, so the result is a genuine transitive closure the oracle
+    re-derives with a recursive CTE."""
+    from sapray import graph
+
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def prefix_key(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "k": pc.utf8_slice_codeunits(b.column("text"), start=0, stop=24),
+            }
+        )
+
+    def suffix_key(b: pa.Table) -> pa.Table:
+        rev = pc.utf8_reverse(b.column("text"))
+        tail = pc.utf8_reverse(pc.utf8_slice_codeunits(rev, start=0, stop=24))
+        return pa.table({"doc_id": b.column("doc_id"), "k": tail})
+
+    e1 = graph.chain_edges(
+        ds.map_batches(prefix_key, batch_format="pyarrow", zero_copy_batch=True),
+        key="k", id_column="doc_id",
+    )
+    e2 = graph.chain_edges(
+        ds.map_batches(suffix_key, batch_format="pyarrow", zero_copy_batch=True),
+        key="k", id_column="doc_id",
+    )
+    return graph.connected_components(e1.union(e2)).select_columns(
+        ["node", "cluster_id"]
+    )
+
+
+DEDUP_CLUSTERS_DOCS_SQL = """
+WITH RECURSIVE e1 AS (
+  SELECT lag(doc_id) OVER (PARTITION BY substr(text, 1, 24)
+                           ORDER BY doc_id) AS a,
+         doc_id AS b
+  FROM documents QUALIFY a IS NOT NULL
+), e2 AS (
+  SELECT lag(doc_id) OVER (PARTITION BY substr(text, greatest(length(text) - 23, 1))
+                           ORDER BY doc_id) AS a,
+         doc_id AS b
+  FROM documents QUALIFY a IS NOT NULL
+), sym AS (
+  SELECT a AS v, b AS u FROM e1 UNION SELECT b, a FROM e1
+  UNION SELECT a, b FROM e2 UNION SELECT b, a FROM e2
+), reach(node, r) AS (
+  SELECT v AS node, v AS r FROM sym GROUP BY v
+  UNION
+  SELECT s.v, reach.r FROM sym s JOIN reach ON s.u = reach.node
+)
+SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -2031,6 +2091,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "pack_docs": {"fn": pack_docs, "sql": PACK_DOCS_SQL},
         "decontaminate_docs": {
             "fn": decontaminate_docs, "sql": DECONTAMINATE_DOCS_SQL,
+        },
+        "dedup_clusters_docs": {
+            "fn": dedup_clusters_docs, "sql": DEDUP_CLUSTERS_DOCS_SQL,
         },
         "topk_per_group_docs": {
             "fn": topk_per_group_docs, "sql": TOPK_PER_GROUP_DOCS_SQL,

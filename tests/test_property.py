@@ -200,3 +200,34 @@ def test_pack_prefix_sum_matches_numpy(ray_session):
     assert (out["tok_before"].to_numpy() == before).all()
     assert (out["bin_id"].to_numpy() == before // 100).all()
     assert (out["bin_offset"].to_numpy() == before % 100).all()
+
+
+def test_connected_components_matches_union_find(ray_session):
+    from sapray.graph import connected_components
+
+    rng = np.random.default_rng(41)
+    n, m = 80, 70  # sparse: many components, some chains
+    a = rng.integers(0, n, size=m)
+    b = rng.integers(0, n, size=m)
+    keep = a != b
+    a, b = a[keep], b[keep]
+
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    touched = set(a.tolist()) | set(b.tolist())
+    expected = {v: min(w for w in touched if find(w) == find(v)) for v in touched}
+
+    edges = ray.data.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    ).repartition(4)
+    out = connected_components(edges, num_partitions=4).to_pandas()
+    got = dict(zip(out["node"], out["cluster_id"]))
+    assert got == expected
