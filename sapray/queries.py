@@ -1009,6 +1009,89 @@ SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
 """
 
 
+_VOCAB_K = 256
+
+
+def _term_stats(sf_dir: str):
+    """(doc_id, word, tf) stream plus the top-``_VOCAB_K`` vocabulary
+    table (word, cnt, df, rank). The corpus-wide word stats flow through
+    the partial-agg combiner (one row per word·batch in the exchange);
+    only the final 256-row vocabulary is collected."""
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    tf_ds = ds.map_batches(
+        text.doc_term_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    stats = ops.grouped_aggregate(
+        tf_ds, ["word"], {"cnt": ("tf", "sum"), "df": (None, "count")}
+    )
+    top = (
+        ops.topk(stats, keys=["cnt", "word"], descending=[True, False], k=_VOCAB_K)
+        .to_pandas()
+    )
+    top = top.sort_values(
+        ["cnt", "word"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return tf_ds, pa.Table.from_pandas(top, preserve_index=False)
+
+
+def vocab_topn_docs(sf_dir: str):
+    """Corpus vocabulary: top words by total frequency with stable
+    (count desc, word asc) ranks — the vocab-build step of a tokenizer
+    pipeline, computed with the partial-agg combiner + tiny top-k."""
+    _, vocab = _term_stats(sf_dir)
+    return vocab.select(["word", "cnt", "rank"])
+
+
+VOCAB_TOPN_DOCS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY doc_id, word
+), stats AS (
+  SELECT word, sum(tf)::BIGINT AS cnt FROM tf GROUP BY word
+)
+SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+FROM stats QUALIFY rank <= {_VOCAB_K}
+"""
+
+
+def tfidf_docs(sf_dir: str):
+    """TF-IDF scoring against the corpus vocabulary. The score is exact
+    integer arithmetic (``tf * 1e6 // df``) rather than a float log so
+    the oracle reproduces it bit-exactly; the vocabulary (256 rows) is
+    the broadcast small side of the join."""
+    tf_ds, vocab = _term_stats(sf_dir)
+    out = ops.broadcast_join(
+        tf_ds, vocab.select(["word", "df"]), left_on="word", right_on="word"
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        s = pc.divide(pc.multiply(b.column("tf"), pa.scalar(1_000_000)),
+                      b.column("df"))
+        return b.append_column("tfidf_scaled", s)
+
+    out = out.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "word", "tf", "df", "tfidf_scaled"])
+
+
+TFIDF_DOCS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY doc_id, word
+), stats AS (
+  SELECT word, sum(tf)::BIGINT AS cnt, count(*)::BIGINT AS df
+  FROM tf GROUP BY word
+), vocab AS (
+  SELECT word, df, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+  FROM stats QUALIFY rank <= {_VOCAB_K}
+)
+SELECT t.doc_id, t.word, t.tf, v.df, (t.tf * 1000000) // v.df AS tfidf_scaled
+FROM tf t JOIN vocab v USING (word)
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -2095,6 +2178,8 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "dedup_clusters_docs": {
             "fn": dedup_clusters_docs, "sql": DEDUP_CLUSTERS_DOCS_SQL,
         },
+        "vocab_topn_docs": {"fn": vocab_topn_docs, "sql": VOCAB_TOPN_DOCS_SQL},
+        "tfidf_docs": {"fn": tfidf_docs, "sql": TFIDF_DOCS_SQL},
         "topk_per_group_docs": {
             "fn": topk_per_group_docs, "sql": TOPK_PER_GROUP_DOCS_SQL,
         },

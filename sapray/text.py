@@ -284,6 +284,30 @@ def word_ngrams(batch: pa.Table, text_column: str, n: int) -> tuple[np.ndarray, 
     return parent, grams
 
 
+def doc_term_counts(
+    batch: pa.Table, id_column: str = "doc_id", text_column: str = "text"
+) -> pa.Table:
+    """Per-document term frequencies: (id, word, tf) rows for one batch.
+
+    Exact globally, not just per batch: a document lives entirely inside
+    one input row, so its counts never span batches. One Arrow split +
+    one grouped size over the exploded frame (RepetitionStats pattern).
+    """
+    import pandas as pd
+
+    parent, words = word_ngrams(batch, text_column, 1)
+    fr = pd.DataFrame({"i": parent, "w": words})
+    g = fr.groupby(["i", "w"], sort=False).size().reset_index(name="tf")
+    ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            id_column: pa.array(ids[g["i"].to_numpy()], pa.int64()),
+            "word": pa.array(g["w"].to_numpy(), pa.string()),
+            "tf": pa.array(g["tf"].to_numpy().astype("int64")),
+        }
+    )
+
+
 class Decontaminate:
     """Train/eval overlap detection (actor-pool stage).
 
