@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -712,3 +713,146 @@ def shuffle_join(
         on=(left_on,),
         right_on=(right_on,),
     )
+
+
+# --------------------------------------------------------------------------
+# bloom-filter join prefilter
+# --------------------------------------------------------------------------
+
+
+def _bloom_mix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constant mix), vectorized."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _bloom_indices(keys: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """(len(keys), k) bit positions via double hashing h1 + i*h2."""
+    x = keys.astype(np.int64).view(np.uint64)
+    h1 = _bloom_mix(x)
+    h2 = _bloom_mix(x ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i[None, :] * h2[:, None])
+                % np.uint64(n_bits)).astype(np.int64)
+
+
+def bloom_build(
+    ds: ray.data.Dataset, column: str, n_bits_log2: int = 20, k: int = 5
+):
+    """Distributed bloom-filter build over an integer key column.
+
+    Each batch sets its keys' bits into a local bitmap; the per-batch
+    bitmaps (``2^n_bits_log2 / 8`` bytes each) are OR-folded. The fold
+    runs over one compact row per BATCH — at cluster scale this is a
+    tree-reduce over bitmaps, never over keys. Returns a ``ray.put``
+    object ref of the final ``np.uint8`` bitmap.
+    """
+    n_bits = 1 << n_bits_log2
+
+    def local(batch: pa.Table) -> pa.Table:
+        keys = batch.column(column).to_numpy(zero_copy_only=False)
+        bm = np.zeros(n_bits >> 3, dtype=np.uint8)
+        idx = _bloom_indices(keys, n_bits, k).ravel()
+        np.bitwise_or.at(bm, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+        return pa.table({"bitmap": pa.array([bm.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(local, batch_format="pyarrow").take_all()
+    out = np.zeros(n_bits >> 3, dtype=np.uint8)
+    for r in rows:
+        out |= np.frombuffer(r["bitmap"], dtype=np.uint8)
+    return ray.put(out), n_bits, k
+
+
+def bloom_prefilter(
+    ds: ray.data.Dataset, column: str, bloom_ref, n_bits: int, k: int
+) -> ray.data.Dataset:
+    """Drop rows whose key is definitely absent from the bloom filter.
+
+    A PREfilter: false positives pass through (callers follow with an
+    exact membership stage, e.g. ``semi_join_filter``), so results stay
+    exact while the expensive exact check sees a fraction of the rows.
+    The bitmap ships once via the object store and is read zero-copy per
+    worker (`_cached_broadcast`).
+    """
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bm = _cached_broadcast(bloom_ref, lambda b: b)
+        keys = batch.column(column).to_numpy(zero_copy_only=False)
+        idx = _bloom_indices(keys, n_bits, k)
+        bits = (bm[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return batch.filter(pa.array(bits.all(axis=1)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# column profiling
+# --------------------------------------------------------------------------
+
+
+def profile_columns(
+    ds: ray.data.Dataset, columns: list[str]
+) -> pa.Table:
+    """Data-profiling pass: (col_name, n, n_null, min_v, max_v,
+    n_distinct) per integer column.
+
+    count/null/min/max fold through the partial-agg combiner (one row
+    per column·batch crosses the exchange); exact distinct counts route
+    per-batch-unique (column, value) pairs through one keyed exchange.
+    Only the ``len(columns)``-row summary reaches the driver.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rows = {"col_name": [], "n": [], "n_null": [], "min_v": [], "max_v": []}
+        for c in columns:
+            col = batch.column(c)
+            rows["col_name"].append(c)
+            rows["n"].append(len(col))
+            rows["n_null"].append(col.null_count)
+            mm = pc.min_max(col)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            rows["min_v"].append(mn)
+            rows["max_v"].append(mx)
+        return pa.table(
+            {
+                "col_name": pa.array(rows["col_name"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "n_null": pa.array(rows["n_null"], pa.int64()),
+                "min_v": pa.array(rows["min_v"], pa.int64()),
+                "max_v": pa.array(rows["max_v"], pa.int64()),
+            }
+        )
+
+    stats = grouped_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True),
+        ["col_name"],
+        {
+            "n": ("n", "sum"),
+            "n_null": ("n_null", "sum"),
+            "min_v": ("min_v", "min"),
+            "max_v": ("max_v", "max"),
+        },
+    ).to_pandas()
+
+    def explode_unique(batch: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in columns:
+            u = pc.unique(batch.column(c).cast(pa.int64())).drop_null()
+            names.append(pa.array([c] * len(u), pa.string()))
+            vals.append(u)
+        return pa.table(
+            {"col_name": pa.concat_arrays(names),
+             "v": pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v for v in vals])}
+        )
+
+    pairs = ds.map_batches(explode_unique, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    uniq = distinct(pairs, ["col_name", "v"])
+    nd = grouped_aggregate(uniq, ["col_name"], {"n_distinct": (None, "count")}).to_pandas()
+    merged = stats.merge(nd, on="col_name")
+    merged = merged.sort_values("col_name").reset_index(drop=True)
+    return pa.Table.from_pandas(merged, preserve_index=False)

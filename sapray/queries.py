@@ -1092,6 +1092,65 @@ FROM tf t JOIN vocab v USING (word)
 """
 
 
+def bloom_semi_join_orders(sf_dir: str):
+    """Bloom-prefiltered semi join: orders of BUILDING-segment
+    customers. The customer keys build a distributed bloom filter
+    (bitmap OR-fold, one compact row per batch); the orders scan drops
+    definite non-members with 5 vectorized probes per key, and the
+    surviving fraction goes through the exact membership stage — result
+    exact, expensive check sees a fraction of the rows."""
+    cust = ops.read_projected(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    bloom_ref, n_bits, k = ops.bloom_build(cust, "c_custkey", n_bits_log2=18)
+    orders = ops.read_projected(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    pre = ops.bloom_prefilter(orders, "o_custkey", bloom_ref, n_bits, k)
+    keys = cust.unique("c_custkey")
+    out = ops.semi_join_filter(pre, keys, "o_custkey")
+    out = out.map_batches(
+        lambda b: b.append_column(
+            "price_cents",
+            pc.round(pc.multiply(b.column("o_totalprice"), 100)).cast(pa.int64()),
+        ).drop_columns(["o_totalprice"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return out.select_columns(["o_orderkey", "o_custkey", "price_cents"])
+
+
+BLOOM_SEMI_JOIN_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+_PROFILE_COLS = ["l_linenumber", "l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def profile_lineitem(sf_dir: str):
+    """Single-pass data profiling of the integer lineitem columns:
+    count/nulls/min/max fold through the partial-agg combiner; exact
+    distinct counts move per-batch-unique (column, value) pairs through
+    one keyed exchange. Only the 4-row summary reaches the driver."""
+    ds = ops.read_projected(_p(sf_dir, "lineitem"), columns=_PROFILE_COLS)
+    return ops.profile_columns(ds, _PROFILE_COLS)
+
+
+PROFILE_LINEITEM_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n,"
+    f" (count(*) - count({c}))::BIGINT AS n_null,"
+    f" min({c})::BIGINT AS min_v, max({c})::BIGINT AS max_v,"
+    f" count(DISTINCT {c})::BIGINT AS n_distinct FROM lineitem"
+    for c in _PROFILE_COLS
+)
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -2180,6 +2239,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "vocab_topn_docs": {"fn": vocab_topn_docs, "sql": VOCAB_TOPN_DOCS_SQL},
         "tfidf_docs": {"fn": tfidf_docs, "sql": TFIDF_DOCS_SQL},
+        "bloom_semi_join_orders": {
+            "fn": bloom_semi_join_orders, "sql": BLOOM_SEMI_JOIN_ORDERS_SQL,
+        },
+        "profile_lineitem": {"fn": profile_lineitem, "sql": PROFILE_LINEITEM_SQL},
         "topk_per_group_docs": {
             "fn": topk_per_group_docs, "sql": TOPK_PER_GROUP_DOCS_SQL,
         },

@@ -240,3 +240,22 @@ def test_dedup_stages_handle_empty_blocks(ray_session):
     # collapsed by local_distinct
     pairs2 = dedup.ngram_inverted_candidates(ds).to_pandas()
     assert {(1, 2)} == set(zip(pairs2["id_a"], pairs2["id_b"]))
+
+
+def test_bloom_prefilter_no_false_negatives(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from sapray import ops
+
+    members = np.arange(0, 4000, 2, dtype=np.int64)  # evens
+    probe = np.arange(4001, dtype=np.int64)
+    small = ray.data.from_arrow(pa.table({"k": pa.array(members)})).repartition(3)
+    big = ray.data.from_arrow(pa.table({"k": pa.array(probe)})).repartition(3)
+    ref, n_bits, k = ops.bloom_build(small, "k", n_bits_log2=16)
+    out = ops.bloom_prefilter(big, "k", ref, n_bits, k).to_pandas()["k"].to_numpy()
+    got = set(out.tolist())
+    assert set(members.tolist()) <= got  # zero false negatives
+    # false-positive rate on the 2001 odd non-members stays modest
+    fp = len(got - set(members.tolist()))
+    assert fp / 2001 < 0.1
