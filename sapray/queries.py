@@ -1151,6 +1151,47 @@ PROFILE_LINEITEM_SQL = "\nUNION ALL\n".join(
 )
 
 
+_KMEANS_SEEDS = (0, 61, 122, 183, 244, 305, 366, 427)
+
+
+def kmeans_embeddings(sf_dir: str):
+    """Distributed k-means (k=8, one Lloyd update + final assignment)
+    over the embeddings, on a quantized integer grid so every distance
+    and centroid mean is order-independent integer arithmetic — the SQL
+    oracle replays both passes bit-exactly. Each iteration moves one
+    (k x d sums, counts) partial row per batch; vectors never shuffle."""
+    ds = ops.read_projected(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    return similarity.kmeans_quantized(ds, _KMEANS_SEEDS, iters=1)
+
+
+KMEANS_EMBEDDINGS_SQL = f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS x
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, i, x AS c
+  FROM q WHERE vec_id IN {_KMEANS_SEEDS}
+), d1 AS (
+  SELECT q.vec_id, c0.cid, CAST(sum((q.x - c0.c) * (q.x - c0.c)) AS BIGINT) AS d
+  FROM q JOIN c0 USING (i) GROUP BY q.vec_id, c0.cid
+), a1 AS (
+  SELECT vec_id, cid FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+), c1 AS (
+  SELECT a1.cid, q.i, CAST(sum(q.x) // count(*) AS BIGINT) AS c
+  FROM q JOIN a1 USING (vec_id) GROUP BY a1.cid, q.i
+), d2 AS (
+  SELECT q.vec_id, c1.cid, CAST(sum((q.x - c1.c) * (q.x - c1.c)) AS BIGINT) AS d
+  FROM q JOIN c1 USING (i) GROUP BY q.vec_id, c1.cid
+)
+SELECT vec_id, cid AS cluster, d AS sq_dist FROM d2
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -2243,6 +2284,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "fn": bloom_semi_join_orders, "sql": BLOOM_SEMI_JOIN_ORDERS_SQL,
         },
         "profile_lineitem": {"fn": profile_lineitem, "sql": PROFILE_LINEITEM_SQL},
+        "kmeans_embeddings": {
+            "fn": kmeans_embeddings, "sql": KMEANS_EMBEDDINGS_SQL,
+        },
         "topk_per_group_docs": {
             "fn": topk_per_group_docs, "sql": TOPK_PER_GROUP_DOCS_SQL,
         },

@@ -197,3 +197,108 @@ def ivf_topk(
         )
 
     return partials.groupby("query_id").map_groups(reduce_query, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# distributed k-means (quantized-exact Lloyd iterations)
+# --------------------------------------------------------------------------
+
+
+def _quantize_matrix(col, scale: int) -> np.ndarray:
+    """float32 list column -> int64 grid: floor(float64(x)*scale + 0.5).
+
+    The cast to float64 BEFORE the multiply matters: both numpy and SQL
+    engines widen the identical 32-bit values to the same doubles, so
+    the quantization — and therefore every distance and centroid mean
+    downstream, all integer arithmetic — is bit-exact across engines.
+    """
+    m = _to_matrix(col)  # float64 already
+    return np.floor(m * scale + 0.5).astype(np.int64)
+
+
+def kmeans_quantized(
+    ds: ray.data.Dataset,
+    seed_ids: tuple[int, ...],
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    iters: int = 2,
+    scale: int = 10_000,
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over a quantized integer grid.
+
+    Centroids seed from the rows with ``seed_ids`` (cluster index =
+    rank of seed id). Each iteration is ONE pass: every batch assigns
+    its vectors to the nearest centroid (vectorized int64 squared-L2)
+    and emits a single (k x d sums, k counts) partial row; the driver
+    folds the per-batch partials (k·d ints each — a tree-reduce at
+    cluster scale) and recomputes centroids with order-independent
+    integer floor division. No float accumulation anywhere, so results
+    are deterministic under any batch order / parallelism — and a SQL
+    oracle can replay the iterations bit-exactly. Ties pick the lowest
+    cluster index. Raises if a cluster empties (fixture seeds are
+    spread; a production caller would re-seed).
+
+    Final pass emits ``(id, cluster, sq_dist)`` per row.
+    """
+    k = len(seed_ids)
+    seed_set = pa.array(list(seed_ids), pa.int64())
+    seeds = ds.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b.column(id_column), value_set=seed_set)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas().sort_values(id_column)
+    if len(seeds) != k:
+        raise ValueError(f"expected {k} seed rows, got {len(seeds)}")
+    cent = _quantize_matrix(seeds[vec_column], scale)  # (k, d)
+
+    def assign(X: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # int64 (n, k) squared distances without materializing (n,k,d):
+        # |x|^2 - 2 x.C^T + |c|^2 — exact in int64 for |x|<=~2^20
+        xx = np.einsum("ij,ij->i", X, X)
+        cc = np.einsum("ij,ij->i", C, C)
+        d = xx[:, None] - 2 * (X @ C.T) + cc[None, :]
+        a = np.argmin(d, axis=1)  # first occurrence = lowest index
+        return a, d[np.arange(len(a)), a]
+
+    for _ in range(iters):
+        C = cent  # capture by value
+
+        def partial(batch: pa.Table) -> pa.Table:
+            X = _quantize_matrix(batch.column(vec_column), scale)
+            a, _ = assign(X, C)
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=len(C)).astype(np.int64)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.ravel().tobytes()], pa.binary()),
+                    "counts": pa.array([counts.tobytes()], pa.binary()),
+                }
+            )
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums += np.frombuffer(r["sums"], np.int64).reshape(cent.shape)
+            counts += np.frombuffer(r["counts"], np.int64)
+        if (counts == 0).any():
+            raise ValueError("empty cluster; choose better-spread seeds")
+        # integer division TRUNCATING toward zero — SQL's `//` semantics
+        # (numpy's // floors, which differs on negative sums)
+        cent = np.sign(sums) * (np.abs(sums) // counts[:, None])
+
+    Cf = cent
+
+    def final(batch: pa.Table) -> pa.Table:
+        X = _quantize_matrix(batch.column(vec_column), scale)
+        a, dist = assign(X, Cf)
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "cluster": pa.array(a.astype(np.int64)),
+                "sq_dist": pa.array(dist),
+            }
+        )
+
+    return ds.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
