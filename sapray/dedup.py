@@ -524,27 +524,45 @@ def verify_pairs_jaccard(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                  "jaccard": pa.array([], pa.float64())}
             )
-        ia = batch.column("id_a").to_pylist()
-        ib = batch.column("id_b").to_pylist()
+        ia = batch.column("id_a").to_numpy(zero_copy_only=False)
+        ib = batch.column("id_b").to_numpy(zero_copy_only=False)
         va = batch.column("val_a").to_pylist()
         vb = batch.column("val_b").to_pylist()
-        # a doc in k candidate pairs would shingle k times — cache the
-        # shingle set per distinct id within the batch
-        sets: dict = {}
+        # a doc in k candidate pairs would shingle k times — shingle each
+        # distinct id ONCE per batch (unique sorted uint64 arrays)
+        arrs: dict = {}
         for ids, vals in ((ia, va), (ib, vb)):
-            for i, v in zip(ids, vals):
-                if i not in sets:
-                    sets[i] = set(_shingle_hashes(v or "", shingle_k))
-        def jac(sa, sb):
-            if not sa and not sb:
-                return 1.0
-            return len(sa & sb) / len(sa | sb)
-        sims = pa.array(
-            [jac(sets[a], sets[b]) for a, b in zip(ia, ib)], pa.float64()
+            for i, v in zip(ids.tolist(), vals):
+                if i not in arrs:
+                    arrs[i] = _shingle_hashes(v or "", shingle_k)
+        sh_a = [arrs[i] for i in ia.tolist()]
+        sh_b = [arrs[i] for i in ib.tolist()]
+        na = np.array([s.size for s in sh_a], dtype=np.int64)
+        nb = np.array([s.size for s in sh_b], dtype=np.int64)
+        # one flat label-lexsort counts every pair's intersection at once:
+        # each (pair, shingle) occurs <= once per side (shingle arrays are
+        # unique), so an adjacent duplicate in the sorted (pair, shingle)
+        # stream is exactly one shared shingle of that pair
+        n = len(ia)
+        labels = np.repeat(
+            np.arange(2 * n, dtype=np.int64) % n, np.concatenate([na, nb])
         )
+        flat = (
+            np.concatenate(sh_a + sh_b)
+            if (sh_a or sh_b)
+            else np.array([], np.uint64)
+        )
+        order = np.lexsort((flat, labels))
+        labels, flat = labels[order], flat[order]
+        dup = np.zeros(len(flat), dtype=bool)
+        if len(flat) > 1:
+            dup[1:] = (labels[1:] == labels[:-1]) & (flat[1:] == flat[:-1])
+        c = np.bincount(labels[dup], minlength=n).astype(np.float64)
+        denom = na + nb - c
+        sims = np.where(denom > 0, c / np.maximum(denom, 1), 1.0)
         out = pa.table(
             {"id_a": batch.column("id_a"), "id_b": batch.column("id_b"),
-             "jaccard": sims}
+             "jaccard": pa.array(sims, pa.float64())}
         )
         return out.filter(pa.compute.greater_equal(out.column("jaccard"), threshold))
 
