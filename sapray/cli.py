@@ -71,21 +71,23 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _report(ds, limit: int) -> None:
+    out = {"rows": ds.count()}
+    if limit:
+        out["sample"] = [
+            {k: v for k, v in r.items() if k != "content"}
+            for r in ds.take(limit)
+        ]
+    print(json.dumps(out, default=str))
+
+
 def cmd_state(args: argparse.Namespace) -> int:
     from sapray.config import CDCConfig
     from sapray.pipeline import CDCEngine
 
     _init_ray(args.num_cpus)
     eng = CDCEngine(CDCConfig(lake_dir=args.lake))
-    ds = eng.state_dataset(as_of=args.as_of)
-    n = ds.count()
-    out = {"rows": n}
-    if args.limit:
-        out["sample"] = [
-            {k: v for k, v in r.items() if k != "content"}
-            for r in ds.take(args.limit)
-        ]
-    print(json.dumps(out, default=str))
+    _report(eng.state_dataset(as_of=args.as_of), args.limit)
     return 0
 
 
@@ -95,15 +97,7 @@ def cmd_changes(args: argparse.Namespace) -> int:
 
     _init_ray(args.num_cpus)
     eng = CDCEngine(CDCConfig(lake_dir=args.lake))
-    ds = eng.changes_dataset(since=args.since, until=args.until)
-    n = ds.count()
-    out = {"rows": n}
-    if args.limit:
-        out["sample"] = [
-            {k: v for k, v in r.items() if k != "content"}
-            for r in ds.take(args.limit)
-        ]
-    print(json.dumps(out, default=str))
+    _report(eng.changes_dataset(since=args.since, until=args.until), args.limit)
     return 0
 
 

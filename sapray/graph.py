@@ -107,8 +107,18 @@ def connected_components(
         state = partitioned_apply(
             state, "v", hash_to_min, num_partitions
         ).materialize()
+        cnt = state.count()
+        if cnt == 0:  # no edges at all -> empty labeling (sum() is None)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "cluster_id": pa.array([], pa.int64()),
+                    }
+                )
+            )
         agg = state.sum(["v", "u"])
-        new_sig = (state.count(), agg["sum(v)"], agg["sum(u)"])
+        new_sig = (cnt, agg["sum(v)"], agg["sum(u)"])
         if new_sig == sig:
             break
         sig = new_sig

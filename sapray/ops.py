@@ -760,10 +760,23 @@ def bloom_build(
         np.bitwise_or.at(bm, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
         return pa.table({"bitmap": pa.array([bm.tobytes()], pa.binary())})
 
-    rows = ds.map_batches(local, batch_format="pyarrow").take_all()
+    def fold_block(batch: pa.Table) -> pa.Table:
+        # OR all of one task's per-batch bitmaps into ONE row before it
+        # ships — the driver then folds #tasks rows, not #batches. Safe to
+        # run whole-block: its input is already compact bitmap rows (the
+        # default-batch-size `local` stage streams the raw scan).
+        bm = np.zeros(n_bits >> 3, dtype=np.uint8)
+        for buf in batch.column("bitmap"):
+            bm |= np.frombuffer(buf.as_py(), dtype=np.uint8)
+        return pa.table({"bitmap": pa.array([bm.tobytes()], pa.binary())})
+
+    bm_ds = ds.map_batches(
+        local, batch_format="pyarrow", batch_size=32768
+    ).map_batches(fold_block, batch_format="pyarrow", batch_size=None)
     out = np.zeros(n_bits >> 3, dtype=np.uint8)
-    for r in rows:
-        out |= np.frombuffer(r["bitmap"], dtype=np.uint8)
+    for b in bm_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        for buf in b.column("bitmap"):
+            out |= np.frombuffer(buf.as_py(), dtype=np.uint8)
     return ray.put(out), n_bits, k
 
 
@@ -853,6 +866,9 @@ def profile_columns(
                            zero_copy_batch=True)
     uniq = distinct(pairs, ["col_name", "v"])
     nd = grouped_aggregate(uniq, ["col_name"], {"n_distinct": (None, "count")}).to_pandas()
-    merged = stats.merge(nd, on="col_name")
+    # left merge: an all-null column yields no (col, value) pairs at all,
+    # but must still profile with n_distinct = 0
+    merged = stats.merge(nd, on="col_name", how="left")
+    merged["n_distinct"] = merged["n_distinct"].fillna(0).astype("int64")
     merged = merged.sort_values("col_name").reset_index(drop=True)
     return pa.Table.from_pandas(merged, preserve_index=False)

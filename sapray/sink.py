@@ -153,6 +153,10 @@ def read_partition_changes(
 
     if not manifest or not manifest.get("files"):
         return None
+    if since >= manifest.get("watermark", -1):
+        # nothing committed in (since, now] — empty feed regardless of how
+        # much older history was folded away (snapshot/compacted included)
+        return None
     if manifest.get("mode") != "delta":
         # a fully-compacted delta partition is indistinguishable from a
         # snapshot one (compaction rewrites the manifest in snapshot form)

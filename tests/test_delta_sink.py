@@ -241,6 +241,13 @@ def test_change_feed_guards(ray_session, changelog_dir, tmp_path):
     with pytest.raises(ValueError, match="no change history|compacted"):
         eng2.changes_table(since=-1)
 
+    # since >= the watermark is an EMPTY feed, not an error: nothing in the
+    # requested (since, now] window was folded away by compaction/snapshot
+    w = max(m["watermark"] for m in read_manifests(comp).values())
+    assert eng2.changes_table(since=w).num_rows == 0
+    w_snap = max(m["watermark"] for m in read_manifests(snap).values())
+    assert eng.changes_table(since=w_snap).num_rows == 0
+
 
 def test_time_travel_guards(ray_session, changelog_dir, tmp_path):
     """Snapshot-mode lakes and compacted-away history must refuse."""

@@ -259,3 +259,25 @@ def test_bloom_prefilter_no_false_negatives(ray_session):
     # false-positive rate on the 2001 odd non-members stays modest
     fp = len(got - set(members.tolist()))
     assert fp / 2001 < 0.1
+
+
+def test_profile_columns_all_null_column(ray_session):
+    """An entirely-null column must still profile (n_distinct = 0), not
+    vanish from the output."""
+    import pyarrow as pa
+    import ray.data
+    from sapray import ops
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 2, None], pa.int64()),
+            "b": pa.array([None, None, None, None], pa.int64()),
+        }
+    )
+    prof = ops.profile_columns(ray.data.from_arrow(t), ["a", "b"]).to_pandas()
+    prof = prof.set_index("col_name")
+    assert set(prof.index) == {"a", "b"}
+    assert prof.loc["b", "n"] == 4
+    assert prof.loc["b", "n_null"] == 4
+    assert prof.loc["b", "n_distinct"] == 0
+    assert prof.loc["a", "n_distinct"] == 2

@@ -231,3 +231,16 @@ def test_connected_components_matches_union_find(ray_session):
     out = connected_components(edges, num_partitions=4).to_pandas()
     got = dict(zip(out["node"], out["cluster_id"]))
     assert got == expected
+
+
+def test_connected_components_empty_edges(ray_session):
+    """Zero duplicate pairs (a clean corpus) must label nothing, not crash."""
+    from sapray.graph import connected_components
+
+    edges = ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    out = connected_components(edges, num_partitions=4)
+    # (ray's to_pandas drops columns on empty datasets; check the schema)
+    assert set(out.schema().names) == {"node", "cluster_id"}
+    assert out.count() == 0
