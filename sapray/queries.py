@@ -1130,6 +1130,129 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDIN
 """
 
 
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3-style composite pipeline: segment-filtered customers
+    (broadcast semi filter) x date-bounded orders x date-bounded
+    lineitem (large x large hash-shuffle join), per-order revenue
+    aggregation through the partial-agg combiner, global top-10 via the
+    per-batch top-k truncation — five engine operators in one lazy
+    streaming plan. Revenue is computed in exact integer micro-units
+    (cents x discount basis points) so the oracle compares bit-exactly.
+    """
+    import datetime as _dt
+
+    cutoff = pa.scalar(_dt.datetime(1998, 6, 1))
+
+    cust = ops.read_projected(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = ops.read_projected(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = ops.semi_join_filter(
+        orders, cust.unique("c_custkey"), "o_custkey"
+    ).select_columns(["o_orderkey", "o_orderdate"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("l_shipdate"), cutoff))
+        cents = pc.round(pc.multiply(batch.column("l_extendedprice"), 100)).cast(pa.int64())
+        disc_bp = pc.round(pc.multiply(batch.column("l_discount"), 10_000)).cast(pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(10_000, pa.int64()), disc_bp))
+        return pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "rev_micro": rev}
+        )
+
+    li = ops.read_projected(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = ops.shuffle_join(li, orders, "l_orderkey", "o_orderkey")
+    grouped = ops.grouped_aggregate(
+        joined,
+        ["l_orderkey", "o_orderdate"],
+        {"revenue_micro": ("rev_micro", "sum")},
+    )
+    top = ops.topk(grouped, ["revenue_micro", "l_orderkey"], [True, False], 10)
+    return top.map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "o_orderdate", "revenue_micro"]),
+        batch_format="pyarrow",
+    )
+
+
+Q3_SHIPPING_PRIORITY_SQL = """
+SELECT o_orderkey, o_orderdate,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS BIGINT)
+           AS revenue_micro
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue_micro DESC, o_orderkey LIMIT 10
+"""
+
+
+def curate_docs(sf_dir: str):
+    """End-to-end corpus curation — the flagship composition of the
+    training-data operators: token-count and quality actor-pool stages
+    annotate the augmented corpus, a deterministic keep-filter drops
+    short/low-quality docs, and exact sha256 dedup collapses the
+    surviving duplicates to the smallest doc_id. One streaming plan;
+    only the dedup groupby is an all-to-all (over 32-byte hashes)."""
+    ds = _augmented_docs(sf_dir)
+    ds = ds.map_batches(text.TokenCount, batch_format="pyarrow", concurrency=(1, 2))
+    ds = ds.map_batches(text.QualityScore, batch_format="pyarrow", concurrency=(1, 2))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch.column("n_ws_tokens"), 40),
+            pc.greater_equal(batch.column("stop_hits"), 1),
+        )
+        return batch.filter(mask)
+
+    ds = dedup.add_sha256(
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return ops.grouped_aggregate(
+        ds,
+        ["text_sha"],
+        {
+            "doc_id": ("doc_id", "min"),
+            "dup_count": (None, "count"),
+            "n_ws_tokens": ("n_ws_tokens", "min"),
+        },
+    )
+
+
+CURATE_DOCS_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+),
+q AS (
+  SELECT doc_id, text,
+         len(string_split_regex(trim(text), '\s+'))              AS n_ws_tokens,
+         (length(text) - length(replace(text, 'the', ''))) // 3  AS stop_hits
+  FROM aug
+)
+SELECT sha256(text) AS text_sha, min(doc_id) AS doc_id,
+       count(*) AS dup_count, min(n_ws_tokens) AS n_ws_tokens
+FROM q WHERE n_ws_tokens >= 40 AND stop_hits >= 1
+GROUP BY text
+"""
+
+
 _PROFILE_COLS = ["l_linenumber", "l_orderkey", "l_partkey", "l_suppkey"]
 
 
@@ -2283,6 +2406,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "bloom_semi_join_orders": {
             "fn": bloom_semi_join_orders, "sql": BLOOM_SEMI_JOIN_ORDERS_SQL,
         },
+        "q3_shipping_priority": {
+            "fn": q3_shipping_priority, "sql": Q3_SHIPPING_PRIORITY_SQL,
+        },
+        "curate_docs": {"fn": curate_docs, "sql": CURATE_DOCS_SQL},
         "profile_lineitem": {"fn": profile_lineitem, "sql": PROFILE_LINEITEM_SQL},
         "kmeans_embeddings": {
             "fn": kmeans_embeddings, "sql": KMEANS_EMBEDDINGS_SQL,
