@@ -715,6 +715,68 @@ def shuffle_join(
     )
 
 
+def salted_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    salt_from: str,
+    n_salt: int = 8,
+    how: str = "inner",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Skew-resistant partitioned hash join (the query-layer twin of the
+    CDC partitioner's hot-key salting, O-CDC4).
+
+    A hash-shuffle join routes every row of a key to ONE reducer; a hot
+    key (one repo with millions of events, one boilerplate document)
+    serializes the whole join behind that reducer. Here the LEFT (big,
+    skewed) side derives a deterministic salt from ``salt_from``'s hash
+    — a column that varies *within* a key, e.g. the line number — and
+    the RIGHT side is replicated once per salt value, so the exchange
+    key becomes ``(key, salt)`` and a hot key's rows spread over
+    ``n_salt`` reducers. Exact for inner/left joins: each left row meets
+    exactly one replica of its matching right rows. Right/full-outer
+    would emit unmatched right rows once per replica — rejected.
+
+    Cost model: right-side bytes × ``n_salt`` through the exchange in
+    return for ``n_salt``-way parallelism on the hottest key; use when
+    the right side is the smaller (dimension-ish) input but too big to
+    broadcast.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join cannot run how={how!r}: unmatched "
+                         "right rows would duplicate once per salt replica")
+    from sapray.hashing import hash_key
+
+    def add_left_salt(batch: pa.Table) -> pa.Table:
+        s = (hash_key(batch, (salt_from,)) % np.uint64(n_salt)).astype(np.int32)
+        return batch.append_column("__salt", pa.array(s))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        reps = []
+        for j in range(n_salt):
+            reps.append(batch.append_column(
+                "__salt", pa.array(np.full(batch.num_rows, j, np.int32))
+            ))
+        return pa.concat_tables(reps)
+
+    lhs = left.map_batches(add_left_salt, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    rhs = right.map_batches(replicate, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    jt = {"inner": "inner", "left": "left_outer"}[how]
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    out = lhs.join(
+        rhs,
+        join_type=jt,
+        num_partitions=max(2, min(num_buckets, ncpu - 1)),
+        on=(left_on, "__salt"),
+        right_on=(right_on, "__salt"),
+    )
+    return out.drop_columns(["__salt"])
+
+
 # --------------------------------------------------------------------------
 # bloom-filter join prefilter
 # --------------------------------------------------------------------------

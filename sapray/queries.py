@@ -1130,6 +1130,48 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDIN
 """
 
 
+def salted_join_lineitem_orders(sf_dir: str):
+    """Skew-resistant salted hash join (``ops.salted_join``): lineitem's
+    salt comes from the line number (varies within an order key), orders
+    replicate once per salt, and the exchange runs on (orderkey, salt) —
+    a hot order key spreads over 8 reducers instead of serializing one.
+    Same oracle as the unsalted plan: salting must not change results."""
+    li = ops.read_projected(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    orders = ops.read_projected(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = ops.salted_join(
+        li, orders, "l_orderkey", "o_orderkey", salt_from="l_linenumber"
+    )
+    out = ops.grouped_aggregate(
+        joined,
+        ["o_orderpriority"],
+        {"n_lines": (None, "count"), "total_price": ("l_extendedprice", "sum")},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "n_lines": batch.column("n_lines"),
+                "total_price_cents": _cents(batch.column("total_price")),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SALTED_JOIN_LINEITEM_ORDERS_SQL = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS total_price_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q3_shipping_priority(sf_dir: str):
     """TPC-H Q3-style composite pipeline: segment-filtered customers
     (broadcast semi filter) x date-bounded orders x date-bounded
@@ -2408,6 +2450,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "q3_shipping_priority": {
             "fn": q3_shipping_priority, "sql": Q3_SHIPPING_PRIORITY_SQL,
+        },
+        "salted_join_lineitem_orders": {
+            "fn": salted_join_lineitem_orders,
+            "sql": SALTED_JOIN_LINEITEM_ORDERS_SQL,
         },
         "curate_docs": {"fn": curate_docs, "sql": CURATE_DOCS_SQL},
         "profile_lineitem": {"fn": profile_lineitem, "sql": PROFILE_LINEITEM_SQL},

@@ -261,6 +261,49 @@ def test_bloom_prefilter_no_false_negatives(ray_session):
     assert fp / 2001 < 0.1
 
 
+def test_salted_join_exact_under_skew(ray_session):
+    """One key owns 90% of the left side; the salted plan must still
+    produce exactly the unsalted join's multiset (inner and left)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from sapray import ops
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    k = np.where(rng.random(n) < 0.9, 1, rng.integers(1, 50, size=n)).astype(np.int64)
+    sub = np.arange(n, dtype=np.int64)  # varies within the hot key
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(k), "sub": pa.array(sub)})
+    ).repartition(4)
+    # right misses some keys (exercises left-outer null padding)
+    right = ray.data.from_arrow(
+        pa.table(
+            {"rk": pa.array(np.arange(1, 40, dtype=np.int64)),
+             "name": pa.array([f"r{i}" for i in range(1, 40)])}
+        )
+    )
+
+    def frame(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["k", "sub"])
+            .reset_index(drop=True)
+        )
+
+    for how in ("inner", "left"):
+        salted = frame(ops.salted_join(left, right, "k", "rk", "sub",
+                                       n_salt=8, how=how))
+        plain = frame(ops.shuffle_join(left, right, "k", "rk", how=how))
+        pd.testing.assert_frame_equal(
+            salted[sorted(salted.columns)], plain[sorted(plain.columns)]
+        )
+
+    with pytest.raises(ValueError, match="salt replica"):
+        ops.salted_join(left, right, "k", "rk", "sub", how="outer")
+
+
 def test_profile_columns_all_null_column(ray_session):
     """An entirely-null column must still profile (n_distinct = 0), not
     vanish from the output."""
