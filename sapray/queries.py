@@ -2078,6 +2078,38 @@ SELECT count(DISTINCT event_id) AS n_exact, 1.0 AS hll_ratio FROM events
 """
 
 
+def approx_distinct_users_by_type(sf_dir: str):
+    """Per-group HyperLogLog (ops.grouped_hll_distinct): approximate
+    distinct users per event type, gated like the global sketch — the
+    exact per-group count rides alongside and the deterministic
+    estimate's ratio to it must round to 1.0 (b=12, ~1.6% SE; linear
+    counting regime at test scales is tighter still)."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+    est = ops.grouped_hll_distinct(ds, "event_type", ["user_id"], b=12).to_pandas()
+    exact = ops.grouped_aggregate(
+        ops.distinct(ds, ["event_type", "user_id"]),
+        ["event_type"],
+        {"n_exact": (None, "count")},
+    ).to_pandas()
+    merged = exact.merge(est, on="event_type").sort_values("event_type")
+    return pa.table(
+        {
+            "event_type": pa.array(merged["event_type"], pa.string()),
+            "n_exact": pa.array(merged["n_exact"], pa.int64()),
+            "hll_ratio": pa.array(
+                (merged["approx_distinct"] / merged["n_exact"]).round(1),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+APPROX_DISTINCT_USERS_BY_TYPE_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact, 1.0 AS hll_ratio
+FROM events GROUP BY event_type
+"""
+
+
 def rollup_events(sf_dir: str):
     """GROUP BY ROLLUP (user_id, event_type): counts and exact-selection
     min at every rollup level from ONE scan — coarser levels re-aggregate
@@ -2512,6 +2544,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "rollup_events": {"fn": rollup_events, "sql": ROLLUP_EVENTS_SQL},
         "approx_distinct_events": {
             "fn": approx_distinct_events, "sql": APPROX_DISTINCT_EVENTS_SQL,
+        },
+        "approx_distinct_users_by_type": {
+            "fn": approx_distinct_users_by_type,
+            "sql": APPROX_DISTINCT_USERS_BY_TYPE_SQL,
         },
         "sample_docs": {"fn": sample_docs, "sql": SAMPLE_DOCS_SQL},
         "cdc_replay_flagship": {"fn": cdc_replay_flagship, "sql": _flagship_sql(sf_name)},
