@@ -119,6 +119,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # round-2 operators tracked for regressions
         "window_rank_orders",
         "asof_join_events",
+        # composite pipelines (multi-join analytics, corpus curation)
+        "q3_shipping_priority",
+        "curate_docs",
     ]
     reg = Q.registry(os.path.basename(os.path.normpath(sf_dir)))
     out: dict[str, float] = {}

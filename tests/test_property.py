@@ -233,6 +233,29 @@ def test_connected_components_matches_union_find(ray_session):
     assert got == expected
 
 
+def test_grouped_hll_estimator_regime(ray_session):
+    """Per-group HLL beyond the linear-counting regime: 3 groups with
+    20k/35k/50k distinct keys (b=10 -> m=1024, well past 2.5m) must each
+    land within 3 standard errors (~1.04/sqrt(m) ~ 3.3%)."""
+    import pyarrow as pa
+    import ray.data
+    from sapray import ops
+
+    sizes = {0: 20_000, 1: 35_000, 2: 50_000}
+    gs, vs = [], []
+    for g, n in sizes.items():
+        gs.append(np.full(n, g, np.int64))
+        vs.append(np.arange(n, dtype=np.int64) + g * 10_000_000)
+    t = pa.table({"g": pa.array(np.concatenate(gs)),
+                  "v": pa.array(np.concatenate(vs))})
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = ops.grouped_hll_distinct(ds, "g", ["v"], b=10).to_pandas()
+    assert len(out) == 3
+    for _, row in out.iterrows():
+        exact = sizes[int(row["g"])]
+        assert abs(row["approx_distinct"] / exact - 1) < 0.10
+
+
 def test_connected_components_empty_edges(ray_session):
     """Zero duplicate pairs (a clean corpus) must label nothing, not crash."""
     from sapray.graph import connected_components
