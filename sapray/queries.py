@@ -1183,8 +1183,6 @@ def q3_shipping_priority(sf_dir: str):
     """
     import datetime as _dt
 
-    cutoff = pa.scalar(_dt.datetime(1998, 6, 1))
-
     cust = ops.read_projected(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
@@ -1192,17 +1190,15 @@ def q3_shipping_priority(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True,
     )
     orders = ops.read_projected(
-        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(
-        lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff)),
-        batch_format="pyarrow", zero_copy_batch=True,
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter_expr=pc.field("o_orderdate") < _dt.datetime(1998, 6, 1),
     )
     orders = ops.semi_join_filter(
         orders, cust.unique("c_custkey"), "o_custkey"
     ).select_columns(["o_orderkey", "o_orderdate"])
 
     def revenue(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.greater(batch.column("l_shipdate"), cutoff))
         cents = pc.round(pc.multiply(batch.column("l_extendedprice"), 100)).cast(pa.int64())
         disc_bp = pc.round(pc.multiply(batch.column("l_discount"), 10_000)).cast(pa.int64())
         rev = pc.multiply(cents, pc.subtract(pa.scalar(10_000, pa.int64()), disc_bp))
@@ -1212,7 +1208,8 @@ def q3_shipping_priority(sf_dir: str):
 
     li = ops.read_projected(
         _p(sf_dir, "lineitem"),
-        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter_expr=pc.field("l_shipdate") > _dt.datetime(1998, 6, 1),
     ).map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
 
     joined = ops.shuffle_join(li, orders, "l_orderkey", "o_orderkey")
