@@ -55,6 +55,12 @@ def exact_dedup(
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+# verify-kernel bitset path: byte-popcount table and the largest
+# per-batch distinct-shingle vocabulary that still fits a dense bitset
+# (64 Ki bits = 8 KiB per distinct doc)
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+_BITSET_VOCAB_MAX = 1 << 16
+
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """Stable uint64 hashes of the k-char shingles of ``text``."""
@@ -186,6 +192,8 @@ def _bucket_pairs(
     cap_mode: str = "star",
     prehashed: str | None = None,
     local_distinct: bool = False,
+    len_column: str | None = None,
+    len_ratio: float = 0.0,
 ) -> ray.data.Dataset:
     """Candidate pairs from LSH bucket membership rows, at scale.
 
@@ -211,6 +219,10 @@ def _bucket_pairs(
     directly, skipping the generic composite-key hash. With
     ``local_distinct`` the kernel collapses duplicate pairs within its
     partition (cheap ``np.unique``) before they enter the next exchange.
+    ``len_column`` + ``len_ratio`` apply the similarity-join LENGTH
+    filter at generation: J(A,B) >= t forces t <= |A|/|B| <= 1/t, so a
+    pair whose set sizes differ more than ``len_ratio`` can be dropped
+    before it ever reaches a verifier.
     """
     from sapray.hashing import hash_key
 
@@ -229,8 +241,14 @@ def _bucket_pairs(
     def kernel(g: pa.Table) -> pa.Table:
         bh = g.column("__bh").to_numpy(zero_copy_only=False)
         ids = g.column(id_column).to_numpy(zero_copy_only=False)
+        lens = (
+            g.column(len_column).to_numpy(zero_copy_only=False)
+            if len_column is not None
+            else None
+        )
         order = np.lexsort((ids, bh))
         bh_s, ids_s = bh[order], ids[order]
+        lens_s = lens[order] if lens is not None else None
         starts = np.concatenate([[0], np.nonzero(np.diff(bh_s))[0] + 1]) if len(bh_s) else np.empty(0, np.int64)
         ends = np.concatenate([starts[1:], [len(bh_s)]]) if len(bh_s) else starts
         sizes = ends - starts
@@ -245,6 +263,10 @@ def _bucket_pairs(
                 out_b.append(run[1:])
             else:
                 a, b = np.triu_indices(len(run), k=1)
+                if lens_s is not None:
+                    la, lb = lens_s[s:e][a], lens_s[s:e][b]
+                    ok = np.minimum(la, lb) >= len_ratio * np.maximum(la, lb)
+                    a, b = a[ok], b[ok]
                 out_a.append(run[a])
                 out_b.append(run[b])
         if not out_a:
@@ -331,20 +353,176 @@ def ngram_inverted_candidates(
     )
 
 
+def prefix_filtered_candidates(
+    ds: ray.data.Dataset,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Candidate pairs via PREFIX FILTERING (Bayardo et al., "Scaling Up
+    All Pairs Similarity Search", WWW'07) — exact recall at ANY corpus
+    scale, unlike a fixed df cap (whose "some shared shingle is rare"
+    precondition silently breaks as the corpus grows: at sf0.1 a df_cap
+    of 64 missed 857 of 2074 true pairs).
+
+    Guarantee: under one TOTAL order on shingles — (global df asc,
+    shingle hash asc) — any pair with J(A,B) >= t shares a token among
+    their first ``floor((1-t)*n) + 1`` tokens. Proof: |A\\B| <=
+    |A| - t*|A∪B| <= (1-t)*|A|; the smallest COMMON token c in the
+    order has only non-common A-tokens before it in A (all A-tokens
+    below c are < every common token, hence not in B), i.e. fewer than
+    (1-t)*|A| + 1 of them, so c sits inside A's prefix — and B's, by
+    symmetry.
+
+    Three keyed exchanges, all linear in posting rows: (1) route by
+    shingle to annotate each posting with its GLOBAL df (run length —
+    every posting of a shingle lands in one partition); (2) route by doc
+    to keep each doc's prefix (rarest-first sort, vectorized segment
+    sweep); (3) route the surviving ~(1-t) fraction by shingle for pair
+    generation, where the LENGTH filter (J >= t forces t <= |A|/|B| <=
+    1/t) prunes cross-size junk pairs before they reach a verifier.
+    Posting lists of prefix tokens are short by construction (prefixes
+    prefer rare shingles); a cluster of k IDENTICAL docs still emits its
+    true O(k^2) pairs — run exact dedup first if boilerplate clusters
+    are expected.
+    """
+    from sapray.window import partitioned_apply, _run_starts
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_column).to_pylist()
+        sh = [_shingle_hashes(t or "", shingle_k) for t in texts]
+        counts = np.array([len(s) for s in sh], dtype=np.int64)
+        return pa.table(
+            {
+                "shingle": pa.array(
+                    np.concatenate(sh).astype(np.int64)
+                    if sh else np.array([], np.int64)
+                ),
+                id_column: pa.array(np.repeat(ids, counts)),
+                "n": pa.array(np.repeat(counts, counts)),
+            }
+        )
+
+    postings = ds.map_batches(explode, batch_format="pyarrow")
+
+    def annotate_df(g: pa.Table) -> pa.Table:
+        sh = g.column("shingle").to_numpy(zero_copy_only=False)
+        ids = g.column(id_column).to_numpy(zero_copy_only=False)
+        ns = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(sh, kind="stable")
+        sh_s, ids_s, ns_s = sh[order], ids[order], ns[order]
+        starts = _run_starts(sh_s)
+        ends = np.concatenate([starts[1:], [len(sh_s)]]) if len(starts) else starts
+        df = np.zeros(len(sh_s), dtype=np.int64)
+        if len(starts):
+            run_id = np.searchsorted(starts, np.arange(len(sh_s)), side="right") - 1
+            df = (ends - starts)[run_id]
+        return pa.table(
+            {"shingle": pa.array(sh_s), id_column: pa.array(ids_s),
+             "n": pa.array(ns_s), "df": pa.array(df)}
+        )
+
+    ann = partitioned_apply(postings, "shingle", annotate_df, num_partitions)
+
+    def keep_prefix(g: pa.Table) -> pa.Table:
+        ids = g.column(id_column).to_numpy(zero_copy_only=False)
+        sh = g.column("shingle").to_numpy(zero_copy_only=False)
+        ns = g.column("n").to_numpy(zero_copy_only=False)
+        df = g.column("df").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sh, df, ids))  # per doc: df asc, hash asc
+        ids_s, sh_s, ns_s = ids[order], sh[order], ns[order]
+        starts = _run_starts(ids_s)
+        if not len(starts):
+            return pa.table({"shingle": pa.array([], pa.int64()),
+                             id_column: pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ends = np.concatenate([starts[1:], [len(ids_s)]])
+        run_id = np.searchsorted(starts, np.arange(len(ids_s)), side="right") - 1
+        n = (ends - starts)[run_id]
+        rank = np.arange(len(ids_s)) - starts[run_id]
+        # +1e-9: keep the bound exact when (1-t)*n is an integer that
+        # float rounding pulls just below itself (t=0.8 -> 1-t is
+        # 0.19999...; floor(0.2*600)=119 would shorten the safe prefix)
+        p = np.floor((1.0 - threshold) * n + 1e-9).astype(np.int64) + 1
+        keep = rank < p
+        return pa.table(
+            {"shingle": pa.array(sh_s[keep]), id_column: pa.array(ids_s[keep]),
+             "n": pa.array(ns_s[keep]), "rank": pa.array(rank[keep])}
+        )
+
+    pref = partitioned_apply(ann, id_column, keep_prefix, num_partitions)
+
+    def route(batch: pa.Table) -> pa.Table:
+        sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+        part = (sh.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    routed = pref.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+    t = threshold
+
+    def pair_kernel(g: pa.Table) -> pa.Table:
+        sh = g.column("shingle").to_numpy(zero_copy_only=False)
+        ids = g.column(id_column).to_numpy(zero_copy_only=False)
+        ns = g.column("n").to_numpy(zero_copy_only=False)
+        rk = g.column("rank").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sh))
+        sh_s, ids_s, ns_s, rk_s = sh[order], ids[order], ns[order], rk[order]
+        starts = _run_starts(sh_s)
+        if not len(starts):
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        ends = np.concatenate([starts[1:], [len(sh_s)]])
+        sizes = ends - starts
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            run_id_, run_n, run_rk = ids_s[s:e], ns_s[s:e], rk_s[s:e]
+            a, b = np.triu_indices(e - s, k=1)
+            na, nb = run_n[a], run_n[b]
+            # LENGTH filter: J >= t forces t <= |A|/|B| <= 1/t (the
+            # -1e-9 keeps integer boundaries exact under float rounding)
+            ok = np.minimum(na, nb) >= t * np.maximum(na, nb) - 1e-9
+            # POSITIONAL filter: the smallest common token c (rank i in
+            # A, j in B) has no common token before it, so the overlap
+            # fits in the suffixes: o <= 1 + min(nA-i-1, nB-j-1); a true
+            # pair needs o >= ceil(t/(1+t)(nA+nB)). Applying it to every
+            # collision is safe — the pair always survives via c's run.
+            ia, jb = run_rk[a], run_rk[b]
+            ub = 1 + np.minimum(na - ia - 1, nb - jb - 1)
+            ok &= ub >= np.ceil(t / (1.0 + t) * (na + nb) - 1e-9)
+            a, b = a[ok], b[ok]
+            out_a.append(run_id_[a])
+            out_b.append(run_id_[b])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        pair = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"id_a": pa.array(pair[:, 0]),
+                         "id_b": pa.array(pair[:, 1])})
+
+    return routed.groupby("__part").map_groups(pair_kernel, batch_format="pyarrow")
+
+
 def ngram_jaccard_dedup(
     ds: ray.data.Dataset,
     id_column: str = "doc_id",
     text_column: str = "text",
     threshold: float = 0.8,
     shingle_k: int = 5,
-    df_cap: int = 64,
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
-    """Exact n-gram-Jaccard near-dup pairs: inverted-index candidates ->
-    distributed exact-Jaccard verify (texts reach verifiers via keyed
-    exchanges, never a driver broadcast)."""
-    candidates = ngram_inverted_candidates(
-        ds, id_column, text_column, shingle_k, df_cap
+    """Exact n-gram-Jaccard near-dup pairs: prefix-filtered candidates
+    (exact recall at any scale) -> distributed exact-Jaccard verify
+    (texts reach verifiers via keyed exchanges, never a driver
+    broadcast)."""
+    candidates = prefix_filtered_candidates(
+        ds, id_column, text_column, shingle_k, threshold
     )
     return verify_pairs_jaccard(
         candidates, ds, id_column, text_column, threshold, shingle_k, num_partitions
@@ -509,12 +687,20 @@ def verify_pairs_jaccard(
     threshold: float = 0.8,
     shingle_k: int = 5,
     num_partitions: int = 16,
+    bitset_vocab_max: int = _BITSET_VOCAB_MAX,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verify of candidate pairs, fully distributed.
 
     ``docs`` is a Dataset: text reaches the verifiers through keyed
     exchanges (:func:`_values_for_pairs`), never through a driver-built
     lookup. Output: (id_a, id_b, jaccard) rows with jaccard >= threshold.
+
+    Scoring picks per batch between two exact intersection kernels: a
+    dense-bitset AND+popcount when the batch's distinct-shingle
+    vocabulary fits ``bitset_vocab_max`` bits per doc (boilerplate-heavy
+    corpora concentrate many pairs on few shingles — pairs x vocab/8
+    bytes of work), and a flat label-lexsort otherwise (pairs x shingles
+    log-sort, no vocabulary-size dependence).
     """
     joined = _values_for_pairs(pairs, docs, id_column, text_column, num_partitions)
 
@@ -539,25 +725,58 @@ def verify_pairs_jaccard(
         sh_b = [arrs[i] for i in ib.tolist()]
         na = np.array([s.size for s in sh_a], dtype=np.int64)
         nb = np.array([s.size for s in sh_b], dtype=np.int64)
-        # one flat label-lexsort counts every pair's intersection at once:
-        # each (pair, shingle) occurs <= once per side (shingle arrays are
-        # unique), so an adjacent duplicate in the sorted (pair, shingle)
-        # stream is exactly one shared shingle of that pair
         n = len(ia)
-        labels = np.repeat(
-            np.arange(2 * n, dtype=np.int64) % n, np.concatenate([na, nb])
-        )
-        flat = (
-            np.concatenate(sh_a + sh_b)
-            if (sh_a or sh_b)
+        vocab = (
+            np.unique(np.concatenate(list(arrs.values())))
+            if arrs
             else np.array([], np.uint64)
         )
-        order = np.lexsort((flat, labels))
-        labels, flat = labels[order], flat[order]
-        dup = np.zeros(len(flat), dtype=bool)
-        if len(flat) > 1:
-            dup[1:] = (labels[1:] == labels[:-1]) & (flat[1:] == flat[:-1])
-        c = np.bincount(labels[dup], minlength=n).astype(np.float64)
+        if vocab.size and vocab.size <= bitset_vocab_max:
+            # DENSE-vocab batch (synthetic/boilerplate corpora put many
+            # candidate pairs over few distinct shingles; the lexsort
+            # below would sort pairs x shingles elements — measured
+            # 517 s at sf0.1). Encode each DISTINCT doc once as a
+            # V-bit set, then every pair's intersection is one
+            # AND + popcount over V/8 bytes: work scales with
+            # pairs x vocab/8, not pairs x shingles.
+            w = (vocab.size + 7) >> 3
+            row_of = {i: r for r, i in enumerate(arrs)}
+            m = np.zeros((len(arrs), w), np.uint8)
+            rows = np.repeat(
+                np.arange(len(arrs)), [v.size for v in arrs.values()]
+            )
+            codes = np.searchsorted(vocab, np.concatenate(list(arrs.values())))
+            np.bitwise_or.at(
+                m, (rows, codes >> 3), np.uint8(1) << (codes & 7).astype(np.uint8)
+            )
+            ra = np.fromiter((row_of[i] for i in ia.tolist()), np.int64, n)
+            rb = np.fromiter((row_of[i] for i in ib.tolist()), np.int64, n)
+            c = np.empty(n, np.float64)
+            step = max(1, (1 << 24) // max(w, 1))  # ~16 MB AND scratch
+            for s in range(0, n, step):
+                e = min(n, s + step)
+                c[s:e] = _POPCNT[m[ra[s:e]] & m[rb[s:e]]].sum(
+                    axis=1, dtype=np.int64
+                )
+        else:
+            # one flat label-lexsort counts every pair's intersection at
+            # once: each (pair, shingle) occurs <= once per side (shingle
+            # arrays are unique), so an adjacent duplicate in the sorted
+            # (pair, shingle) stream is exactly one shared shingle
+            labels = np.repeat(
+                np.arange(2 * n, dtype=np.int64) % n, np.concatenate([na, nb])
+            )
+            flat = (
+                np.concatenate(sh_a + sh_b)
+                if (sh_a or sh_b)
+                else np.array([], np.uint64)
+            )
+            order = np.lexsort((flat, labels))
+            labels, flat = labels[order], flat[order]
+            dup = np.zeros(len(flat), dtype=bool)
+            if len(flat) > 1:
+                dup[1:] = (labels[1:] == labels[:-1]) & (flat[1:] == flat[:-1])
+            c = np.bincount(labels[dup], minlength=n).astype(np.float64)
         denom = na + nb - c
         sims = np.where(denom > 0, c / np.maximum(denom, 1), 1.0)
         out = pa.table(

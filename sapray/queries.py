@@ -528,11 +528,14 @@ WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
 
 
 def ngram_jaccard_docs(sf_dir: str):
-    """EXACT n-gram Jaccard near-dup pairs via a shingle inverted index
-    (df-capped posting lists, distributed verify) — the deterministic
-    counterpart of ``minhash_dedup_docs`` over the same augmented corpus
-    and the same exact-Jaccard SQL ground truth, with guaranteed (not
-    probabilistic) recall for pairs sharing any shingle with df <= cap.
+    """EXACT n-gram Jaccard near-dup pairs via prefix filtering (Bayardo
+    et al., WWW'07: a J >= t pair must collide on its rarest-first
+    (1-t)-fraction token prefix) with length + positional pruning and a
+    distributed verify — the deterministic counterpart of
+    ``minhash_dedup_docs`` over the same augmented corpus and the same
+    exact-Jaccard SQL ground truth, with recall GUARANTEED at any corpus
+    scale (unlike a df-capped inverted index, whose rare-shared-shingle
+    precondition breaks as the corpus grows).
     """
     verified = dedup.ngram_jaccard_dedup(_neardup_docs(sf_dir), threshold=0.8)
     return verified.select_columns(["id_a", "id_b"])

@@ -324,3 +324,76 @@ def test_profile_columns_all_null_column(ray_session):
     assert prof.loc["b", "n_null"] == 4
     assert prof.loc["b", "n_distinct"] == 0
     assert prof.loc["a", "n_distinct"] == 2
+
+
+def test_prefix_filtered_candidates_exact_recall(ray_session):
+    """Prefix filtering (Bayardo et al. WWW'07) must emit EVERY pair with
+    J >= t — including boundary cases where (1-t)*n is an integer and
+    float rounding could shorten the safe prefix — over a corpus dense
+    enough that the length/positional filters all engage."""
+    from sapray import dedup
+    from sapray.dedup import _shingle_hashes, ngram_jaccard
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta"]
+    texts = []
+    for i in range(60):
+        base = " ".join(rng.choice(words, size=rng.integers(8, 30)).tolist())
+        texts.append(base)
+        if i % 3 == 0:
+            texts.append(base + " tail")  # near-dup partner
+    ids = list(range(len(texts)))
+    t = 0.8
+    truth = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if ngram_jaccard(texts[a], texts[b], 5) >= t:
+                truth.add((a, b))
+    assert truth, "fixture must contain true near-dup pairs"
+
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    empty = tbl.slice(0, 0)
+    ds = ray.data.from_arrow([tbl, empty])
+    cand = dedup.prefix_filtered_candidates(ds, threshold=t, num_partitions=4)
+    got = set(zip(*[cand.to_pandas()[c].tolist() for c in ("id_a", "id_b")]))
+    assert truth <= got, f"prefix filter lost true pairs: {sorted(truth - got)[:5]}"
+
+    verified = dedup.ngram_jaccard_dedup(ds, threshold=t, num_partitions=4)
+    vp = verified.to_pandas()
+    assert truth == set(zip(vp["id_a"], vp["id_b"]))
+
+
+def test_verify_bitset_and_lexsort_paths_agree(ray_session):
+    """The dense-vocab bitset popcount path and the generic lexsort path
+    of verify_pairs_jaccard must score identically."""
+    from sapray import dedup
+
+    rng = np.random.default_rng(11)
+    texts = [
+        "".join(rng.choice(list("abcdef "), size=rng.integers(30, 120)).tolist())
+        for _ in range(40)
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(40), pa.int64()), "text": pa.array(texts)}
+    )
+    ia = rng.integers(0, 40, 200)
+    ib = (ia + 1 + rng.integers(0, 39, 200)) % 40
+    pairs = pa.table(
+        {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64())}
+    )
+    docs = ray.data.from_arrow(tbl)
+    pd_ds = ray.data.from_arrow(pairs)
+    scored = {}
+    for vocab_max in (1 << 16, 0):  # bitset path, then forced lexsort path
+        out = dedup.verify_pairs_jaccard(
+            pd_ds, docs, threshold=0.0, num_partitions=4,
+            bitset_vocab_max=vocab_max,
+        ).to_pandas()
+        scored[vocab_max] = dict(
+            zip(zip(out.id_a, out.id_b), out.jaccard)
+        )
+        # ground truth per pair
+        for _, r in out.sample(n=min(50, len(out)), random_state=0).iterrows():
+            expect = dedup.ngram_jaccard(texts[int(r.id_a)], texts[int(r.id_b)], 5)
+            assert abs(r.jaccard - expect) < 1e-12
+    assert scored[1 << 16] == scored[0]
