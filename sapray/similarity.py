@@ -124,7 +124,7 @@ def ivf_topk(
     ds: ray.data.Dataset,
     queries: pa.Table,
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     nprobe: int = 4,
     id_column: str = "vec_id",
     vec_column: str = "embedding",
@@ -132,10 +132,17 @@ def ivf_topk(
     concurrency: int = 4,
 ) -> ray.data.Dataset:
     """IVF-bucketed approximate top-k: score only rows whose coarse cell
-    is among the query's ``nprobe`` nearest cells."""
+    is among the query's ``nprobe`` nearest cells.
+
+    ``n_cells`` defaults to ``sqrt(sample)`` (the FAISS rule of thumb:
+    cells ~ sqrt(corpus) balances quantizer scan vs cell scan) — size
+    ``sample_size`` to the corpus, e.g. 1M samples -> 1000 cells, so the
+    default never silently stays toy-sized as the data grows."""
     sample = _to_matrix(
         ds.limit(sample_size).select_columns([vec_column]).to_pandas()[vec_column]
     )
+    if n_cells is None:
+        n_cells = max(16, int(np.sqrt(len(sample))))
     cents = train_centroids(sample, n_cells)
     qm = _normalize(_to_matrix(queries.column(vec_column)))
     qids = queries.column(id_column).to_pylist()
