@@ -538,6 +538,125 @@ def _keys_schema(ds: ray.data.Dataset, keys: list[str]) -> list[pa.Field]:
 
 
 # --------------------------------------------------------------------------
+# exact heavy hitters (Misra-Gries candidate sketch -> exact second pass)
+# --------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    columns: list[str],
+    min_frac: float,
+    capacity: int = 4096,
+) -> ray.data.Dataset:
+    """EXACT frequent items: every key combination appearing in at least
+    ``min_frac`` of the rows, with its exact count — without ever
+    shuffling one row per distinct key.
+
+    A plain ``grouped_aggregate`` moves one partial row per (key, batch)
+    through the exchange; with billions of distinct keys (URLs, doc
+    shas) that IS the full key space. Here pass 1 caps every batch's
+    contribution at ``capacity`` rows with a Misra-Gries summary
+    (per-batch exact counts, then subtract the (capacity+1)-th largest
+    and drop <= 0 — the mergeable-summaries compress of Agarwal et al.,
+    PODS'12): summed partial counts underestimate true counts by at most
+    N/capacity total, so filtering the merged summary at
+    ``min_frac*N - N/capacity`` keeps EVERY true heavy hitter
+    (guaranteed recall) plus a bounded fringe. Pass 2 rescans once,
+    keeping only candidate keys (hash membership — collisions only add
+    false candidates, removed by the final exact filter), counts them
+    exactly, and applies the exact threshold.
+
+    Requires ``min_frac > 2/capacity`` so the candidate set stays
+    bounded (at most ~1/(min_frac - 1/capacity) keys can exceed the
+    margin threshold). The merged pass-1 summary (<= batches x capacity
+    rows, post-combine) is materialized to derive N and the candidate
+    set in one execution.
+    """
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError("min_frac must be in (0, 1]")
+    if min_frac <= 2.0 / capacity:
+        raise ValueError(
+            f"min_frac={min_frac} needs capacity > {2.0 / min_frac:.0f}: "
+            "the sketch margin N/capacity must stay below the threshold "
+            "or the candidate set is unbounded"
+        )
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        res = batch.group_by(columns, use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        cnt = res.column("count_all").to_numpy(zero_copy_only=False)
+        if len(res) > capacity:
+            order = np.argsort(-cnt, kind="stable")
+            kth = cnt[order[capacity]]
+            keep = order[:capacity][cnt[order[:capacity]] > kth]
+            res = res.take(pa.array(keep))
+            cnt = cnt[keep] - kth
+        # one bn entry per batch (first row) — summed across ALL merged
+        # rows it recovers the exact global row count N
+        bn = np.zeros(len(res), np.int64)
+        if len(res):
+            bn[0] = n
+        cols = {k: res.column(k) for k in columns}
+        cols["cnt"] = pa.array(cnt, pa.int64())
+        cols["bn"] = pa.array(bn)
+        return pa.table(cols)
+
+    partials = ds.map_batches(mg_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    merged = partials.groupby(columns).aggregate(
+        Sum("cnt", alias_name="cnt"), Sum("bn", alias_name="bn")
+    ).materialize()
+    total = merged.sum("bn")
+    if not total:
+        sch = _keys_schema(ds, columns)
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.nulls(0, f.type) for f in sch}
+                     | {"cnt": pa.array([], pa.int64())})
+        )
+    threshold = min_frac * total
+    margin = threshold - total / capacity
+    cand = merged.map_batches(
+        lambda b: b.filter(
+            pa.compute.greater_equal(
+                pa.compute.cast(b.column("cnt"), pa.float64()),
+                pa.scalar(margin),
+            )
+        ).select(columns),
+        batch_format="pyarrow",
+    )
+    cand_tbl = pa.concat_tables(
+        [b for b in cand.iter_batches(batch_format="pyarrow")]
+        or [pa.table({k: pa.nulls(0, f.type)
+                      for k, f in zip(columns, _keys_schema(ds, columns))})]
+    )
+    cand_hash = pa.array(np.unique(hash_key(cand_tbl, tuple(columns))))
+    href = ray.put(cand_hash)
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        hs = _cached_broadcast(href, lambda k: k)
+        h = pa.array(hash_key(batch, tuple(columns)))
+        return batch.filter(pa.compute.is_in(h, value_set=hs))
+
+    exact = grouped_aggregate(
+        ds.map_batches(keep_candidates, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        columns,
+        {"cnt": (None, "count")},
+    )
+    return exact.map_batches(
+        lambda b: b.filter(
+            pa.compute.greater_equal(
+                pa.compute.cast(b.column("cnt"), pa.float64()),
+                pa.scalar(threshold),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------------------------------
 # exact global quantile (two-pass distributed selection)
 # --------------------------------------------------------------------------
 

@@ -2110,6 +2110,25 @@ FROM events GROUP BY event_type
 """
 
 
+def heavy_hitters_events(sf_dir: str):
+    """EXACT frequent users (>= 0.75% of all events) via the two-pass
+    heavy-hitters operator: Misra-Gries per-batch summaries cap the
+    exchange at ``capacity`` rows per batch regardless of how many
+    distinct keys exist (a plain groupby ships one row per distinct key
+    — at web scale that IS the key space), then one exact rescan of the
+    guaranteed-recall candidate set. The result is exact at every scale,
+    so the gate needs no fixture tuning."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id"])
+    out = ops.heavy_hitters(ds, ["user_id"], min_frac=0.0075, capacity=1024)
+    return out.select_columns(["user_id", "cnt"])
+
+
+HEAVY_HITTERS_EVENTS_SQL = """
+SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+HAVING count(*) >= 0.0075 * (SELECT count(*) FROM events)
+"""
+
+
 def rollup_events(sf_dir: str):
     """GROUP BY ROLLUP (user_id, event_type): counts and exact-selection
     min at every rollup level from ONE scan — coarser levels re-aggregate
@@ -2544,6 +2563,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "rollup_events": {"fn": rollup_events, "sql": ROLLUP_EVENTS_SQL},
         "approx_distinct_events": {
             "fn": approx_distinct_events, "sql": APPROX_DISTINCT_EVENTS_SQL,
+        },
+        "heavy_hitters_events": {
+            "fn": heavy_hitters_events, "sql": HEAVY_HITTERS_EVENTS_SQL,
         },
         "approx_distinct_users_by_type": {
             "fn": approx_distinct_users_by_type,

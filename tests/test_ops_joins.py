@@ -397,3 +397,32 @@ def test_verify_bitset_and_lexsort_paths_agree(ray_session):
             expect = dedup.ngram_jaccard(texts[int(r.id_a)], texts[int(r.id_b)], 5)
             assert abs(r.jaccard - expect) < 1e-12
     assert scored[1 << 16] == scored[0]
+
+
+def test_heavy_hitters_exact_under_compression(ray_session):
+    """Misra-Gries pass-1 must compress (distinct keys >> capacity per
+    batch) and the exact second pass must still return precisely the
+    keys at/above the threshold with exact counts."""
+    from sapray import ops
+
+    rng = np.random.default_rng(3)
+    # 20_000 rows: 3 heavy keys (~8% each), the rest spread over 5_000
+    # rare keys so every batch holds far more distinct keys than capacity
+    heavy = np.repeat(np.array([1, 2, 3], np.int64), [1600, 1700, 1800])
+    rare = rng.integers(1000, 6000, 20000 - len(heavy)).astype(np.int64)
+    keys = np.concatenate([heavy, rare])
+    rng.shuffle(keys)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys)})
+    ).repartition(8)
+    out = ops.heavy_hitters(ds, ["k"], min_frac=0.05, capacity=64).to_pandas()
+    got = dict(zip(out["k"], out["cnt"]))
+
+    import collections
+    true_counts = collections.Counter(keys.tolist())
+    n = len(keys)
+    expect = {k: c for k, c in true_counts.items() if c >= 0.05 * n}
+    assert got == expect
+    # threshold margin sanity: min_frac too tight for capacity must raise
+    with pytest.raises(ValueError):
+        ops.heavy_hitters(ds, ["k"], min_frac=0.01, capacity=64)
