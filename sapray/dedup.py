@@ -192,8 +192,6 @@ def _bucket_pairs(
     cap_mode: str = "star",
     prehashed: str | None = None,
     local_distinct: bool = False,
-    len_column: str | None = None,
-    len_ratio: float = 0.0,
 ) -> ray.data.Dataset:
     """Candidate pairs from LSH bucket membership rows, at scale.
 
@@ -219,10 +217,8 @@ def _bucket_pairs(
     directly, skipping the generic composite-key hash. With
     ``local_distinct`` the kernel collapses duplicate pairs within its
     partition (cheap ``np.unique``) before they enter the next exchange.
-    ``len_column`` + ``len_ratio`` apply the similarity-join LENGTH
-    filter at generation: J(A,B) >= t forces t <= |A|/|B| <= 1/t, so a
-    pair whose set sizes differ more than ``len_ratio`` can be dropped
-    before it ever reaches a verifier.
+    (Similarity-join length/positional pruning lives in
+    :func:`prefix_filtered_candidates`' own pair kernel.)
     """
     from sapray.hashing import hash_key
 
@@ -241,14 +237,8 @@ def _bucket_pairs(
     def kernel(g: pa.Table) -> pa.Table:
         bh = g.column("__bh").to_numpy(zero_copy_only=False)
         ids = g.column(id_column).to_numpy(zero_copy_only=False)
-        lens = (
-            g.column(len_column).to_numpy(zero_copy_only=False)
-            if len_column is not None
-            else None
-        )
         order = np.lexsort((ids, bh))
         bh_s, ids_s = bh[order], ids[order]
-        lens_s = lens[order] if lens is not None else None
         starts = np.concatenate([[0], np.nonzero(np.diff(bh_s))[0] + 1]) if len(bh_s) else np.empty(0, np.int64)
         ends = np.concatenate([starts[1:], [len(bh_s)]]) if len(bh_s) else starts
         sizes = ends - starts
@@ -263,10 +253,6 @@ def _bucket_pairs(
                 out_b.append(run[1:])
             else:
                 a, b = np.triu_indices(len(run), k=1)
-                if lens_s is not None:
-                    la, lb = lens_s[s:e][a], lens_s[s:e][b]
-                    ok = np.minimum(la, lb) >= len_ratio * np.maximum(la, lb)
-                    a, b = a[ok], b[ok]
                 out_a.append(run[a])
                 out_b.append(run[b])
         if not out_a:
@@ -324,6 +310,28 @@ def ngram_inverted_candidates(
     Duplicate pair rows (a pair shares many shingles) are collapsed
     per-partition (``local_distinct``) before the verify exchange.
     """
+    postings = _explode_postings(ds, id_column, text_column, shingle_k)
+    return _bucket_pairs(
+        postings,
+        ("shingle",),
+        id_column,
+        bucket_cap=df_cap,
+        num_partitions=num_partitions,
+        cap_mode="drop",
+        prehashed="shingle",
+        local_distinct=True,
+    )
+
+
+def _explode_postings(
+    ds: ray.data.Dataset,
+    id_column: str,
+    text_column: str,
+    shingle_k: int,
+) -> ray.data.Dataset:
+    """(shingle, id) posting rows — one per DISTINCT k-shingle per doc
+    (the shared first stage of the inverted-index and prefix-filter
+    candidate generators)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_column).to_numpy(zero_copy_only=False)
@@ -340,17 +348,7 @@ def ngram_inverted_candidates(
             }
         )
 
-    postings = ds.map_batches(explode, batch_format="pyarrow")
-    return _bucket_pairs(
-        postings,
-        ("shingle",),
-        id_column,
-        bucket_cap=df_cap,
-        num_partitions=num_partitions,
-        cap_mode="drop",
-        prehashed="shingle",
-        local_distinct=True,
-    )
+    return ds.map_batches(explode, batch_format="pyarrow")
 
 
 def prefix_filtered_candidates(
@@ -390,30 +388,13 @@ def prefix_filtered_candidates(
     """
     from sapray.window import partitioned_apply, _run_starts
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
-        texts = batch.column(text_column).to_pylist()
-        sh = [_shingle_hashes(t or "", shingle_k) for t in texts]
-        counts = np.array([len(s) for s in sh], dtype=np.int64)
-        return pa.table(
-            {
-                "shingle": pa.array(
-                    np.concatenate(sh).astype(np.int64)
-                    if sh else np.array([], np.int64)
-                ),
-                id_column: pa.array(np.repeat(ids, counts)),
-                "n": pa.array(np.repeat(counts, counts)),
-            }
-        )
-
-    postings = ds.map_batches(explode, batch_format="pyarrow")
+    postings = _explode_postings(ds, id_column, text_column, shingle_k)
 
     def annotate_df(g: pa.Table) -> pa.Table:
         sh = g.column("shingle").to_numpy(zero_copy_only=False)
         ids = g.column(id_column).to_numpy(zero_copy_only=False)
-        ns = g.column("n").to_numpy(zero_copy_only=False)
         order = np.argsort(sh, kind="stable")
-        sh_s, ids_s, ns_s = sh[order], ids[order], ns[order]
+        sh_s, ids_s = sh[order], ids[order]
         starts = _run_starts(sh_s)
         ends = np.concatenate([starts[1:], [len(sh_s)]]) if len(starts) else starts
         df = np.zeros(len(sh_s), dtype=np.int64)
@@ -422,7 +403,7 @@ def prefix_filtered_candidates(
             df = (ends - starts)[run_id]
         return pa.table(
             {"shingle": pa.array(sh_s), id_column: pa.array(ids_s),
-             "n": pa.array(ns_s), "df": pa.array(df)}
+             "df": pa.array(df)}
         )
 
     ann = partitioned_apply(postings, "shingle", annotate_df, num_partitions)
@@ -430,17 +411,21 @@ def prefix_filtered_candidates(
     def keep_prefix(g: pa.Table) -> pa.Table:
         ids = g.column(id_column).to_numpy(zero_copy_only=False)
         sh = g.column("shingle").to_numpy(zero_copy_only=False)
-        ns = g.column("n").to_numpy(zero_copy_only=False)
         df = g.column("df").to_numpy(zero_copy_only=False)
         order = np.lexsort((sh, df, ids))  # per doc: df asc, hash asc
-        ids_s, sh_s, ns_s = ids[order], sh[order], ns[order]
+        ids_s, sh_s = ids[order], sh[order]
         starts = _run_starts(ids_s)
         if not len(starts):
             return pa.table({"shingle": pa.array([], pa.int64()),
                              id_column: pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
+                             "n": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
         ends = np.concatenate([starts[1:], [len(ids_s)]])
         run_id = np.searchsorted(starts, np.arange(len(ids_s)), side="right") - 1
+        # |doc's shingle set| = its posting-run length here (ALL of a
+        # doc's postings are co-located by this exchange, one per
+        # distinct shingle) — recomputing it saves an 8-byte column
+        # through the two widest exchanges
         n = (ends - starts)[run_id]
         rank = np.arange(len(ids_s)) - starts[run_id]
         # +1e-9: keep the bound exact when (1-t)*n is an integer that
@@ -450,7 +435,7 @@ def prefix_filtered_candidates(
         keep = rank < p
         return pa.table(
             {"shingle": pa.array(sh_s[keep]), id_column: pa.array(ids_s[keep]),
-             "n": pa.array(ns_s[keep]), "rank": pa.array(rank[keep])}
+             "n": pa.array(n[keep]), "rank": pa.array(rank[keep])}
         )
 
     pref = partitioned_apply(ann, id_column, keep_prefix, num_partitions)
@@ -522,7 +507,8 @@ def ngram_jaccard_dedup(
     (texts reach verifiers via keyed exchanges, never a driver
     broadcast)."""
     candidates = prefix_filtered_candidates(
-        ds, id_column, text_column, shingle_k, threshold
+        ds, id_column, text_column, shingle_k, threshold,
+        num_partitions=max(num_partitions, 2),
     )
     return verify_pairs_jaccard(
         candidates, ds, id_column, text_column, threshold, shingle_k, num_partitions

@@ -570,7 +570,10 @@ def heavy_hitters(
     bounded (at most ~1/(min_frac - 1/capacity) keys can exceed the
     margin threshold). The merged pass-1 summary (<= batches x capacity
     rows, post-combine) is materialized to derive N and the candidate
-    set in one execution.
+    set in one execution. The threshold is the float64 product
+    ``min_frac * N`` — an oracle mirroring it must compute the same
+    float64 product (e.g. ``0.0075::DOUBLE * total`` in DuckDB, where a
+    bare decimal literal would compare as an exact rational instead).
     """
     if not 0.0 < min_frac <= 1.0:
         raise ValueError("min_frac must be in (0, 1]")
@@ -591,8 +594,15 @@ def heavy_hitters(
             order = np.argsort(-cnt, kind="stable")
             kth = cnt[order[capacity]]
             keep = order[:capacity][cnt[order[:capacity]] > kth]
+            if len(keep) == 0:
+                # all top counts tie at kth (e.g. an all-singleton
+                # batch): no key survives compression, but the batch's
+                # row count must still reach N — keep one zero-count
+                # carrier row (cnt 0 can never become a candidate:
+                # margin > 0 is enforced above)
+                keep = order[:1]
             res = res.take(pa.array(keep))
-            cnt = cnt[keep] - kth
+            cnt = np.maximum(cnt[keep] - kth, 0)
         # one bn entry per batch (first row) — summed across ALL merged
         # rows it recovers the exact global row count N
         bn = np.zeros(len(res), np.int64)
@@ -603,8 +613,11 @@ def heavy_hitters(
         cols["bn"] = pa.array(bn)
         return pa.table(cols)
 
+    # fixed batch_size: a whole-block map fused onto a multi-file read
+    # buffers each read task's entire input as one batch (CLAUDE.md
+    # invariant); 32Ki rows also bounds per-summary memory
     partials = ds.map_batches(mg_partial, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True, batch_size=32768)
     merged = partials.groupby(columns).aggregate(
         Sum("cnt", alias_name="cnt"), Sum("bn", alias_name="bn")
     ).materialize()

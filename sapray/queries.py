@@ -1387,7 +1387,8 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
 
 
 def ivf_topk_embeddings(sf_dir: str):
-    """IVF ANN with REAL cell pruning (nprobe=4 of 16 cells), gated via
+    """IVF ANN with REAL cell pruning (nprobe=4 of ~sqrt(corpus) cells —
+    the quantizer default sizes itself to the sample), gated via
     an injected-duplicates corpus: every 10th embedding is duplicated
     exactly (id + 1e6). A query identical to its duplicate assigns to
     the same coarse cell, which is by definition the query's nearest
@@ -2123,9 +2124,13 @@ def heavy_hitters_events(sf_dir: str):
     return out.select_columns(["user_id", "cnt"])
 
 
+#  0.0075::DOUBLE: the operator thresholds at float64(min_frac) * N —
+#  an unadorned 0.0075 literal is DECIMAL in DuckDB, whose exact
+#  rational compare can disagree with the float64 product at boundary
+#  counts (review finding)
 HEAVY_HITTERS_EVENTS_SQL = """
 SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
-HAVING count(*) >= 0.0075 * (SELECT count(*) FROM events)
+HAVING count(*) >= 0.0075::DOUBLE * (SELECT count(*) FROM events)
 """
 
 

@@ -426,3 +426,32 @@ def test_heavy_hitters_exact_under_compression(ray_session):
     # threshold margin sanity: min_frac too tight for capacity must raise
     with pytest.raises(ValueError):
         ops.heavy_hitters(ds, ["k"], min_frac=0.01, capacity=64)
+
+
+def test_heavy_hitters_counts_rows_of_fully_compressed_batches(ray_session):
+    """A batch whose Misra-Gries summary compresses to nothing (all top
+    counts tie, e.g. all-singleton batches) must still contribute its
+    row count to N — otherwise the threshold min_frac*N is computed
+    against an undercounted total and sub-threshold keys leak through
+    (review finding)."""
+    from sapray import ops
+
+    blocks = []
+    # 5 all-singleton blocks: 1000 distinct keys each, count 1 — the MG
+    # summary at capacity 64 compresses these to nothing but a carrier
+    for i in range(5):
+        blocks.append(pa.table(
+            {"k": pa.array(np.arange(i * 1000, (i + 1) * 1000) + 100, pa.int64())}
+        ))
+    # 5 blocks each holding key 7 a hundred times (true count 500)
+    for _ in range(5):
+        blocks.append(pa.table({"k": pa.array(np.full(100, 7, np.int64))}))
+    ds = ray.data.from_arrow(blocks)
+    n = 5 * 1000 + 5 * 100  # 5500
+    # key 7: 500/5500 = 9.09% — above 5%, must be found with exact count
+    out = ops.heavy_hitters(ds, ["k"], min_frac=0.05, capacity=64).to_pandas()
+    assert dict(zip(out["k"], out["cnt"])) == {7: 500}
+    # 9.1%: above 500/5500 only if N were undercounted to ~5*100+fringe;
+    # with N=5500 the threshold is 500.5 > 500 — key 7 must NOT appear
+    out2 = ops.heavy_hitters(ds, ["k"], min_frac=0.091, capacity=64).to_pandas()
+    assert len(out2) == 0
