@@ -267,3 +267,58 @@ def test_connected_components_empty_edges(ray_session):
     # (ray's to_pandas drops columns on empty datasets; check the schema)
     assert set(out.schema().names) == {"node", "cluster_id"}
     assert out.count() == 0
+
+
+def test_prefix_filter_recall_randomized(ray_session):
+    """Randomized corpora (several vocabulary densities and thresholds):
+    prefix-filtered candidates + exact verify must equal the brute-force
+    all-pairs Jaccard result EXACTLY — the recall guarantee is
+    structural, not fixture-dependent."""
+    from sapray import dedup
+    from sapray.dedup import ngram_jaccard
+
+    rng = np.random.default_rng(19)
+    for vocab, t in ((list("ab "), 0.7), (list("abcdefgh "), 0.8),
+                     (list("abcdefghijklmnop "), 0.9)):
+        texts = [
+            "".join(rng.choice(vocab, size=rng.integers(12, 80)).tolist())
+            for _ in range(45)
+        ]
+        # inject exact and near duplicates
+        texts += [texts[i] for i in range(0, 45, 9)]
+        texts += [texts[i] + vocab[0] for i in range(1, 45, 9)]
+        truth = {
+            (a, b)
+            for a in range(len(texts))
+            for b in range(a + 1, len(texts))
+            if ngram_jaccard(texts[a], texts[b], 5) >= t
+        }
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        ).repartition(3)
+        got = dedup.ngram_jaccard_dedup(
+            ds, threshold=t, num_partitions=4
+        ).to_pandas()
+        assert truth == set(zip(got["id_a"], got["id_b"])), (vocab, t)
+
+
+def test_heavy_hitters_randomized_zipf(ray_session):
+    """Zipf-distributed keys across several (min_frac, capacity)
+    settings: the two-pass operator must equal the exact counter-based
+    answer, including when pass-1 compression is heavy."""
+    from collections import Counter
+
+    from sapray import ops
+
+    rng = np.random.default_rng(23)
+    keys = rng.zipf(1.5, size=30000)
+    keys = keys[keys < 100000].astype(np.int64)
+    n = len(keys)
+    counts = Counter(keys.tolist())
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)})).repartition(6)
+    for min_frac, capacity in ((0.01, 512), (0.03, 128), (0.002, 2048)):
+        out = ops.heavy_hitters(ds, ["k"], min_frac=min_frac,
+                                capacity=capacity).to_pandas()
+        expect = {k: c for k, c in counts.items() if c >= min_frac * n}
+        assert dict(zip(out["k"], out["cnt"])) == expect, (min_frac, capacity)
