@@ -48,11 +48,12 @@ def oracle_sql() -> dict[str, str]:
     runnable regardless of query/oracle execution order.
     """
     from sapray.changelog import generate_changelog
-    from sapray.queries import _changelog_dir_for, registry
+    from sapray.queries import _changelog_dir_for, _ensure_exports, registry
 
     sf_dir = f"/root/testdata/{SF_CORRECTNESS_NAME}"
     if os.path.isdir(sf_dir):
         generate_changelog(sf_dir, _changelog_dir_for(sf_dir), n_updates=3000)
+        _ensure_exports(sf_dir)  # JSONL/CSV source-query inputs + oracles
     return {
         name: spec["sql"]
         for name, spec in registry(SF_CORRECTNESS_NAME).items()

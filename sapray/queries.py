@@ -2258,6 +2258,107 @@ def _changelog_dir_for(sf_dir: str) -> str:
     return os.path.join(ORACLE_TMP, name, "changelog")
 
 
+# ------------------------------------------- non-parquet sources (S2 analog)
+
+
+def _export_dir_for(sf_name: str) -> str:
+    return os.path.join(ORACLE_TMP, sf_name, "export")
+
+
+def _ensure_exports(sf_dir: str) -> str:
+    """Deterministic JSONL/CSV exports of the fixture tables (written
+    once per sf, meta-keyed) — the on-disk input for the non-parquet
+    source queries AND their DuckDB oracles. Sharded into 4 files so the
+    readers exercise real per-file parallelism."""
+    import json as _json
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = _export_dir_for(name)
+    src = _p(sf_dir, "documents")
+    meta_path = os.path.join(out, "_meta.json")
+    key = {"src_mtime": os.path.getmtime(src)}
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            if _json.load(f) == key:
+                return out
+    os.makedirs(out, exist_ok=True)
+    docs = pq.read_table(src, columns=["doc_id", "lang", "n_chars", "source"])
+    dpd = docs.to_pandas()
+    for i, part in enumerate(np.array_split(np.arange(len(dpd)), 4)):
+        dpd.iloc[part].to_json(
+            os.path.join(out, f"documents-{i:04d}.jsonl"),
+            orient="records", lines=True,
+        )
+    ev = pq.read_table(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    ).to_pandas()
+    for i, part in enumerate(np.array_split(np.arange(len(ev)), 4)):
+        ev.iloc[part].to_csv(
+            os.path.join(out, f"events-{i:04d}.csv"), index=False
+        )
+    with open(meta_path, "w") as f:
+        _json.dump(key, f)
+    return out
+
+
+def jsonl_source_docs(sf_dir: str):
+    """Line-delimited JSON source (S2 file-format analog): read the
+    sharded JSONL export with a declared expected schema (the
+    validateFieldsMatch guard), prune to three columns right after
+    parse, filter, and return — proving non-parquet ingest feeds the
+    same operator surface."""
+    from sapray import sources
+
+    out = _ensure_exports(sf_dir)
+    expected = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("lang", pa.string()),
+         pa.field("n_chars", pa.int64())]
+    )
+    import glob as _glob
+
+    ds = sources.read_jsonl(
+        sorted(_glob.glob(os.path.join(out, "documents-*.jsonl"))),
+        columns=["doc_id", "lang", "n_chars"],
+        expected_schema=expected,
+    )
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _jsonl_source_sql(sf_name: str) -> str:
+    glob = os.path.join(_export_dir_for(sf_name), "documents-*.jsonl")
+    return (
+        f"SELECT doc_id, lang, n_chars FROM read_json_auto('{glob}') "
+        "WHERE lang = 'en'"
+    )
+
+
+def csv_source_events(sf_dir: str):
+    """CSV source: read the sharded CSV export with column pruning
+    pushed into Arrow's convert options, then aggregate through the
+    partial-agg combiner — ingest-format parity for the events table."""
+    from sapray import sources
+
+    import glob as _glob
+
+    out = _ensure_exports(sf_dir)
+    ds = sources.read_csv(
+        sorted(_glob.glob(os.path.join(out, "events-*.csv"))),
+        columns=["event_type", "event_id"],
+    )
+    return ops.grouped_aggregate(ds, ["event_type"], {"n": (None, "count")})
+
+
+def _csv_source_sql(sf_name: str) -> str:
+    glob = os.path.join(_export_dir_for(sf_name), "events-*.csv")
+    return (
+        f"SELECT event_type, count(*) AS n FROM read_csv_auto('{glob}') "
+        "GROUP BY event_type"
+    )
+
+
 def cdc_replay_flagship(sf_dir: str):
     """Full engine path: generate the deterministic change log, replay it
     through decode -> partition/salt shuffle -> LWW appliers -> exactly-once
@@ -2466,6 +2567,12 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
     return {
         "projection_docs": {"fn": projection_docs, "sql": PROJECTION_DOCS_SQL},
         "filter_docs": {"fn": filter_docs, "sql": FILTER_DOCS_SQL},
+        "jsonl_source_docs": {
+            "fn": jsonl_source_docs, "sql": _jsonl_source_sql(sf_name),
+        },
+        "csv_source_events": {
+            "fn": csv_source_events, "sql": _csv_source_sql(sf_name),
+        },
         "topk_events": {"fn": topk_events, "sql": TOPK_EVENTS_SQL},
         "lww_latest_events": {"fn": lww_latest_events, "sql": LWW_LATEST_EVENTS_SQL},
         "cdc_upsert_events": {"fn": cdc_upsert_events, "sql": CDC_UPSERT_EVENTS_SQL},

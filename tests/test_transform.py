@@ -182,3 +182,29 @@ def test_validate_event_batch_error_shape():
     bad = decode_events(_raw_event_batch(1)).drop_columns(["seq"])
     with pytest.raises(ValueError, match="Field 'seq' is missing"):
         validate_event_batch(bad)
+
+
+def test_source_schema_guard(ray_session, tmp_path):
+    """Non-parquet sources apply the validateFieldsMatch analog: an
+    expected field the data lacks, a type outside the widening lattice,
+    or relaxed nullability must raise SchemaCompatError
+    (SapODataConfig.java:262-298)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from sapray import sources
+    from sapray.schema import SchemaCompatError
+
+    p = str(tmp_path / "d.jsonl")
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_json(
+        p, orient="records", lines=True
+    )
+    ok = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.string())])
+    assert sources.read_jsonl(p, expected_schema=ok).count() == 2
+    missing = pa.schema([pa.field("a", pa.int64()), pa.field("zz", pa.string())])
+    with _pytest.raises(SchemaCompatError):
+        sources.read_jsonl(p, expected_schema=missing)
+    wrong_type = pa.schema([pa.field("a", pa.string()), pa.field("b", pa.string())])
+    with _pytest.raises(SchemaCompatError):
+        sources.read_jsonl(p, expected_schema=wrong_type)
