@@ -547,10 +547,19 @@ def heavy_hitters(
     columns: list[str],
     min_frac: float,
     capacity: int = 4096,
+    weight_column: str | None = None,
 ) -> ray.data.Dataset:
     """EXACT frequent items: every key combination appearing in at least
     ``min_frac`` of the rows, with its exact count — without ever
     shuffling one row per distinct key.
+
+    With ``weight_column`` (an int64 column, e.g. byte sizes or exact
+    cents) the semantics become WEIGHTED: keys whose weight sum is at
+    least ``min_frac`` of the total weight, with exact sums — same
+    Misra-Gries bound with weights (the compress subtracts the
+    (capacity+1)-th largest weight sum, <= batch_weight/(capacity+1)).
+    Weights must be non-negative; a negative weight breaks the
+    recall bound and is rejected.
 
     A plain ``grouped_aggregate`` moves one partial row per (key, batch)
     through the exchange; with billions of distinct keys (URLs, doc
@@ -585,11 +594,23 @@ def heavy_hitters(
         )
 
     def mg_partial(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        res = batch.group_by(columns, use_threads=False).aggregate(
-            [([], "count_all")]
-        )
-        cnt = res.column("count_all").to_numpy(zero_copy_only=False)
+        if weight_column is None:
+            n = batch.num_rows
+            res = batch.group_by(columns, use_threads=False).aggregate(
+                [([], "count_all")]
+            )
+            cnt = res.column("count_all").to_numpy(zero_copy_only=False)
+        else:
+            w = batch.column(weight_column)
+            if batch.num_rows and pa.compute.min(w).as_py() < 0:
+                raise ValueError("weight_column must be non-negative")
+            n = pa.compute.sum(w).as_py() or 0
+            res = batch.group_by(columns, use_threads=False).aggregate(
+                [(weight_column, "sum")]
+            )
+            cnt = res.column(f"{weight_column}_sum").to_numpy(
+                zero_copy_only=False
+            )
         if len(res) > capacity:
             order = np.argsort(-cnt, kind="stable")
             kth = cnt[order[capacity]]
@@ -621,12 +642,13 @@ def heavy_hitters(
     merged = partials.groupby(columns).aggregate(
         Sum("cnt", alias_name="cnt"), Sum("bn", alias_name="bn")
     ).materialize()
+    out_col = "cnt" if weight_column is None else "wsum"
     total = merged.sum("bn")
     if not total:
         sch = _keys_schema(ds, columns)
         return ray.data.from_arrow(
             pa.table({f.name: pa.nulls(0, f.type) for f in sch}
-                     | {"cnt": pa.array([], pa.int64())})
+                     | {out_col: pa.array([], pa.int64())})
         )
     threshold = min_frac * total
     margin = threshold - total / capacity
@@ -656,12 +678,13 @@ def heavy_hitters(
         ds.map_batches(keep_candidates, batch_format="pyarrow",
                        zero_copy_batch=True),
         columns,
-        {"cnt": (None, "count")},
+        {out_col: ((None, "count") if weight_column is None
+                   else (weight_column, "sum"))},
     )
     return exact.map_batches(
         lambda b: b.filter(
             pa.compute.greater_equal(
-                pa.compute.cast(b.column("cnt"), pa.float64()),
+                pa.compute.cast(b.column(out_col), pa.float64()),
                 pa.scalar(threshold),
             )
         ),

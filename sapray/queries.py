@@ -2134,6 +2134,33 @@ HAVING count(*) >= 0.0075::DOUBLE * (SELECT count(*) FROM events)
 """
 
 
+def heavy_value_users_events(sf_dir: str):
+    """WEIGHTED heavy hitters: users carrying >= 0.8% of total event
+    value — the 'which domains contribute most bytes' op. Weights are
+    exact integer cents; the Misra-Gries recall bound holds with weights
+    (compress subtracts the (capacity+1)-th largest weight sum)."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(batch.column("value"), 100)).cast(pa.int64())
+        return pa.table({"user_id": batch.column("user_id"), "cents": cents})
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = ops.heavy_hitters(
+        ds, ["user_id"], min_frac=0.008, capacity=1024, weight_column="cents"
+    )
+    return out.select_columns(["user_id", "wsum"])
+
+
+HEAVY_VALUE_USERS_EVENTS_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT user_id, sum(cents) AS wsum FROM c GROUP BY user_id
+HAVING sum(cents) >= 0.008::DOUBLE * (SELECT sum(cents) FROM c)
+"""
+
+
 def rollup_events(sf_dir: str):
     """GROUP BY ROLLUP (user_id, event_type): counts and exact-selection
     min at every rollup level from ONE scan — coarser levels re-aggregate
@@ -2678,6 +2705,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "heavy_hitters_events": {
             "fn": heavy_hitters_events, "sql": HEAVY_HITTERS_EVENTS_SQL,
+        },
+        "heavy_value_users_events": {
+            "fn": heavy_value_users_events, "sql": HEAVY_VALUE_USERS_EVENTS_SQL,
         },
         "approx_distinct_users_by_type": {
             "fn": approx_distinct_users_by_type,

@@ -455,3 +455,36 @@ def test_heavy_hitters_counts_rows_of_fully_compressed_batches(ray_session):
     # with N=5500 the threshold is 500.5 > 500 — key 7 must NOT appear
     out2 = ops.heavy_hitters(ds, ["k"], min_frac=0.091, capacity=64).to_pandas()
     assert len(out2) == 0
+
+
+def test_heavy_hitters_weighted_exact(ray_session):
+    """Weighted mode: keys carrying >= min_frac of TOTAL WEIGHT, exact
+    sums, with compression engaged; negative weights are rejected."""
+    from sapray import ops
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 3000, 20000).astype(np.int64)
+    w = rng.integers(1, 50, 20000).astype(np.int64)
+    # one key carries a huge weight in few rows — weighted-heavy but
+    # count-light (the case counts cannot find)
+    keys[:10] = 77777
+    w[:10] = 20000
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys), "w": pa.array(w)})
+                             ).repartition(5)
+    total = int(w.sum())
+    out = ops.heavy_hitters(ds, ["k"], min_frac=0.05, capacity=64,
+                            weight_column="w").to_pandas()
+    sums: dict[int, int] = {}
+    for k, wi in zip(keys.tolist(), w.tolist()):
+        sums[k] = sums.get(k, 0) + wi
+    expect = {k: s for k, s in sums.items() if s >= 0.05 * total}
+    assert 77777 in expect
+    assert dict(zip(out["k"], out["wsum"])) == expect
+
+    bad = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "w": pa.array([5, -1], pa.int64())})
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        ops.heavy_hitters(bad, ["k"], min_frac=0.5, capacity=8,
+                          weight_column="w").to_pandas()
