@@ -122,6 +122,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # composite pipelines (multi-join analytics, corpus curation)
         "q3_shipping_priority",
         "curate_docs",
+        # exact similarity join (prefix filter + bitset verify; CPU-bound
+        # — BASELINE.md round-2: 37.4 s at sf0.1 vs DuckDB oracle 235 s)
+        "ngram_jaccard_docs",
     ]
     reg = Q.registry(os.path.basename(os.path.normpath(sf_dir)))
     out: dict[str, float] = {}

@@ -537,6 +537,43 @@ def _keys_schema(ds: ray.data.Dataset, keys: list[str]) -> list[pa.Field]:
     return [pa.field(k, sch[k]) for k in keys]
 
 
+def unnest(
+    ds: ray.data.Dataset,
+    list_column: str,
+    carry_columns: list[str],
+    pos_name: str = "pos",
+    value_name: str = "val",
+) -> ray.data.Dataset:
+    """SQL UNNEST / explode of a list column: one output row per list
+    element, carrying ``carry_columns`` and a 1-based ``pos`` ordinal.
+
+    Pure per-batch Arrow kernel (zero-copy flatten of the child array +
+    vectorized repeats of the carried columns) — no exchange, streams at
+    any scale. Null/empty lists emit no rows (UNNEST semantics).
+    """
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        col = batch.column(list_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pa.compute.list_value_length(col).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+        pos = np.arange(lens.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        ) + 1
+        cols = {
+            c: batch.column(c).take(
+                pa.array(np.repeat(np.arange(batch.num_rows), lens))
+            )
+            for c in carry_columns
+        }
+        cols[pos_name] = pa.array(pos)
+        cols[value_name] = col.flatten()
+        return pa.table(cols)
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --------------------------------------------------------------------------
 # exact heavy hitters (Misra-Gries candidate sketch -> exact second pass)
 # --------------------------------------------------------------------------

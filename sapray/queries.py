@@ -2161,6 +2161,34 @@ HAVING sum(cents) >= 0.008::DOUBLE * (SELECT sum(cents) FROM c)
 """
 
 
+def unnest_embeddings(sf_dir: str):
+    """SQL UNNEST / explode of a list column (ops.unnest): one row per
+    embedding element with a 1-based ordinal — pure per-batch Arrow
+    flatten, no exchange. float32 -> float64 is exact, so values
+    hash-compare bit-identically against DuckDB."""
+    ds = ops.read_projected(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.less(b.column("vec_id"), 20)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = ops.unnest(ds, "embedding", ["vec_id"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": batch.column("vec_id"), "pos": batch.column("pos"),
+             "val": pc.cast(batch.column("val"), pa.float64())}
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+UNNEST_EMBEDDINGS_SQL = """
+SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       CAST(unnest(embedding) AS DOUBLE) AS val
+FROM embeddings WHERE vec_id < 20
+"""
+
+
 def rollup_events(sf_dir: str):
     """GROUP BY ROLLUP (user_id, event_type): counts and exact-selection
     min at every rollup level from ONE scan — coarser levels re-aggregate
@@ -2708,6 +2736,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "heavy_value_users_events": {
             "fn": heavy_value_users_events, "sql": HEAVY_VALUE_USERS_EVENTS_SQL,
+        },
+        "unnest_embeddings": {
+            "fn": unnest_embeddings, "sql": UNNEST_EMBEDDINGS_SQL,
         },
         "approx_distinct_users_by_type": {
             "fn": approx_distinct_users_by_type,

@@ -488,3 +488,15 @@ def test_heavy_hitters_weighted_exact(ray_session):
     with pytest.raises(Exception, match="non-negative"):
         ops.heavy_hitters(bad, ["k"], min_frac=0.5, capacity=8,
                           weight_column="w").to_pandas()
+
+
+def test_unnest_null_and_empty_lists(ray_session):
+    """UNNEST semantics: null and empty lists emit no rows; positions
+    are 1-based per row."""
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "xs": pa.array([[10, 20], None, [], [30]], pa.list_(pa.int64())),
+    })
+    out = ops.unnest(ray.data.from_arrow(t), "xs", ["id"]).to_pandas()
+    rows = sorted(zip(out["id"], out["pos"], out["val"]))
+    assert rows == [(1, 1, 10), (1, 2, 20), (4, 1, 30)]
