@@ -169,6 +169,7 @@ def apply_partition(group: pa.Table, cfg: CDCConfig) -> pa.Table:
             "reference_name": cfg.reference_name,
             "num_partitions": cfg.num_partitions,
         },
+        stats_columns=cfg.key_columns,
     )
     return pa.table(
         {
@@ -246,6 +247,7 @@ def _apply_partition_delta(
             "reference_name": cfg.reference_name,
             "num_partitions": cfg.num_partitions,
         },
+        stats_columns=cfg.key_columns,
     )
     final_rows = -1
     if len(manifest.get("files", [])) >= cfg.compact_every:

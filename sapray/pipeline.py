@@ -528,6 +528,34 @@ class CDCEngine:
                 tables.append(normalize_table(t, schema))
         return pa.concat_tables(tables) if tables else schema.empty_table()
 
+    def point_lookup(self, key: dict, as_of: int | None = None) -> pa.Table:
+        """Current row(s) for ONE composite key, touching the minimum of
+        the lake: the key's hash picks the single partition (the lake
+        partition id is salt-free and key-deterministic), and the
+        manifest zone maps (per-file key min/max recorded at commit)
+        skip every snapshot/delta file whose range excludes the key.
+        O(files actually containing the key), not O(partition).
+        """
+        cfg = self.cfg
+        missing = [c for c in cfg.key_columns if c not in key]
+        if missing:
+            raise ValueError(f"point_lookup needs every key column; missing {missing}")
+        from sapray.sink import read_manifest, read_partition_state
+        from sapray.transform import STATE_SCHEMA
+
+        kt = pa.table({c: pa.array([key[c]]) for c in cfg.key_columns})
+        part = int(hash_key(kt, cfg.key_columns)[0] % np.uint64(cfg.num_partitions))
+        t = read_partition_state(
+            cfg.lake_dir, part, read_manifest(cfg.lake_dir, part),
+            cfg.key_columns, cfg.seq_column, as_of=as_of,
+            key_equals={c: key[c] for c in cfg.key_columns},
+        )
+        if t is None or not t.num_rows:
+            return STATE_SCHEMA.empty_table()
+        from sapray.schema import normalize_table
+
+        return normalize_table(t, STATE_SCHEMA)
+
     def state_table(self, as_of: int | None = None) -> pa.Table:
         """Whole committed lake as one Arrow table — tests/small scales only."""
         from sapray.sink import read_partition_state

@@ -2593,6 +2593,47 @@ FROM last WHERE last_op <> 'D'
 """
 
 
+def cdc_point_lookup(sf_dir: str):
+    """Point lookups against the delta lake: manifest zone maps (per-file
+    key min/max recorded at every commit) + key-hash partition pruning
+    open only the files that may contain each key — O(files with the
+    key), not O(lake). Looks up the 5 smallest distinct changelog keys;
+    a key whose last op was DELETE returns no row on both sides."""
+    import glob as _glob
+
+    eng, _ = _two_commit_delta_lake(sf_dir, "lake_lookup")
+    cl_dir = _changelog_dir_for(sf_dir)
+    keys = pa.concat_tables([
+        pq.read_table(f, columns=["repo", "path"])
+        for f in sorted(_glob.glob(os.path.join(cl_dir, "v*", "*.parquet")))
+    ])
+    kdf = keys.to_pandas().drop_duplicates().sort_values(["repo", "path"]).head(5)
+    out = [eng.point_lookup({"repo": r, "path": p}) for r, p in kdf.itertuples(index=False)]
+    res = pa.concat_tables(out)
+    return res.select(["repo", "path", "commit", "seq", "content_sha256"])
+
+
+def _point_lookup_sql(sf_name: str) -> str:
+    glob = os.path.join(ORACLE_TMP, sf_name, "changelog", "v*", "*.parquet")
+    return f"""
+WITH ev AS (
+  SELECT seq, op, repo, path, commit, content
+  FROM read_parquet('{glob}', union_by_name=true)
+), last AS (
+  SELECT repo, path,
+         max(seq)              AS seq,
+         arg_max(op, seq)      AS last_op,
+         arg_max(commit, seq)  AS commit,
+         arg_max(content, seq) AS content
+  FROM ev GROUP BY repo, path
+), keys AS (
+  SELECT DISTINCT repo, path FROM ev ORDER BY repo, path LIMIT 5
+)
+SELECT l.repo, l.path, l.commit, l.seq, sha256(l.content) AS content_sha256
+FROM last l JOIN keys k USING (repo, path) WHERE l.last_op <> 'D'
+"""
+
+
 def _flagship_sql(sf_name: str) -> str:
     glob = os.path.join(ORACLE_TMP, sf_name, "changelog", "v*", "*.parquet")
     return f"""
@@ -2747,6 +2788,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "sample_docs": {"fn": sample_docs, "sql": SAMPLE_DOCS_SQL},
         "cdc_replay_flagship": {"fn": cdc_replay_flagship, "sql": _flagship_sql(sf_name)},
         "cdc_replay_delta": {"fn": cdc_replay_delta, "sql": _flagship_sql(sf_name)},
+        "cdc_point_lookup": {"fn": cdc_point_lookup, "sql": _point_lookup_sql(sf_name)},
         "cdc_time_travel": {"fn": cdc_time_travel, "sql": _time_travel_sql(sf_name)},
         "cdc_change_feed": {"fn": cdc_change_feed, "sql": _change_feed_sql(sf_name)},
         "incremental_view_repo_stats": {

@@ -79,6 +79,40 @@ def _history_floor(files: list[str]) -> int:
     return max(floors, default=-1)
 
 
+def _column_stats(table: pa.Table, stats_columns) -> dict:
+    """Per-file zone map: [min, max] per stats column (JSON-serializable
+    key types only — strings/ints)."""
+    stats: dict = {}
+    for c in stats_columns or ():
+        if c in table.column_names and table.num_rows:
+            col = table.column(c)
+            stats[c] = [pa.compute.min(col).as_py(),
+                        pa.compute.max(col).as_py()]
+    return stats
+
+
+def _prune_files(manifest: dict, key_equals: dict | None) -> list[str]:
+    """Files that MAY contain the key per the manifest zone maps. A file
+    without recorded stats is always kept (pruning must never lose a
+    key); exact for key-equality predicates — a delta/tombstone file
+    whose key range excludes the key contributes nothing to its merge."""
+    files = list(manifest.get("files", []))
+    if not key_equals:
+        return files
+    stats = manifest.get("stats", {})
+
+    def may_contain(f: str) -> bool:
+        st = stats.get(f)
+        if not st:
+            return True
+        for c, v in key_equals.items():
+            if c in st and not (st[c][0] <= v <= st[c][1]):
+                return False
+        return True
+
+    return [f for f in files if may_contain(f)]
+
+
 def read_partition_state(
     lake_dir: str,
     part: int,
@@ -86,6 +120,7 @@ def read_partition_state(
     key_columns: tuple[str, ...] = ("repo", "path"),
     seq_column: str = "seq",
     as_of: int | None = None,
+    key_equals: dict | None = None,
 ) -> pa.Table | None:
     """Read the committed state for a partition via its manifest.
 
@@ -103,6 +138,10 @@ def read_partition_state(
     Raises when the requested point predates the retained history
     (snapshot-mode lakes retain none; compaction folds history up to its
     watermark).
+
+    ``key_equals`` ({column: value} over key columns) is a point-lookup
+    predicate: files whose manifest zone maps exclude the key are never
+    opened, and the merged result is row-filtered to the key.
     """
     if not manifest or not manifest.get("files"):
         return None
@@ -117,7 +156,10 @@ def read_partition_state(
                    if manifest.get("mode") != "delta"
                    else f"history compacted up to seq {floor}")
             )
-    tables = [pq.read_table(os.path.join(pdir, f)) for f in manifest["files"]]
+    files = _prune_files(manifest, key_equals)
+    if not files:
+        return None
+    tables = [pq.read_table(os.path.join(pdir, f)) for f in files]
     if travel:
         import pyarrow.compute as pc
 
@@ -125,8 +167,18 @@ def read_partition_state(
             t.filter(pc.less_equal(t.column(seq_column), as_of)) for t in tables
         ]
     if len(tables) == 1 and "is_delete" not in tables[0].column_names:
-        return tables[0]
-    return merge_delta_states(tables, key_columns, seq_column)
+        out = tables[0]
+    else:
+        out = merge_delta_states(tables, key_columns, seq_column)
+    if key_equals and out is not None:
+        import pyarrow.compute as pc
+
+        mask = None
+        for c, v in key_equals.items():
+            m = pc.equal(out.column(c), v)
+            mask = m if mask is None else pc.and_(mask, m)
+        out = out.filter(mask)
+    return out
 
 
 def read_partition_changes(
@@ -224,12 +276,14 @@ def commit_partition(
     state_sha: str,
     extra: dict | None = None,
     force_replace: bool = False,
+    stats_columns: tuple[str, ...] | None = None,
 ) -> dict:
     """Atomically commit a partition snapshot + manifest.
 
     Content-addressed filename + temp-write + ``os.replace`` + monotonic
     watermark check = idempotent under retries and speculative
-    re-execution.
+    re-execution. ``stats_columns`` records per-file min/max zone maps
+    in the manifest for point-lookup file pruning.
     """
     pdir = _part_dir(lake_dir, part)
     mdir = os.path.join(lake_dir, MANIFEST_DIR)
@@ -259,6 +313,8 @@ def commit_partition(
         "files": [fname],
         "row_count": state.num_rows,
         "state_sha": state_sha,
+        **({"stats": {fname: _column_stats(state, stats_columns)}}
+           if stats_columns else {}),
         **(extra or {}),
     }
     tmp = mpath + f".tmp-{uuid.uuid4().hex}"
@@ -275,6 +331,7 @@ def commit_partition_delta(
     watermark: int,
     delta_sha: str,
     extra: dict | None = None,
+    stats_columns: tuple[str, ...] | None = None,
 ) -> dict:
     """Append ONE delta file to a partition (write-optimized sink mode).
 
@@ -307,6 +364,9 @@ def commit_partition_delta(
 
     files = list(prev.get("files", [])) if prev else []
     files.append(fname)
+    stats = dict(prev.get("stats", {})) if prev else {}
+    if stats_columns:
+        stats[fname] = _column_stats(delta, stats_columns)
     manifest = {
         "part": part,
         "watermark": watermark,
@@ -314,6 +374,8 @@ def commit_partition_delta(
         "row_count": -1,  # unknown until compaction/read merge
         "state_sha": delta_sha,
         "mode": "delta",
+        **({"stats": {f: s for f, s in stats.items() if f in files}}
+           if stats else {}),
         **(extra or {}),
     }
     tmp = mpath + f".tmp-{uuid.uuid4().hex}"
@@ -348,6 +410,7 @@ def compact_partition(
         state,
         manifest["watermark"] + 0,  # same watermark: compaction adds no events
         state_sha,
+        stats_columns=key_columns if manifest.get("stats") else None,
         # carry lineage fields forward (resume checks num_partitions)
         extra={
             k: manifest[k]

@@ -278,3 +278,63 @@ def test_time_travel_guards(ray_session, changelog_dir, tmp_path):
         compact_partition(comp, p)
     with pytest.raises(ValueError, match="history"):
         eng2.state_table(as_of=w1)
+
+
+def test_point_lookup_prunes_files_and_matches_state(ray_session, tmp_path):
+    """Manifest zone maps: each delta commit records per-file key
+    min/max; a point lookup opens only files whose range may contain the
+    key and returns exactly the full-merge answer (including tombstoned
+    and time-traveled keys)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sapray.sink import (
+        _prune_files, commit_partition_delta, read_manifest,
+        read_partition_state,
+    )
+
+    lake = str(tmp_path / "lake")
+
+    def delta(keys, seqs, deletes=None):
+        n = len(keys)
+        deletes = deletes or [False] * n
+        return pa.table({
+            "repo": pa.array([k[0] for k in keys]),
+            "path": pa.array([k[1] for k in keys]),
+            "commit": pa.array([f"c{s}" for s in seqs]),
+            "seq": pa.array(seqs, pa.int64()),
+            "content_sha256": pa.array([f"sha{s}" for s in seqs]),
+            "is_delete": pa.array(deletes),
+        })
+
+    # three commits with disjoint repo RANGES (zone maps are min/max —
+    # a file spanning [a, z] could never be pruned for any key between)
+    commit_partition_delta(lake, 0, delta([("a", "x"), ("b", "y")], [1, 2]),
+                           2, "s1", stats_columns=("repo", "path"))
+    commit_partition_delta(lake, 0, delta([("m", "x"), ("a", "x")], [3, 4]),
+                           4, "s2", stats_columns=("repo", "path"))
+    commit_partition_delta(lake, 0, delta([("n", "x"), ("z", "x")], [5, 6]),
+                           6, "s3", stats_columns=("repo", "path"))
+
+    m = read_manifest(lake, 0)
+    assert len(m["files"]) == 3 and len(m["stats"]) == 3
+    # ("z","x") only fits file 3's [n, z]; files 1-2 are pruned
+    kept = _prune_files(m, {"repo": "z", "path": "x"})
+    assert len(kept) == 1 and f"w{6:016d}" in kept[0]
+    # ("a","x") fits files 1 and 2, not file 3
+    assert len(_prune_files(m, {"repo": "a", "path": "x"})) == 2
+
+    got = read_partition_state(lake, 0, m, ("repo", "path"), "seq",
+                               key_equals={"repo": "a", "path": "x"})
+    assert got.num_rows == 1 and got.column("seq")[0].as_py() == 4
+    got_z = read_partition_state(lake, 0, m, ("repo", "path"), "seq",
+                                 key_equals={"repo": "z", "path": "x"})
+    assert got_z.num_rows == 1 and got_z.column("seq")[0].as_py() == 6
+    # key below every range: every file pruned -> None without a read
+    assert read_partition_state(lake, 0, m, ("repo", "path"), "seq",
+                                key_equals={"repo": "0", "path": "q"}) is None
+    # time-travel composes with the point predicate: ("a","x") before
+    # its seq-4 update reverts to the seq-1 value
+    old = read_partition_state(lake, 0, m, ("repo", "path"), "seq", as_of=2,
+                               key_equals={"repo": "a", "path": "x"})
+    assert old.num_rows == 1 and old.column("seq")[0].as_py() == 1
