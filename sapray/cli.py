@@ -3,6 +3,7 @@
     python -m sapray.cli apply --changelog DIR --lake DIR [options]
     python -m sapray.cli compact --lake DIR [--partitions 0,1,2]
     python -m sapray.cli state --lake DIR [--limit N] [--as-of W]
+    python -m sapray.cli lookup --lake DIR --key repo=r1,path=a/b [--as-of W]
     python -m sapray.cli changes --lake DIR [--since W] [--until W2]
 
 On a cluster this module is the job driver: ``ray job submit --
@@ -91,6 +92,25 @@ def cmd_state(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_lookup(args: argparse.Namespace) -> int:
+    from sapray.config import CDCConfig
+    from sapray.pipeline import CDCEngine
+
+    key = dict(kv.split("=", 1) for kv in args.key.split(","))
+    eng = CDCEngine(CDCConfig(lake_dir=args.lake,
+                              key_columns=tuple(key.keys())))
+    t = eng.point_lookup(key, as_of=args.as_of)
+    print(json.dumps(
+        {"rows": t.num_rows,
+         "sample": [
+             {k: v for k, v in r.items() if k != "content"}
+             for r in t.to_pylist()
+         ]},
+        default=str,
+    ))
+    return 0
+
+
 def cmd_changes(args: argparse.Namespace) -> int:
     from sapray.config import CDCConfig
     from sapray.pipeline import CDCEngine
@@ -131,6 +151,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="time-travel a delta-mode lake to this commit watermark")
     st.add_argument("--num-cpus", type=int, default=None)
     st.set_defaults(fn=cmd_state)
+
+    lk = sub.add_parser(
+        "lookup", help="point lookup of one key via manifest zone maps (no Ray session)"
+    )
+    lk.add_argument("--lake", required=True)
+    lk.add_argument("--key", required=True,
+                    help="comma-separated col=value pairs, e.g. repo=r1,path=a/b")
+    lk.add_argument("--as-of", type=int, default=None, dest="as_of")
+    lk.set_defaults(fn=cmd_lookup)
 
     ch = sub.add_parser(
         "changes", help="change-data-feed of a delta-mode lake"

@@ -543,8 +543,18 @@ class CDCEngine:
         from sapray.sink import read_manifest, read_partition_state
         from sapray.transform import STATE_SCHEMA
 
+        # route with the PERSISTED partition count: the manifests carry
+        # the count the lake was built with, which trumps a caller's
+        # default config (a mismatched modulus would probe the wrong
+        # partition and silently miss the key)
+        manifests = read_manifests(cfg.lake_dir)
+        nparts = next(
+            (int(m["num_partitions"]) for m in manifests.values()
+             if "num_partitions" in m),
+            cfg.num_partitions,
+        )
         kt = pa.table({c: pa.array([key[c]]) for c in cfg.key_columns})
-        part = int(hash_key(kt, cfg.key_columns)[0] % np.uint64(cfg.num_partitions))
+        part = int(hash_key(kt, cfg.key_columns)[0] % np.uint64(nparts))
         t = read_partition_state(
             cfg.lake_dir, part, read_manifest(cfg.lake_dir, part),
             cfg.key_columns, cfg.seq_column, as_of=as_of,

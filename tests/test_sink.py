@@ -112,3 +112,31 @@ def test_cli_apply_compact_state(ray_session, changelog_dir, tmp_path):
     from sapray.sink import read_manifests
 
     assert all(len(m["files"]) == 1 for m in read_manifests(lake).values())
+
+
+def test_cli_lookup_finds_committed_key(ray_session, changelog_dir, tmp_path, capsys):
+    """CLI point lookup: routes by the PERSISTED num_partitions (a
+    default-config caller must not probe the wrong partition) and
+    answers through the manifest zone maps."""
+    import json
+
+    from sapray import cli
+    from sapray.config import CDCConfig
+    from sapray.pipeline import CDCEngine
+
+    out, _ = changelog_dir
+    lake = str(tmp_path / "cli_lookup_lake")
+    assert cli.main(
+        ["apply", "--changelog", out, "--lake", lake, "--partitions", "8",
+         "--sink-mode", "delta"]
+    ) == 0
+    state = CDCEngine(CDCConfig(lake_dir=lake, num_partitions=8)).state_table()
+    repo = state.column("repo")[0].as_py()
+    path = state.column("path")[0].as_py()
+    capsys.readouterr()
+    assert cli.main(["lookup", "--lake", lake, "--key", f"repo={repo},path={path}"]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["rows"] == 1 and got["sample"][0]["repo"] == repo
+    assert cli.main(["lookup", "--lake", lake, "--key", "repo=__nope__,path=__nope__"]) == 0
+    none = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert none["rows"] == 0
