@@ -537,6 +537,104 @@ def _keys_schema(ds: ray.data.Dataset, keys: list[str]) -> list[pa.Field]:
     return [pa.field(k, sch[k]) for k in keys]
 
 
+def grouping_sets_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sets: list[tuple[str, ...]],
+    spec: AggSpec,
+) -> ray.data.Dataset:
+    """GROUP BY GROUPING SETS: one aggregate per requested key subset,
+    non-grouped key columns null — the generalization ROLLUP prefixes
+    can't express (e.g. CUBE's (b)-only level).
+
+    The raw input is scanned ONCE: the finest level (all ``keys``)
+    aggregates through the partial-agg combiner, and every other set
+    re-aggregates the finest OUTPUT (counts become sums; sum/min/max are
+    re-foldable — ``mean`` is rejected, aggregate sum+count instead). A
+    set equal to ``keys`` must be listed to appear in the output.
+    """
+    if any(kind == "mean" for _, kind in spec.values()):
+        raise ValueError("grouping_sets_aggregate does not support 'mean'; "
+                         "aggregate sum and count and divide downstream")
+    for s in sets:
+        unknown = [c for c in s if c not in keys]
+        if unknown:
+            raise ValueError(f"grouping set {s} has non-key columns {unknown}")
+
+    finest = grouped_aggregate(ds, keys, spec)
+    respec: AggSpec = {
+        out: (out, "sum" if kind == "count" else kind)
+        for out, (col, kind) in spec.items()
+    }
+    key_types = {f.name: f.type for f in _keys_schema(ds, keys)}
+
+    def pad(level_keys: tuple[str, ...]):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {}
+            n = batch.num_rows
+            for k in keys:
+                cols[k] = (
+                    batch.column(k) if k in level_keys
+                    else pa.nulls(n, key_types[k])
+                )
+            for out in spec:
+                cols[out] = batch.column(out)
+            return pa.table(cols)
+
+        return f
+
+    out: ray.data.Dataset | None = None
+    for s in sets:
+        if tuple(s) == tuple(keys):
+            lvl = finest
+        elif s:
+            lvl = grouped_aggregate(finest, list(s), respec)
+        else:
+            # grand total: per-block fold of the finest output (one tiny
+            # row per block reaches the driver, never the key grid)
+            aggs = {"sum": pa.compute.sum, "min": pa.compute.min,
+                    "max": pa.compute.max}
+
+            def fold(batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0:
+                    return batch.select(list(respec))
+                return pa.table({
+                    o: pa.array([aggs[kind](batch.column(o)).as_py()],
+                                batch.column(o).type)
+                    for o, (_, kind) in respec.items()
+                })
+
+            parts = pa.Table.from_pandas(
+                finest.map_batches(fold, batch_format="pyarrow").to_pandas()
+            )
+            cols: dict[str, pa.Array] = {}
+            for o, (_, kind) in respec.items():
+                c = parts.column(o).cast(
+                    dict(zip(finest.schema().names, finest.schema().types))[o]
+                )
+                cols[o] = pa.array([aggs[kind](c).as_py()], c.type)
+            lvl = ray.data.from_arrow(pa.table(cols))
+        lvl = lvl.map_batches(pad(tuple(s)), batch_format="pyarrow")
+        out = lvl if out is None else out.union(lvl)
+    assert out is not None
+    return out
+
+
+def cube_aggregate(
+    ds: ray.data.Dataset, keys: list[str], spec: AggSpec
+) -> ray.data.Dataset:
+    """GROUP BY CUBE: every subset of ``keys`` (2^k grouping sets), all
+    derived from one scan's finest-level partials."""
+    from itertools import combinations
+
+    sets = [
+        combo
+        for r in range(len(keys), -1, -1)
+        for combo in combinations(keys, r)
+    ]
+    return grouping_sets_aggregate(ds, keys, sets, spec)
+
+
 def unnest(
     ds: ray.data.Dataset,
     list_column: str,

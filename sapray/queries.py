@@ -2209,6 +2209,27 @@ FROM events GROUP BY ROLLUP (user_id, event_type)
 """
 
 
+def cube_events(sf_dir: str):
+    """GROUP BY CUBE (user_id, event_type): all four grouping sets from
+    ONE scan — the finest level aggregates through the partial-agg
+    combiner and every other set re-aggregates its output
+    (ops.cube_aggregate / grouping_sets_aggregate)."""
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "event_id"]
+    )
+    return ops.cube_aggregate(
+        ds,
+        ["user_id", "event_type"],
+        {"n": (None, "count"), "min_event": ("event_id", "min")},
+    )
+
+
+CUBE_EVENTS_SQL = """
+SELECT user_id, event_type, count(*) AS n, min(event_id) AS min_event
+FROM events GROUP BY CUBE (user_id, event_type)
+"""
+
+
 def global_quantiles_events(sf_dir: str):
     """Exact global p50/p90 of events.value via two-pass distributed
     selection (ops.exact_global_quantile): histogram partials -> target
@@ -2769,6 +2790,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "pivot_events": {"fn": pivot_events, "sql": PIVOT_EVENTS_SQL},
         "rollup_events": {"fn": rollup_events, "sql": ROLLUP_EVENTS_SQL},
+        "cube_events": {"fn": cube_events, "sql": CUBE_EVENTS_SQL},
         "approx_distinct_events": {
             "fn": approx_distinct_events, "sql": APPROX_DISTINCT_EVENTS_SQL,
         },
