@@ -2230,6 +2230,35 @@ FROM events GROUP BY CUBE (user_id, event_type)
 """
 
 
+def rank_functions_orders(sf_dir: str):
+    """DENSE_RANK / PERCENT_RANK / NTILE(4) per customer by total price
+    — the full SQL ranking family in one vectorized per-partition sweep
+    (window.rank_functions). percent_rank divides exact small ints on
+    both engines, so doubles hash bit-identically."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    out = window.rank_functions(
+        ds, "o_custkey", "o_totalprice", "o_orderkey", ntile_k=4
+    )
+    return out.select_columns(
+        ["o_custkey", "o_orderkey", "dense_rank", "percent_rank", "ntile"]
+    )
+
+
+RANK_FUNCTIONS_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey,
+       DENSE_RANK()   OVER w AS dense_rank,
+       PERCENT_RANK() OVER w AS percent_rank,
+       NTILE(4) OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice, o_orderkey) AS ntile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+"""
+
+
 def global_quantiles_events(sf_dir: str):
     """Exact global p50/p90 of events.value via two-pass distributed
     selection (ops.exact_global_quantile): histogram partials -> target
@@ -2791,6 +2820,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "pivot_events": {"fn": pivot_events, "sql": PIVOT_EVENTS_SQL},
         "rollup_events": {"fn": rollup_events, "sql": ROLLUP_EVENTS_SQL},
         "cube_events": {"fn": cube_events, "sql": CUBE_EVENTS_SQL},
+        "rank_functions_orders": {
+            "fn": rank_functions_orders, "sql": RANK_FUNCTIONS_ORDERS_SQL,
+        },
         "approx_distinct_events": {
             "fn": approx_distinct_events, "sql": APPROX_DISTINCT_EVENTS_SQL,
         },

@@ -99,6 +99,69 @@ def rank_in_key(
     return partitioned_apply(ds, key, kernel, num_partitions)
 
 
+def rank_functions(
+    ds: ray.data.Dataset,
+    key: str,
+    order_column: str,
+    tiebreak_column: str,
+    descending: bool = False,
+    ntile_k: int = 4,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """The remaining SQL ranking family in one vectorized per-partition
+    sweep: DENSE_RANK / PERCENT_RANK / NTILE over
+    ``PARTITION BY key ORDER BY order_column`` (dense/percent rank by
+    the order VALUE — ties share a rank; the tiebreak column only fixes
+    row order inside ties so output is deterministic).
+
+    * dense_rank: 1 + count of distinct order values before this one;
+    * percent_rank: (rank-1)/(n-1) as float64 — both engines compute the
+      same small-int division, so it hash-compares bit-exactly;
+    * ntile(k): SQL semantics — the first ``n % k`` buckets get
+      ``n//k + 1`` rows, row order (order, tiebreak).
+    """
+
+    def kernel(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        order_vals = t.column(order_column).to_numpy(zero_copy_only=False)
+        tie = t.column(tiebreak_column).to_numpy(zero_copy_only=False)
+        ov = _descending_key(order_vals) if descending else order_vals
+        idx = np.lexsort((tie, ov, codes))
+        t = t.take(pa.array(idx))
+        codes, ov = codes[idx], ov[idx]
+        starts = _run_starts(codes)
+        ends = np.concatenate([starts[1:], [len(codes)]]) if len(starts) else starts
+        pos = np.arange(len(codes), dtype=np.int64)
+        run_id = np.searchsorted(starts, pos, side="right") - 1
+        run_start = starts[run_id]
+        n = (ends - starts)[run_id]
+        rnk = pos - run_start + 1  # ROW_NUMBER / RANK basis (ties broken)
+        # RANK with ties: first row index of this order-value run within
+        # the key run; DENSE_RANK: distinct-value ordinal
+        new_val = np.ones(len(codes), dtype=bool)
+        if len(codes) > 1:
+            new_val[1:] = (ov[1:] != ov[:-1]) | (codes[1:] != codes[:-1])
+        val_start = pos[new_val][np.cumsum(new_val) - 1]
+        rank_ties = val_start - run_start + 1
+        dense = np.cumsum(new_val) - np.cumsum(new_val)[run_start]
+        pct = np.where(n > 1, (rank_ties - 1) / np.maximum(n - 1, 1), 0.0)
+        # SQL NTILE: the first n%k buckets take n//k+1 rows EACH, all
+        # before any small bucket (not an even floor((r-1)k/n) spread)
+        q, rem = n // ntile_k, n % ntile_k
+        i = rnk - 1
+        cut = (q + 1) * rem
+        tile = np.where(
+            i < cut, i // np.maximum(q + 1, 1), rem + (i - cut) // np.maximum(q, 1)
+        ) + 1
+        return (
+            t.append_column("dense_rank", pa.array(dense + 1))
+            .append_column("percent_rank", pa.array(pct, pa.float64()))
+            .append_column("ntile", pa.array(tile))
+        )
+
+    return partitioned_apply(ds, key, kernel, num_partitions)
+
+
 def _topn_sweep(
     t: pa.Table,
     key: str,
