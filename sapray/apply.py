@@ -168,6 +168,7 @@ def apply_partition(group: pa.Table, cfg: CDCConfig) -> pa.Table:
         extra={
             "reference_name": cfg.reference_name,
             "num_partitions": cfg.num_partitions,
+            "key_columns": list(cfg.key_columns),
         },
         stats_columns=cfg.key_columns,
     )
@@ -246,6 +247,7 @@ def _apply_partition_delta(
         extra={
             "reference_name": cfg.reference_name,
             "num_partitions": cfg.num_partitions,
+            "key_columns": list(cfg.key_columns),
         },
         stats_columns=cfg.key_columns,
     )

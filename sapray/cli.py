@@ -96,9 +96,27 @@ def cmd_lookup(args: argparse.Namespace) -> int:
     from sapray.config import CDCConfig
     from sapray.pipeline import CDCEngine
 
-    key = dict(kv.split("=", 1) for kv in args.key.split(","))
-    eng = CDCEngine(CDCConfig(lake_dir=args.lake,
-                              key_columns=tuple(key.keys())))
+    # --key is repeatable; a single occurrence may hold comma-separated
+    # pairs IF every token parses as col=value (a value containing a
+    # comma needs one --key per column). Key-column ORDER comes from the
+    # lake's manifests inside point_lookup, never from argument order —
+    # the key hash is order-dependent.
+    key: dict[str, str] = {}
+    for occurrence in args.key:
+        tokens = (
+            occurrence.split(",")
+            if all("=" in t for t in occurrence.split(","))
+            else [occurrence]
+        )
+        for t in tokens:
+            if "=" not in t:
+                raise SystemExit(
+                    f"--key entry {t!r} is not col=value; pass one --key "
+                    "per column when a value contains ','"
+                )
+            c, v = t.split("=", 1)
+            key[c] = v
+    eng = CDCEngine(CDCConfig(lake_dir=args.lake))
     t = eng.point_lookup(key, as_of=args.as_of)
     print(json.dumps(
         {"rows": t.num_rows,
@@ -156,8 +174,9 @@ def main(argv: list[str] | None = None) -> int:
         "lookup", help="point lookup of one key via manifest zone maps (no Ray session)"
     )
     lk.add_argument("--lake", required=True)
-    lk.add_argument("--key", required=True,
-                    help="comma-separated col=value pairs, e.g. repo=r1,path=a/b")
+    lk.add_argument("--key", required=True, action="append",
+                    help="col=value (repeatable; one occurrence may hold "
+                         "comma-separated pairs, e.g. repo=r1,path=a/b)")
     lk.add_argument("--as-of", type=int, default=None, dest="as_of")
     lk.set_defaults(fn=cmd_lookup)
 

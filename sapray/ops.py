@@ -548,8 +548,10 @@ def grouping_sets_aggregate(
     can't express (e.g. CUBE's (b)-only level).
 
     The raw input is scanned ONCE: the finest level (all ``keys``)
-    aggregates through the partial-agg combiner, and every other set
-    re-aggregates the finest OUTPUT (counts become sums; sum/min/max are
+    aggregates through the partial-agg combiner and is MATERIALIZED
+    (Ray shares no common sub-plans across a union — without pinning,
+    every set would re-run the scan and the wide shuffle); every other
+    set re-aggregates that output (counts become sums; sum/min/max are
     re-foldable — ``mean`` is rejected, aggregate sum+count instead). A
     set equal to ``keys`` must be listed to appear in the output.
     """
@@ -561,7 +563,7 @@ def grouping_sets_aggregate(
         if unknown:
             raise ValueError(f"grouping set {s} has non-key columns {unknown}")
 
-    finest = grouped_aggregate(ds, keys, spec)
+    finest = grouped_aggregate(ds, keys, spec).materialize()
     respec: AggSpec = {
         out: (out, "sum" if kind == "count" else kind)
         for out, (col, kind) in spec.items()
@@ -607,11 +609,21 @@ def grouping_sets_aggregate(
             parts = pa.Table.from_pandas(
                 finest.map_batches(fold, batch_format="pyarrow").to_pandas()
             )
+            fsch = finest.schema()
+            ftypes = (
+                dict(zip(fsch.names, fsch.types)) if fsch is not None else {}
+            )
             cols: dict[str, pa.Array] = {}
             for o, (_, kind) in respec.items():
-                c = parts.column(o).cast(
-                    dict(zip(finest.schema().names, finest.schema().types))[o]
-                )
+                if o not in parts.column_names or parts.num_rows == 0:
+                    # empty input: SQL's () grouping set still yields one
+                    # row — count-derived sums are 0, min/max are NULL
+                    zero = spec[o][1] == "count"
+                    cols[o] = pa.array(
+                        [0 if zero else None], ftypes.get(o, pa.int64())
+                    )
+                    continue
+                c = parts.column(o).cast(ftypes[o])
                 cols[o] = pa.array([aggs[kind](c).as_py()], c.type)
             lvl = ray.data.from_arrow(pa.table(cols))
         lvl = lvl.map_batches(pad(tuple(s)), batch_format="pyarrow")
@@ -737,7 +749,8 @@ def heavy_hitters(
             cnt = res.column("count_all").to_numpy(zero_copy_only=False)
         else:
             w = batch.column(weight_column)
-            if batch.num_rows and pa.compute.min(w).as_py() < 0:
+            w_min = pa.compute.min(w).as_py() if batch.num_rows else None
+            if w_min is not None and w_min < 0:  # None = all-null batch
                 raise ValueError("weight_column must be non-negative")
             n = pa.compute.sum(w).as_py() or 0
             res = batch.group_by(columns, use_threads=False).aggregate(
@@ -746,6 +759,10 @@ def heavy_hitters(
             cnt = res.column(f"{weight_column}_sum").to_numpy(
                 zero_copy_only=False
             )
+            # a key whose weights are all null sums to null -> weight 0
+            if cnt.dtype.kind == "f":
+                cnt = np.nan_to_num(cnt, nan=0.0)
+            cnt = cnt.astype(np.int64)
         if len(res) > capacity:
             order = np.argsort(-cnt, kind="stable")
             kth = cnt[order[capacity]]

@@ -537,28 +537,34 @@ class CDCEngine:
         O(files actually containing the key), not O(partition).
         """
         cfg = self.cfg
-        missing = [c for c in cfg.key_columns if c not in key]
-        if missing:
-            raise ValueError(f"point_lookup needs every key column; missing {missing}")
-        from sapray.sink import read_manifest, read_partition_state
+        from sapray.sink import read_partition_state
         from sapray.transform import STATE_SCHEMA
 
-        # route with the PERSISTED partition count: the manifests carry
-        # the count the lake was built with, which trumps a caller's
-        # default config (a mismatched modulus would probe the wrong
-        # partition and silently miss the key)
+        # route with the PERSISTED partition count and KEY-COLUMN ORDER:
+        # the manifests carry what the lake was built with, which trumps
+        # a caller's default config — the key hash is order-dependent,
+        # so a caller supplying {path, repo} in the wrong order would
+        # probe the wrong partition and silently miss the key
         manifests = read_manifests(cfg.lake_dir)
         nparts = next(
             (int(m["num_partitions"]) for m in manifests.values()
              if "num_partitions" in m),
             cfg.num_partitions,
         )
-        kt = pa.table({c: pa.array([key[c]]) for c in cfg.key_columns})
-        part = int(hash_key(kt, cfg.key_columns)[0] % np.uint64(nparts))
+        key_columns = next(
+            (tuple(m["key_columns"]) for m in manifests.values()
+             if "key_columns" in m),
+            cfg.key_columns,
+        )
+        missing = [c for c in key_columns if c not in key]
+        if missing:
+            raise ValueError(f"point_lookup needs every key column; missing {missing}")
+        kt = pa.table({c: pa.array([key[c]]) for c in key_columns})
+        part = int(hash_key(kt, key_columns)[0] % np.uint64(nparts))
         t = read_partition_state(
-            cfg.lake_dir, part, read_manifest(cfg.lake_dir, part),
-            cfg.key_columns, cfg.seq_column, as_of=as_of,
-            key_equals={c: key[c] for c in cfg.key_columns},
+            cfg.lake_dir, part, manifests.get(part),
+            key_columns, cfg.seq_column, as_of=as_of,
+            key_equals={c: key[c] for c in key_columns},
         )
         if t is None or not t.num_rows:
             return STATE_SCHEMA.empty_table()

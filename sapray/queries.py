@@ -2142,8 +2142,8 @@ def heavy_value_users_events(sf_dir: str):
     ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "value"])
 
     def to_cents(batch: pa.Table) -> pa.Table:
-        cents = pc.round(pc.multiply(batch.column("value"), 100)).cast(pa.int64())
-        return pa.table({"user_id": batch.column("user_id"), "cents": cents})
+        return pa.table({"user_id": batch.column("user_id"),
+                         "cents": _cents(batch.column("value"))})
 
     ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
     out = ops.heavy_hitters(
@@ -2381,7 +2381,10 @@ def _ensure_exports(sf_dir: str) -> str:
     out = _export_dir_for(name)
     src = _p(sf_dir, "documents")
     meta_path = os.path.join(out, "_meta.json")
-    key = {"src_mtime": os.path.getmtime(src)}
+    key = {
+        "src_mtime": os.path.getmtime(src),
+        "events_mtime": os.path.getmtime(_p(sf_dir, "events")),
+    }
     if os.path.isfile(meta_path):
         with open(meta_path) as f:
             if _json.load(f) == key:

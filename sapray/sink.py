@@ -414,7 +414,7 @@ def compact_partition(
         # carry lineage fields forward (resume checks num_partitions)
         extra={
             k: manifest[k]
-            for k in ("reference_name", "num_partitions")
+            for k in ("reference_name", "num_partitions", "key_columns")
             if k in manifest
         },
         force_replace=True,

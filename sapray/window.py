@@ -140,7 +140,12 @@ def rank_functions(
         # the key run; DENSE_RANK: distinct-value ordinal
         new_val = np.ones(len(codes), dtype=bool)
         if len(codes) > 1:
-            new_val[1:] = (ov[1:] != ov[:-1]) | (codes[1:] != codes[:-1])
+            differs = ov[1:] != ov[:-1]
+            if ov.dtype.kind == "f":
+                # SQL treats NULL-ordered rows as ONE peer group, but
+                # NaN != NaN is True — adjacent NaNs are the same value
+                differs &= ~(np.isnan(ov[1:]) & np.isnan(ov[:-1]))
+            new_val[1:] = differs | (codes[1:] != codes[:-1])
         val_start = pos[new_val][np.cumsum(new_val) - 1]
         rank_ties = val_start - run_start + 1
         dense = np.cumsum(new_val) - np.cumsum(new_val)[run_start]

@@ -208,3 +208,39 @@ def test_source_schema_guard(ray_session, tmp_path):
     wrong_type = pa.schema([pa.field("a", pa.string()), pa.field("b", pa.string())])
     with _pytest.raises(SchemaCompatError):
         sources.read_jsonl(p, expected_schema=wrong_type)
+
+
+def test_source_sinks_roundtrip(ray_session, tmp_path):
+    """write_jsonl / write_csv produce sharded files our own readers
+    (and DuckDB) load back identically."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from sapray import sources
+
+    t = pa.table({
+        "a": pa.array([1, 2, 3, 4], pa.int64()),
+        "b": pa.array(['x', 'y,with,commas', 'z"q"', 'w'], pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    jdir, cdir = str(tmp_path / "j"), str(tmp_path / "c")
+    sources.write_jsonl(ds, jdir)
+    sources.write_csv(ds, cdir)
+    import glob as _glob
+
+    jfiles = sorted(_glob.glob(jdir + "/*"))
+    cfiles = sorted(_glob.glob(cdir + "/*"))
+    assert len(jfiles) >= 2 and len(cfiles) >= 2  # sharded, not one file
+    back_j = sources.read_jsonl(jfiles).to_pandas().sort_values("a")
+    back_c = sources.read_csv(cfiles).to_pandas().sort_values("a")
+    expect = t.to_pandas().sort_values("a")
+    for back in (back_j, back_c):
+        pd.testing.assert_frame_equal(
+            back.reset_index(drop=True), expect.reset_index(drop=True)
+        )
+    duck = duckdb.sql(
+        f"SELECT * FROM read_json_auto('{jdir}/*') ORDER BY a"
+    ).df()
+    pd.testing.assert_frame_equal(duck, expect.reset_index(drop=True))
