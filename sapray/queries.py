@@ -2248,6 +2248,53 @@ def rank_functions_orders(sf_dir: str):
     )
 
 
+def string_agg_events(sf_dir: str):
+    """string_agg(event_type, ',' ORDER BY event_id) per user — one hash
+    exchange, then ListArray run slicing + ONE pc.binary_join per
+    partition (window.string_agg): ordered string aggregation without
+    per-group Python."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "event_id"]
+    )
+    return window.string_agg(
+        ds, "user_id", "event_type", "event_id", sep=",", out_name="agg"
+    )
+
+
+STRING_AGG_EVENTS_SQL = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY event_id) AS agg
+FROM events GROUP BY user_id
+"""
+
+
+def json_extract_events(sf_dir: str):
+    """Scalar JSON field extraction over the props column: the
+    vectorized fast path (pc.extract_regex, C++ — valid for flat scalar
+    fields like the generator's '{"k": N}' payloads; nested JSON needs a
+    real parser) feeding the partial-agg combiner."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"user_id": batch.column("user_id"), "k": k})
+
+    ds = ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+    return ops.grouped_aggregate(
+        ds, ["user_id"], {"k_sum": ("k", "sum"), "k_max": ("k", "max")}
+    )
+
+
+JSON_EXTRACT_EVENTS_SQL = """
+SELECT user_id,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY user_id
+"""
+
+
 RANK_FUNCTIONS_ORDERS_SQL = """
 SELECT o_custkey, o_orderkey,
        DENSE_RANK()   OVER w AS dense_rank,
@@ -2825,6 +2872,12 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "cube_events": {"fn": cube_events, "sql": CUBE_EVENTS_SQL},
         "rank_functions_orders": {
             "fn": rank_functions_orders, "sql": RANK_FUNCTIONS_ORDERS_SQL,
+        },
+        "string_agg_events": {
+            "fn": string_agg_events, "sql": STRING_AGG_EVENTS_SQL,
+        },
+        "json_extract_events": {
+            "fn": json_extract_events, "sql": JSON_EXTRACT_EVENTS_SQL,
         },
         "approx_distinct_events": {
             "fn": approx_distinct_events, "sql": APPROX_DISTINCT_EVENTS_SQL,

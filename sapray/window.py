@@ -167,6 +167,49 @@ def rank_functions(
     return partitioned_apply(ds, key, kernel, num_partitions)
 
 
+def string_agg(
+    ds: ray.data.Dataset,
+    key: str,
+    value_column: str,
+    order_column: str,
+    sep: str = ",",
+    out_name: str = "agg",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """SQL ``string_agg(value, sep ORDER BY order_column)`` per key.
+
+    One hash exchange, then a fully vectorized per-partition kernel: the
+    sorted batch's string column is wrapped as a ListArray sliced at key
+    run boundaries (zero-copy over the value buffer) and joined with one
+    ``pc.binary_join`` call — no per-group Python.
+    """
+
+    def kernel(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        order_vals = t.column(order_column).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((order_vals, codes))
+        t = t.take(pa.array(idx))
+        codes = codes[idx]
+        starts = _run_starts(codes)
+        if not len(starts):
+            return pa.table({
+                key: t.column(key).slice(0, 0),
+                out_name: pa.array([], pa.string()),
+            })
+        offsets = np.concatenate([starts, [len(codes)]]).astype(np.int32)
+        vals = t.column(value_column)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+        joined = pa.compute.binary_join(lists, sep)
+        return pa.table({
+            key: t.column(key).take(pa.array(starts)),
+            out_name: joined,
+        })
+
+    return partitioned_apply(ds, key, kernel, num_partitions)
+
+
 def _topn_sweep(
     t: pa.Table,
     key: str,
