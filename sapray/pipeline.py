@@ -259,6 +259,15 @@ class CDCEngine:
                         f"{mp}; this apply is configured with "
                         f"{cfg.num_partitions} — refusing to re-route keys"
                     )
+                mk = m.get("key_columns")
+                if mk is not None and tuple(mk) != tuple(cfg.key_columns):
+                    raise ValueError(
+                        f"lake {cfg.lake_dir} was written with key_columns="
+                        f"{tuple(mk)}; this apply is configured with "
+                        f"{tuple(cfg.key_columns)} — the key hash (and its "
+                        "ORDER) routes partitions, so a mismatch would "
+                        "silently mis-route every key"
+                    )
         # design-time schema validation (the reference's configurePipeline
         # step, SapODataSource.java:62-85): unify every segment's footer
         # schema on the driver BEFORE any task runs, so an incompatible

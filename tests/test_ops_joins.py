@@ -500,3 +500,19 @@ def test_unnest_null_and_empty_lists(ray_session):
     out = ops.unnest(ray.data.from_arrow(t), "xs", ["id"]).to_pandas()
     rows = sorted(zip(out["id"], out["pos"], out["val"]))
     assert rows == [(1, 1, 10), (1, 2, 20), (4, 1, 30)]
+
+
+def test_apply_refuses_key_column_mismatch(tmp_path):
+    from sapray.config import CDCConfig
+    from sapray.pipeline import CDCEngine
+
+    lake = str(tmp_path / "lake")
+    mdir = os.path.join(lake, "_manifests")
+    os.makedirs(mdir)
+    with open(os.path.join(mdir, "part-00000.json"), "w") as f:
+        json.dump({"part": 0, "watermark": 10, "files": [],
+                   "num_partitions": 16, "key_columns": ["repo", "path"]}, f)
+    eng = CDCEngine(CDCConfig(lake_dir=lake, num_partitions=16,
+                              key_columns=("path", "repo")))
+    with pytest.raises(ValueError, match="key_columns"):
+        eng.apply("/nonexistent/changelog")
