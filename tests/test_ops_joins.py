@@ -516,3 +516,43 @@ def test_apply_refuses_key_column_mismatch(tmp_path):
                               key_columns=("path", "repo")))
     with pytest.raises(ValueError, match="key_columns"):
         eng.apply("/nonexistent/changelog")
+
+
+def test_cube_empty_input_and_validation(ray_session):
+    """CUBE over empty input yields SQL's grand-total row (count 0,
+    min NULL); non-key grouping-set columns are rejected."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.string()),
+                      "v": pa.array([], pa.int64())})
+    ds = ray.data.from_arrow(empty)
+    out = ops.cube_aggregate(
+        ds, ["a", "b"], {"n": (None, "count"), "mn": ("v", "min")}
+    ).to_pandas()
+    total = out[out["a"].isna() & out["b"].isna()]
+    assert len(total) == 1
+    assert total["n"].iloc[0] == 0 and pd_isna(total["mn"].iloc[0])
+    with pytest.raises(ValueError, match="non-key"):
+        ops.grouping_sets_aggregate(ds, ["a"], [("v",)], {"n": (None, "count")})
+
+
+def pd_isna(x):
+    import pandas as pd
+    return pd.isna(x)
+
+
+def test_rank_functions_null_peer_group(ray_session):
+    """NULL order values form one peer group (SQL DENSE_RANK), not one
+    rank per NaN."""
+    from sapray.window import rank_functions
+
+    t = pa.table({
+        "k": pa.array([1] * 5, pa.int64()),
+        "v": pa.array([1.0, None, None, 2.0, None], pa.float64()),
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = rank_functions(
+        ray.data.from_arrow(t), "k", "v", "id", ntile_k=2, num_partitions=2
+    ).to_pandas().sort_values("id")
+    got = dict(zip(out["id"], out["dense_rank"]))
+    # ascending sort puts NaN last: values 1.0 -> 1, 2.0 -> 2, NULLs all 3
+    assert got == {1: 1, 4: 2, 2: 3, 3: 3, 5: 3}
