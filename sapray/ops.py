@@ -647,6 +647,43 @@ def cube_aggregate(
     return grouping_sets_aggregate(ds, keys, sets, spec)
 
 
+def weighted_sample(
+    ds: ray.data.Dataset,
+    weight_column: str,
+    k: int,
+    id_column: str,
+    mult: int = 2654435761,
+) -> ray.data.Dataset:
+    """Weighted sampling WITHOUT replacement (top-k of the A-ES
+    exponential keys, Efraimidis & Spirakis 2006): row i is selected
+    with probability proportional to its weight, exactly-once, in one
+    streaming pass — per-batch top-k truncation (the ``topk`` combiner)
+    means only ~k rows per batch reach the final tiny sort.
+
+    Deterministic and SQL-recomputable: the uniform is the Knuth
+    multiplicative hash ``((id * mult) % 2^32 + 0.5) / 2^32`` (the repo's
+    seeded-sampling convention) and the key is ``ln(u) / w`` maximized —
+    no RNG state, so a resumed/retried run selects the identical sample.
+    Weights must be positive.
+    """
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_column).to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(w) and w.min() <= 0:
+            raise ValueError("weighted_sample weights must be positive")
+        u = ((ids * mult) % (1 << 32) + 0.5) / float(1 << 32)
+        key = np.log(u) / w
+        return batch.append_column("__wskey", pa.array(key, pa.float64()))
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    out = topk(keyed_ds, keys=["__wskey", id_column],
+               descending=[True, False], k=k)
+    return out.map_batches(
+        lambda b: b.drop_columns(["__wskey"]), batch_format="pyarrow"
+    )
+
+
 def unnest(
     ds: ray.data.Dataset,
     list_column: str,

@@ -2399,6 +2399,27 @@ def sample_docs(sf_dir: str):
 SAMPLE_DOCS_SQL = "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 20 = 3"
 
 
+def weighted_sample_docs(sf_dir: str):
+    """Weighted sampling without replacement (ops.weighted_sample,
+    A-ES exponential keys): 50 docs with probability ~ n_chars, selected
+    by a deterministic Knuth-hash uniform so the oracle recomputes the
+    identical sample — the quality/length-weighted corpus subsampling
+    primitive, streaming with per-batch top-k truncation."""
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return ops.weighted_sample(ds, "n_chars", k=50, id_column="doc_id")
+
+
+WEIGHTED_SAMPLE_DOCS_SQL = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, n_chars FROM h
+ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 50
+"""
+
+
 
 # --------------------------------------------------------------------------
 # the flagship CDC replay, SQL-checked end-to-end
@@ -2896,6 +2917,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "sql": APPROX_DISTINCT_USERS_BY_TYPE_SQL,
         },
         "sample_docs": {"fn": sample_docs, "sql": SAMPLE_DOCS_SQL},
+        "weighted_sample_docs": {
+            "fn": weighted_sample_docs, "sql": WEIGHTED_SAMPLE_DOCS_SQL,
+        },
         "cdc_replay_flagship": {"fn": cdc_replay_flagship, "sql": _flagship_sql(sf_name)},
         "cdc_replay_delta": {"fn": cdc_replay_delta, "sql": _flagship_sql(sf_name)},
         "cdc_point_lookup": {"fn": cdc_point_lookup, "sql": _point_lookup_sql(sf_name)},

@@ -556,3 +556,20 @@ def test_rank_functions_null_peer_group(ray_session):
     got = dict(zip(out["id"], out["dense_rank"]))
     # ascending sort puts NaN last: values 1.0 -> 1, 2.0 -> 2, NULLs all 3
     assert got == {1: 1, 4: 2, 2: 3, 3: 3, 5: 3}
+
+
+def test_weighted_sample_prefers_heavy_rows(ray_session):
+    """A-ES weighted sampling: selection frequency tracks weights (one
+    huge-weight row is always selected); non-positive weights rejected."""
+    n = 2000
+    w = np.ones(n, np.int64)
+    w[7] = 1_000_000  # ~always selected at k=100
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(np.arange(n)), "w": pa.array(w)})
+    ).repartition(4)
+    out = ops.weighted_sample(ds, "w", k=100, id_column="id").to_pandas()
+    assert len(out) == 100 and 7 in set(out["id"])
+    bad = ray.data.from_arrow(pa.table({"id": pa.array([1], pa.int64()),
+                                        "w": pa.array([0], pa.int64())}))
+    with pytest.raises(Exception, match="positive"):
+        ops.weighted_sample(bad, "w", k=1, id_column="id").to_pandas()
