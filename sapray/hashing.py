@@ -57,7 +57,15 @@ def hash_key(table: pa.Table, key_columns: tuple[str, ...]) -> np.ndarray:
     h = pd.util.hash_array(
         np.asarray(enc.dictionary.to_pandas(), dtype=object), categorize=False
     )
-    return h[enc.indices.to_numpy(zero_copy_only=False)]
+    idx = enc.indices
+    if idx.null_count:
+        # NULL keys: one deterministic hash (SQL groups all NULLs
+        # together); raw null indices surface as NaN and break the gather
+        import pyarrow.compute as _pc
+
+        h = np.concatenate([h, [np.uint64(0x9E3779B97F4A7C15)]])
+        idx = _pc.fill_null(idx, len(h) - 1)
+    return h[idx.to_numpy(zero_copy_only=False)]
 
 
 def partition_ids(

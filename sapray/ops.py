@@ -670,8 +670,16 @@ def weighted_sample(
     def keyed(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_column).to_numpy(zero_copy_only=False)
         w = batch.column(weight_column).to_numpy(zero_copy_only=False).astype(np.float64)
-        if len(w) and w.min() <= 0:
-            raise ValueError("weighted_sample weights must be positive")
+        # `not (min > 0)` also catches NaN (null weights), which `min <= 0`
+        # lets through — NaN sort keys would make the sample
+        # implementation-dependent instead of failing fast
+        if len(w) and not (w.min() > 0):
+            raise ValueError("weighted_sample weights must be positive "
+                             "(and non-null)")
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 31)):
+            # the Knuth-hash product must stay in int64 on BOTH engines
+            # (numpy would wrap silently; the SQL oracle errors)
+            raise ValueError("weighted_sample ids must be in [0, 2^31)")
         u = ((ids * mult) % (1 << 32) + 0.5) / float(1 << 32)
         key = np.log(u) / w
         return batch.append_column("__wskey", pa.array(key, pa.float64()))
@@ -679,9 +687,7 @@ def weighted_sample(
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
     out = topk(keyed_ds, keys=["__wskey", id_column],
                descending=[True, False], k=k)
-    return out.map_batches(
-        lambda b: b.drop_columns(["__wskey"]), batch_format="pyarrow"
-    )
+    return out.drop_columns(["__wskey"])
 
 
 def unnest(

@@ -60,9 +60,17 @@ def _run_starts(codes: np.ndarray) -> np.ndarray:
 
 
 def _key_codes(table: pa.Table, key: str) -> np.ndarray:
-    """Integer codes for the key column (C-speed dictionary encode)."""
+    """Integer codes for the key column (C-speed dictionary encode).
+
+    NULL keys all map to ONE dedicated code (SQL GROUP BY semantics) —
+    the raw dictionary indices surface nulls as NaN, which would make
+    every null-key row its own run (NaN != NaN)."""
     col = table.column(key).combine_chunks()
-    return col.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    enc = col.dictionary_encode()
+    idx = enc.indices
+    if idx.null_count:
+        idx = pa.compute.fill_null(idx, len(enc.dictionary))
+    return idx.to_numpy(zero_copy_only=False)
 
 
 def _descending_key(vals: np.ndarray) -> np.ndarray:
@@ -196,12 +204,23 @@ def string_agg(
                 key: t.column(key).slice(0, 0),
                 out_name: pa.array([], pa.string()),
             })
-        offsets = np.concatenate([starts, [len(codes)]]).astype(np.int32)
         vals = t.column(value_column)
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
-        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
-        joined = pa.compute.binary_join(lists, sep)
+        # SQL string_agg SKIPS null values (a group of only nulls
+        # aggregates to NULL): slice the list offsets over the
+        # valid-only value stream, counting valids per key run
+        valid = pa.compute.is_valid(vals).to_numpy(zero_copy_only=False)
+        n_valid = np.add.reduceat(valid.astype(np.int64), starts)
+        offsets = np.concatenate([[0], np.cumsum(n_valid)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), vals.filter(pa.array(valid))
+        )
+        joined = pa.compute.if_else(
+            pa.array(n_valid > 0),
+            pa.compute.binary_join(lists, sep),
+            pa.nulls(len(starts), pa.string()),
+        )
         return pa.table({
             key: t.column(key).take(pa.array(starts)),
             out_name: joined,

@@ -530,14 +530,12 @@ def test_cube_empty_input_and_validation(ray_session):
     ).to_pandas()
     total = out[out["a"].isna() & out["b"].isna()]
     assert len(total) == 1
-    assert total["n"].iloc[0] == 0 and pd_isna(total["mn"].iloc[0])
+    import pandas as pd
+
+    assert total["n"].iloc[0] == 0 and pd.isna(total["mn"].iloc[0])
     with pytest.raises(ValueError, match="non-key"):
         ops.grouping_sets_aggregate(ds, ["a"], [("v",)], {"n": (None, "count")})
 
-
-def pd_isna(x):
-    import pandas as pd
-    return pd.isna(x)
 
 
 def test_rank_functions_null_peer_group(ray_session):
@@ -573,3 +571,26 @@ def test_weighted_sample_prefers_heavy_rows(ray_session):
                                         "w": pa.array([0], pa.int64())}))
     with pytest.raises(Exception, match="positive"):
         ops.weighted_sample(bad, "w", k=1, id_column="id").to_pandas()
+
+
+def test_string_agg_null_semantics(ray_session):
+    """SQL string_agg semantics on nullable data: null VALUES are
+    skipped (all-null group -> NULL), null KEYS form one group."""
+    import pandas as pd
+
+    from sapray.window import string_agg
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, None, None], pa.int64()),
+        "v": pa.array(["a", None, "c", None, None, "x", "y"], pa.string()),
+        "o": pa.array([1, 2, 3, 1, 2, 1, 2], pa.int64()),
+    })
+    out = string_agg(
+        ray.data.from_arrow(t), "k", "v", "o", sep=",", num_partitions=2
+    ).to_pandas()
+    by_key = {(None if pd.isna(r.k) else int(r.k)): r.agg
+              for r in out.itertuples(index=False)}
+    assert by_key[1] == "a,c"           # null value skipped
+    assert pd.isna(by_key[2])           # all-null group -> NULL
+    assert by_key[None] == "x,y"        # one NULL-key group, not two
+    assert len(out) == 3
