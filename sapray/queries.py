@@ -2248,6 +2248,29 @@ def rank_functions_orders(sf_dir: str):
     )
 
 
+def first_last_events(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per user over the time-ordered event
+    stream (window.first_last_value) — exact gathered selections, so the
+    double value column hash-compares bit-exactly."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    )
+    out = window.first_last_value(ds, "user_id", "ts", "event_id", "value")
+    return out.select_columns(["user_id", "event_id", "first_val", "last_val"])
+
+
+FIRST_LAST_EVENTS_SQL = """
+SELECT user_id, event_id,
+       FIRST_VALUE(value) OVER w AS first_val,
+       LAST_VALUE(value)  OVER w AS last_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def string_agg_events(sf_dir: str):
     """string_agg(event_type, ',' ORDER BY event_id) per user — one hash
     exchange, then ListArray run slicing + ONE pc.binary_join per
@@ -2896,6 +2919,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "string_agg_events": {
             "fn": string_agg_events, "sql": STRING_AGG_EVENTS_SQL,
+        },
+        "first_last_events": {
+            "fn": first_last_events, "sql": FIRST_LAST_EVENTS_SQL,
         },
         "json_extract_events": {
             "fn": json_extract_events, "sql": JSON_EXTRACT_EVENTS_SQL,

@@ -175,6 +175,45 @@ def rank_functions(
     return partitioned_apply(ds, key, kernel, num_partitions)
 
 
+def first_last_value(
+    ds: ray.data.Dataset,
+    key: str,
+    order_column: str,
+    tiebreak_column: str,
+    value_column: str,
+    first_name: str = "first_val",
+    last_name: str = "last_val",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """FIRST_VALUE / LAST_VALUE OVER (PARTITION BY key ORDER BY order,
+    tiebreak ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    — exact selections gathered from each key run's boundary rows, so
+    float columns compare bit-exactly across engines."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        ov = t.column(order_column).to_numpy(zero_copy_only=False)
+        tie = t.column(tiebreak_column).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((tie, ov, codes))
+        t = t.take(pa.array(idx))
+        codes = codes[idx]
+        n = len(codes)
+        vals = t.column(value_column).combine_chunks()
+        if n == 0:
+            return (
+                t.append_column(first_name, pa.nulls(0, vals.type))
+                .append_column(last_name, pa.nulls(0, vals.type))
+            )
+        starts = _run_starts(codes)
+        ends = np.concatenate([starts[1:], [n]])
+        run_id = np.searchsorted(starts, np.arange(n), side="right") - 1
+        first = vals.take(pa.array(starts[run_id]))
+        last = vals.take(pa.array(ends[run_id] - 1))
+        return t.append_column(first_name, first).append_column(last_name, last)
+
+    return partitioned_apply(ds, key, kernel, num_partitions)
+
+
 def string_agg(
     ds: ray.data.Dataset,
     key: str,
