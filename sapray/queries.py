@@ -2248,6 +2248,45 @@ def rank_functions_orders(sf_dir: str):
     )
 
 
+def mode_event_type_by_user(sf_dir: str):
+    """Per-group MODE (most frequent event_type per user, ties broken by
+    value) — pure composition: partial-agg grouped count, then the
+    vectorized rank sweep keeps each key's first row. No new shuffle
+    primitive needed; determinism comes from the (count desc, value)
+    ordering both engines share."""
+    from sapray import window
+
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+    counts = ops.grouped_aggregate(
+        ds, ["user_id", "event_type"], {"cnt": (None, "count")}
+    )
+
+    def neg(batch: pa.Table) -> pa.Table:
+        # rank ascending on (-cnt, event_type): mode first
+        return batch.append_column(
+            "neg_cnt", pc.multiply(batch.column("cnt"), pa.scalar(-1, pa.int64()))
+        )
+
+    ranked = window.rank_in_key(
+        counts.map_batches(neg, batch_format="pyarrow"),
+        "user_id", "neg_cnt", "event_type", top_n=1, descending=False,
+    )
+    return ranked.select_columns(["user_id", "event_type", "cnt"])
+
+
+MODE_EVENT_TYPE_BY_USER_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type, cnt FROM r WHERE rn = 1
+"""
+
+
 def first_last_events(sf_dir: str):
     """FIRST_VALUE / LAST_VALUE per user over the time-ordered event
     stream (window.first_last_value) — exact gathered selections, so the
@@ -2922,6 +2961,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "first_last_events": {
             "fn": first_last_events, "sql": FIRST_LAST_EVENTS_SQL,
+        },
+        "mode_event_type_by_user": {
+            "fn": mode_event_type_by_user, "sql": MODE_EVENT_TYPE_BY_USER_SQL,
         },
         "json_extract_events": {
             "fn": json_extract_events, "sql": JSON_EXTRACT_EVENTS_SQL,
