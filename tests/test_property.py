@@ -322,3 +322,81 @@ def test_heavy_hitters_randomized_zipf(ray_session):
                                 capacity=capacity).to_pandas()
         expect = {k: c for k, c in counts.items() if c >= min_frac * n}
         assert dict(zip(out["k"], out["cnt"])) == expect, (min_frac, capacity)
+
+
+def test_shuffle_join_fuzz_vs_duckdb(ray_session):
+    """Randomized differential test: full-outer shuffle join over tables
+    with duplicate keys, unmatched keys and NULL payloads must equal
+    DuckDB exactly (rows as multisets)."""
+    import duckdb
+
+    rng = np.random.default_rng(31)
+    for trial in range(3):
+        nl, nr = rng.integers(5, 60), rng.integers(5, 60)
+        left = pa.table({
+            "k": pa.array(rng.integers(0, 12, nl), pa.int64()),
+            "lv": pa.array(
+                [None if rng.random() < 0.2 else int(x)
+                 for x in rng.integers(0, 100, nl)], pa.int64()),
+        })
+        right = pa.table({
+            "rk": pa.array(rng.integers(6, 18, nr), pa.int64()),
+            "rv": pa.array(rng.integers(0, 100, nr), pa.int64()),
+        })
+        from sapray import ops
+        got = ops.shuffle_join(
+            ray.data.from_arrow(left).repartition(3),
+            ray.data.from_arrow(right).repartition(2),
+            "k", "rk", how="outer", num_buckets=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("l", left.to_pandas())
+        con.register("r", right.to_pandas())
+        # the engine merges the key columns (USING semantics): one k
+        # column, coalesced across sides
+        exp = con.execute(
+            "SELECT coalesce(l.k, r.rk) AS k, l.lv, r.rv "
+            "FROM l FULL OUTER JOIN r ON l.k = r.rk"
+        ).fetch_df()
+        def canon(df):
+            df = df.reindex(sorted(df.columns), axis=1)
+            return sorted(map(tuple, df.fillna(-999999).values.tolist()))
+        assert canon(got) == canon(exp), f"trial {trial}"
+
+
+def test_grouped_aggregate_fuzz_vs_duckdb(ray_session):
+    """Randomized differential test: multi-key grouped aggregates with
+    NULL keys and NULL values must match DuckDB (count skips nothing,
+    sum/min/max skip NULLs, NULL keys form one group)."""
+    import duckdb
+
+    from sapray import ops
+
+    rng = np.random.default_rng(37)
+    for trial in range(3):
+        n = int(rng.integers(20, 200))
+        t = pa.table({
+            "a": pa.array(
+                [None if rng.random() < 0.15 else int(x)
+                 for x in rng.integers(0, 5, n)], pa.int64()),
+            "b": pa.array(rng.choice(["x", "y", "z"], n).tolist()),
+            "v": pa.array(
+                [None if rng.random() < 0.2 else int(x)
+                 for x in rng.integers(-50, 50, n)], pa.int64()),
+        })
+        got = ops.grouped_aggregate(
+            ray.data.from_arrow(t).repartition(4),
+            ["a", "b"],
+            {"n": (None, "count"), "s": ("v", "sum"),
+             "mn": ("v", "min"), "mx": ("v", "max")},
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute(
+            "SELECT a, b, count(*) AS n, sum(v) AS s, min(v) AS mn, "
+            "max(v) AS mx FROM t GROUP BY a, b"
+        ).fetch_df()
+        def canon(df):
+            df = df.reindex(sorted(df.columns), axis=1)
+            return sorted(map(tuple, df.fillna(-999999).astype("float64", errors="ignore").values.tolist()))
+        assert canon(got) == canon(exp), f"trial {trial}"
