@@ -60,12 +60,28 @@ def hash_key(table: pa.Table, key_columns: tuple[str, ...]) -> np.ndarray:
     idx = enc.indices
     if idx.null_count:
         # NULL keys: one deterministic hash (SQL groups all NULLs
-        # together); raw null indices surface as NaN and break the gather
-        import pyarrow.compute as _pc
-
+        # together); raw null indices surface as NaN and break the
+        # gather. NOTE: this is PARTITIONING semantics — a distinct
+        # COUNT over these hashes would count NULL as a value; use
+        # drop_null_keys first for COUNT(DISTINCT) semantics.
         h = np.concatenate([h, [np.uint64(0x9E3779B97F4A7C15)]])
-        idx = _pc.fill_null(idx, len(h) - 1)
+        idx = pc.fill_null(idx, len(h) - 1)
     return h[idx.to_numpy(zero_copy_only=False)]
+
+
+def drop_null_keys(table: pa.Table, key_columns: tuple[str, ...]) -> pa.Table:
+    """Rows whose key components are all non-null — SQL COUNT(DISTINCT)
+    excludes rows with any NULL expression; distinct-count sketches must
+    apply this BEFORE hashing (the partitioning hash maps every
+    null-bearing composite to one sentinel, which would silently count
+    all of them as a single value)."""
+    mask = None
+    for c in key_columns:
+        v = pc.is_valid(table.column(c))
+        mask = v if mask is None else pc.and_(mask, v)
+    if mask is None or pc.min(mask).as_py() in (True, None):
+        return table
+    return table.filter(mask)
 
 
 def partition_ids(

@@ -340,11 +340,14 @@ def hll_distinct_count(
     the engine's fixed-key siphash, so the estimate is deterministic for
     a fixed multiset. Standard error ~1.04/sqrt(m) (~1.6% at b=12).
     """
-    from sapray.hashing import hash_key
+    from sapray.hashing import drop_null_keys, hash_key
 
     m = 1 << b
 
     def partial(batch: pa.Table) -> pa.Table:
+        # COUNT(DISTINCT) excludes rows with any NULL key component —
+        # the partitioning hash would fold them all into one sentinel
+        batch = drop_null_keys(batch, tuple(columns))
         if batch.num_rows == 0:
             return pa.table({"reg": pa.array([], pa.int64()),
                              "rho": pa.array([], pa.int64())})
@@ -401,12 +404,14 @@ def grouped_hll_distinct(
     for a fixed multiset (fixed-key siphash). Returns (group_key,
     approx_distinct:double).
     """
-    from sapray.hashing import hash_key
+    from sapray.hashing import drop_null_keys, hash_key
     from sapray.window import partitioned_apply, _run_starts
 
     m = 1 << b
 
     def partial(batch: pa.Table) -> pa.Table:
+        # COUNT(DISTINCT) null exclusion, as in hll_distinct_count
+        batch = drop_null_keys(batch, tuple(value_columns))
         if batch.num_rows == 0:
             return pa.table({group_key: batch.column(group_key),
                              "reg": pa.array([], pa.int64()),
@@ -676,10 +681,15 @@ def weighted_sample(
         if len(w) and not (w.min() > 0):
             raise ValueError("weighted_sample weights must be positive "
                              "(and non-null)")
-        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 31)):
+        # `not (min >= 0)` also catches NaN (null ids): NaN fails every
+        # comparison, so a plain `min < 0` check would let NaN sort keys
+        # through and make the sample implementation-dependent
+        if len(ids) and (not (ids.min() >= 0) or ids.max() >= (1 << 31)):
             # the Knuth-hash product must stay in int64 on BOTH engines
             # (numpy would wrap silently; the SQL oracle errors)
-            raise ValueError("weighted_sample ids must be in [0, 2^31)")
+            raise ValueError(
+                "weighted_sample ids must be non-null ints in [0, 2^31)"
+            )
         u = ((ids * mult) % (1 << 32) + 0.5) / float(1 << 32)
         key = np.log(u) / w
         return batch.append_column("__wskey", pa.array(key, pa.float64()))

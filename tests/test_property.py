@@ -398,5 +398,16 @@ def test_grouped_aggregate_fuzz_vs_duckdb(ray_session):
         ).fetch_df()
         def canon(df):
             df = df.reindex(sorted(df.columns), axis=1)
-            return sorted(map(tuple, df.fillna(-999999).astype("float64", errors="ignore").values.tolist()))
+            return sorted(map(tuple, df.fillna(-999999).values.tolist()))
         assert canon(got) == canon(exp), f"trial {trial}"
+
+
+def test_hll_excludes_null_keys(ray_session):
+    """COUNT(DISTINCT) semantics: rows with NULL key components are
+    excluded from the HLL estimate, not folded into one sentinel value."""
+    from sapray import ops
+
+    t = pa.table({"u": pa.array([1, 2, 3, None, None, None], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    est = ops.hll_distinct_count(ds, ["u"], b=12)
+    assert round(est) == 3  # linear-counting regime: exact at this size
