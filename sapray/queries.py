@@ -2248,6 +2248,72 @@ def rank_functions_orders(sf_dir: str):
     )
 
 
+def corr_value_k_by_type(sf_dir: str):
+    """Grouped Pearson correlation between event value (exact cents) and
+    the JSON payload's k, per event type — computed from six EXACT
+    integer sums (n, Sx, Sy, Sxy, Sxx, Syy) that flow through the
+    partial-agg combiner, finalized with one closed-form expression.
+    Both engines evaluate the identical IEEE expression over identical
+    integers, so the double result hash-compares bit-exactly (unlike
+    streaming corr(), whose update order differs per engine)."""
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_type", "value", "props"]
+    )
+
+    def prods(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("value"))
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        y = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "x": x, "y": y,
+            "xy": pc.multiply(x, y),
+            "xx": pc.multiply(x, x),
+            "yy": pc.multiply(y, y),
+        })
+
+    sums = ops.grouped_aggregate(
+        ds.map_batches(prods, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        {"n": (None, "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+         "sxy": ("xy", "sum"), "sxx": ("xx", "sum"), "syy": ("yy", "sum")},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        f = {c: pc.cast(batch.column(c), pa.float64())
+             for c in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+        num = pc.subtract(pc.multiply(f["n"], f["sxy"]),
+                          pc.multiply(f["sx"], f["sy"]))
+        dx = pc.subtract(pc.multiply(f["n"], f["sxx"]),
+                         pc.multiply(f["sx"], f["sx"]))
+        dy = pc.subtract(pc.multiply(f["n"], f["syy"]),
+                         pc.multiply(f["sy"], f["sy"]))
+        corr = pc.divide(num, pc.sqrt(pc.multiply(dx, dy)))
+        return pa.table({"event_type": batch.column("event_type"),
+                         "corr": corr})
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+CORR_VALUE_K_BY_TYPE_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM p GROUP BY event_type
+)
+SELECT event_type,
+       (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+       / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+              * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) AS corr
+FROM s
+"""
+
+
 def mode_event_type_by_user(sf_dir: str):
     """Per-group MODE (most frequent event_type per user, ties broken by
     value) — pure composition: partial-agg grouped count, then the
@@ -2964,6 +3030,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "mode_event_type_by_user": {
             "fn": mode_event_type_by_user, "sql": MODE_EVENT_TYPE_BY_USER_SQL,
+        },
+        "corr_value_k_by_type": {
+            "fn": corr_value_k_by_type, "sql": CORR_VALUE_K_BY_TYPE_SQL,
         },
         "json_extract_events": {
             "fn": json_extract_events, "sql": JSON_EXTRACT_EVENTS_SQL,
