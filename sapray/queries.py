@@ -2288,7 +2288,14 @@ def corr_value_k_by_type(sf_dir: str):
                          pc.multiply(f["sx"], f["sx"]))
         dy = pc.subtract(pc.multiply(f["n"], f["syy"]),
                          pc.multiply(f["sy"], f["sy"]))
-        corr = pc.divide(num, pc.sqrt(pc.multiply(dx, dy)))
+        den = pc.sqrt(pc.multiply(dx, dy))
+        # SQL yields NULL for a constant column (zero variance); Arrow's
+        # float divide would emit inf instead
+        corr = pc.if_else(
+            pc.greater(den, pa.scalar(0.0)),
+            pc.divide(num, den),
+            pa.nulls(batch.num_rows, pa.float64()),
+        )
         return pa.table({"event_type": batch.column("event_type"),
                          "corr": corr})
 
