@@ -411,3 +411,39 @@ def test_hll_excludes_null_keys(ray_session):
     ds = ray.data.from_arrow(t)
     est = ops.hll_distinct_count(ds, ["u"], b=12)
     assert round(est) == 3  # linear-counting regime: exact at this size
+
+
+def test_string_agg_fuzz_vs_duckdb(ray_session):
+    """Randomized string_agg with NULL keys, NULL values and duplicate
+    order values must match DuckDB exactly (order ties broken nowhere —
+    make order unique per key to keep both engines deterministic)."""
+    import duckdb
+
+    from sapray.window import string_agg
+
+    rng = np.random.default_rng(43)
+    for trial in range(3):
+        n = int(rng.integers(10, 120))
+        keys = [None if rng.random() < 0.1 else int(x)
+                for x in rng.integers(0, 6, n)]
+        vals = [None if rng.random() < 0.15 else f"v{int(x)}"
+                for x in rng.integers(0, 40, n)]
+        t = pa.table({
+            "k": pa.array(keys, pa.int64()),
+            "v": pa.array(vals, pa.string()),
+            "o": pa.array(rng.permutation(n).astype(np.int64)),  # unique
+        })
+        got = string_agg(
+            ray.data.from_arrow(t).repartition(3), "k", "v", "o",
+            sep="|", num_partitions=3,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute(
+            "SELECT k, string_agg(v, '|' ORDER BY o) AS agg FROM t GROUP BY k"
+        ).fetch_df()
+        gm = {(None if pd.isna(r.k) else int(r.k)): (None if pd.isna(r.agg) else r.agg)
+              for r in got.itertuples(index=False)}
+        em = {(None if pd.isna(r.k) else int(r.k)): (None if pd.isna(r.agg) else r.agg)
+              for r in exp.itertuples(index=False)}
+        assert gm == em, f"trial {trial}"
