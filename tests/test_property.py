@@ -447,3 +447,37 @@ def test_string_agg_fuzz_vs_duckdb(ray_session):
         em = {(None if pd.isna(r.k) else int(r.k)): (None if pd.isna(r.agg) else r.agg)
               for r in exp.itertuples(index=False)}
         assert gm == em, f"trial {trial}"
+
+
+def test_rank_functions_fuzz_vs_duckdb(ray_session):
+    """Randomized DENSE_RANK / PERCENT_RANK / NTILE with tied and NULL
+    order values vs DuckDB (nulls sort last ascending in both engines;
+    null peers share dense rank)."""
+    import duckdb
+
+    from sapray.window import rank_functions
+
+    rng = np.random.default_rng(47)
+    for trial in range(3):
+        n = int(rng.integers(15, 150))
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 5, n), pa.int64()),
+            "v": pa.array(
+                [None if rng.random() < 0.15 else float(x)
+                 for x in rng.integers(0, 8, n)], pa.float64()),  # many ties
+            "id": pa.array(np.arange(n), pa.int64()),
+        })
+        got = rank_functions(
+            ray.data.from_arrow(t).repartition(3), "k", "v", "id",
+            ntile_k=3, num_partitions=3,
+        ).to_pandas().set_index("id").sort_index()
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute("""
+            SELECT id, DENSE_RANK() OVER w AS dr, PERCENT_RANK() OVER w AS pr,
+                   NTILE(3) OVER (PARTITION BY k ORDER BY v NULLS LAST, id) AS nt
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY v NULLS LAST)
+            ORDER BY id""").fetch_df().set_index("id")
+        assert got["dense_rank"].tolist() == exp["dr"].tolist(), f"trial {trial}"
+        assert got["percent_rank"].tolist() == exp["pr"].tolist(), f"trial {trial}"
+        assert got["ntile"].tolist() == exp["nt"].tolist(), f"trial {trial}"
