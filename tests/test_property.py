@@ -481,3 +481,67 @@ def test_rank_functions_fuzz_vs_duckdb(ray_session):
         assert got["dense_rank"].tolist() == exp["dr"].tolist(), f"trial {trial}"
         assert got["percent_rank"].tolist() == exp["pr"].tolist(), f"trial {trial}"
         assert got["ntile"].tolist() == exp["nt"].tolist(), f"trial {trial}"
+
+
+def test_asof_join_fuzz_vs_duckdb(ray_session):
+    """Randomized as-of join vs DuckDB ASOF JOIN (<= semantics)."""
+    import duckdb
+
+    from sapray.window import asof_join
+
+    rng = np.random.default_rng(53)
+    for trial in range(3):
+        nl, nr = int(rng.integers(10, 80)), int(rng.integers(5, 40))
+        lt = pa.table({
+            "k": pa.array(rng.integers(0, 4, nl), pa.int64()),
+            "t": pa.array(rng.integers(0, 100, nl), pa.int64()),
+            "eid": pa.array(np.arange(nl), pa.int64()),
+        })
+        rdf = (
+            pa.table({
+                "k": pa.array(rng.integers(0, 4, nr), pa.int64()),
+                "t": pa.array(rng.integers(0, 100, nr), pa.int64()),
+                "w": pa.array(rng.integers(0, 1000, nr), pa.int64()),
+            }).to_pandas().drop_duplicates(["k", "t"], keep="last")
+        )
+        rt = pa.Table.from_pandas(rdf, preserve_index=False)
+        got = asof_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            key="k", ts_column="t", num_partitions=3,
+        ).to_pandas().set_index("eid")["w"].sort_index()
+        con = duckdb.connect()
+        con.register("l", lt.to_pandas())
+        con.register("r", rdf)
+        exp = con.execute(
+            "SELECT l.eid, r.w FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.t >= r.t ORDER BY l.eid"
+        ).fetch_df().set_index("eid")["w"]
+        assert got.fillna(-1).tolist() == exp.fillna(-1).tolist(), f"trial {trial}"
+
+
+def test_trailing_counts_fuzz_vs_duckdb(ray_session):
+    """Randomized trailing RANGE-window counts vs DuckDB."""
+    import duckdb
+
+    from sapray.window import trailing_counts
+
+    rng = np.random.default_rng(59)
+    for trial in range(2):
+        n = int(rng.integers(20, 150))
+        ts = rng.integers(0, 5_000_000, n).astype("datetime64[us]")
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 4, n), pa.int64()),
+            "eid": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts),
+        })
+        got = trailing_counts(
+            ray.data.from_arrow(t), "k", "ts", np.timedelta64(1, "s"), "eid",
+            out_name="n", num_partitions=3,
+        ).to_pandas().set_index("eid")["n"].sort_index()
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute("""
+            SELECT eid, count(*) OVER (PARTITION BY k ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 SECOND PRECEDING AND CURRENT ROW) AS n
+            FROM t ORDER BY eid""").fetch_df().set_index("eid")["n"]
+        assert got.tolist() == exp.tolist(), f"trial {trial}"
