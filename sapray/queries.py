@@ -1244,6 +1244,62 @@ ORDER BY revenue_micro DESC, o_orderkey LIMIT 10
 """
 
 
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10-style composite: revenue lost to returned items per
+    customer — a FOUR-table plan mixing both join strategies by side
+    size: lineitem(R-flagged) x orders is the large x large hash-shuffle
+    join; customer and nation ride the object store as broadcast sides.
+    Revenue in exact integer micro-units; global top-20 via the
+    per-batch top-k truncation combiner."""
+    li = ops.read_projected(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def returned_revenue(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        cents = _cents(batch.column("l_extendedprice"))
+        disc_bp = _cents(batch.column("l_discount"), scale=10_000)
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(10_000, pa.int64()), disc_bp))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev_micro": rev})
+
+    li = li.map_batches(returned_revenue, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    orders = ops.read_projected(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+    joined = ops.shuffle_join(li, orders, "l_orderkey", "o_orderkey")
+    by_cust = ops.grouped_aggregate(
+        joined, ["o_custkey"], {"revenue_micro": ("rev_micro", "sum")}
+    )
+    cust = pq.read_table(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        _p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    )
+    out = ops.broadcast_join(by_cust, cust, "o_custkey", "c_custkey")
+    out = ops.broadcast_join(out, nation, "c_nationkey", "n_nationkey")
+    top = ops.topk(out, keys=["revenue_micro", "o_custkey"],
+                   descending=[True, False], k=20)
+    return top.select_columns(["o_custkey", "c_name", "n_name", "revenue_micro"])
+
+
+Q10_RETURNED_ITEMS_SQL = """
+SELECT o_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS BIGINT)
+           AS revenue_micro
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY o_custkey, c_name, n_name
+ORDER BY revenue_micro DESC, o_custkey LIMIT 20
+"""
+
+
 def curate_docs(sf_dir: str):
     """End-to-end corpus curation — the flagship composition of the
     training-data operators: token-count and quality actor-pool stages
@@ -2965,6 +3021,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "q3_shipping_priority": {
             "fn": q3_shipping_priority, "sql": Q3_SHIPPING_PRIORITY_SQL,
+        },
+        "q10_returned_items": {
+            "fn": q10_returned_items, "sql": Q10_RETURNED_ITEMS_SQL,
         },
         "salted_join_lineitem_orders": {
             "fn": salted_join_lineitem_orders,
