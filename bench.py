@@ -121,6 +121,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "asof_join_events",
         # composite pipelines (multi-join analytics, corpus curation)
         "q3_shipping_priority",
+        "q10_returned_items",
         "curate_docs",
         # exact similarity join (prefix filter + bitset verify; CPU-bound
         # — BASELINE.md round-2: 37.4 s at sf0.1 vs DuckDB oracle 235 s)
