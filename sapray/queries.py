@@ -2925,6 +2925,56 @@ def cdc_point_lookup(sf_dir: str):
     return res.select(["repo", "path", "commit", "seq", "content_sha256"])
 
 
+def cdc_curate_lake(sf_dir: str):
+    """The engine's product story in ONE gated flow: replay the change
+    log into the delta lake (decode -> salted shuffle -> LWW appliers ->
+    exactly-once sink), then run the training-data pipeline over the
+    LIVE lake state — streaming manifest-guided read, token-count actor
+    stage over file content, quality filter, per-repo rollup through the
+    partial-agg combiner. The oracle replays the same log with arg_max
+    and recomputes the token formula in SQL."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    cl_dir = _changelog_dir_for(sf_dir)
+    generate_changelog(sf_dir, cl_dir, n_updates=3000)
+    lake = os.path.join(ORACLE_TMP, name, "lake_curate")
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = CDCEngine(CDCConfig(lake_dir=lake, num_partitions=16, sink_mode="delta"))
+    eng.apply(cl_dir)
+
+    ds = eng.state_dataset().map_batches(
+        text.TokenCount(text_column="content"), batch_format="pyarrow"
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n_ws_tokens"), 10))
+
+    ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return ops.grouped_aggregate(
+        ds, ["repo"],
+        {"n_files": (None, "count"), "total_ws_tokens": ("n_ws_tokens", "sum")},
+    )
+
+
+def _cdc_curate_sql(sf_name: str) -> str:
+    glob = os.path.join(ORACLE_TMP, sf_name, "changelog", "v*", "*.parquet")
+    return rf"""
+WITH ev AS (
+  SELECT seq, op, repo, path, content
+  FROM read_parquet('{glob}', union_by_name=true)
+), last AS (
+  SELECT repo, path, arg_max(op, seq) AS last_op,
+         arg_max(content, seq) AS content
+  FROM ev GROUP BY repo, path
+), tok AS (
+  SELECT repo,
+         len(string_split_regex(trim(content), '\s+')) AS n
+  FROM last WHERE last_op <> 'D'
+)
+SELECT repo, count(*) AS n_files, sum(n) AS total_ws_tokens
+FROM tok WHERE n >= 10 GROUP BY repo
+"""
+
+
 def _point_lookup_sql(sf_name: str) -> str:
     glob = os.path.join(ORACLE_TMP, sf_name, "changelog", "v*", "*.parquet")
     return f"""
@@ -3126,6 +3176,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "cdc_replay_flagship": {"fn": cdc_replay_flagship, "sql": _flagship_sql(sf_name)},
         "cdc_replay_delta": {"fn": cdc_replay_delta, "sql": _flagship_sql(sf_name)},
         "cdc_point_lookup": {"fn": cdc_point_lookup, "sql": _point_lookup_sql(sf_name)},
+        "cdc_curate_lake": {"fn": cdc_curate_lake, "sql": _cdc_curate_sql(sf_name)},
         "cdc_time_travel": {"fn": cdc_time_travel, "sql": _time_travel_sql(sf_name)},
         "cdc_change_feed": {"fn": cdc_change_feed, "sql": _change_feed_sql(sf_name)},
         "incremental_view_repo_stats": {
