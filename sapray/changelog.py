@@ -133,7 +133,7 @@ def _events_chunk(
         "commit_date": date_col,
         "commit_time": time_col,
         "lang": _pad_lang(lang),
-        "content": pa.array(content, type=pa.string()),
+        "content": pa.array(content, type=pa.large_string()),
         "schema_ver": pa.array(np.full(len(seq), schema_ver, dtype=np.int32)),
     }
     if schema_ver >= 2:
@@ -174,7 +174,7 @@ def generate_changelog(
         hot_share=hot_share,
         dup_share=dup_share,
         rows_per_file=rows_per_file,
-        v=4,
+        v=5,  # v5: content is large_string (int64 offsets)
     )
     if not force and os.path.exists(meta_path):
         with open(meta_path) as f:

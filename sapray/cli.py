@@ -97,15 +97,20 @@ def cmd_lookup(args: argparse.Namespace) -> int:
     from sapray.pipeline import CDCEngine
 
     # --key is repeatable; a single occurrence may hold comma-separated
-    # pairs IF every token parses as col=value (a value containing a
-    # comma needs one --key per column). Key-column ORDER comes from the
+    # pairs IF every token is exactly identifier=value with a single '='
+    # (a value containing ',' or '=' needs one --key per column; the old
+    # any-'='-works heuristic silently split values like path=a=1,b=2
+    # into two columns — ADVICE r2). Key-column ORDER comes from the
     # lake's manifests inside point_lookup, never from argument order —
     # the key hash is order-dependent.
+    import re as _re
+
+    pair = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*=[^=]*$")
     key: dict[str, str] = {}
     for occurrence in args.key:
         tokens = (
             occurrence.split(",")
-            if all("=" in t for t in occurrence.split(","))
+            if all(pair.match(t) for t in occurrence.split(","))
             else [occurrence]
         )
         for t in tokens:

@@ -44,7 +44,16 @@ def chain_edges(
     def kernel(t: pa.Table) -> pa.Table:
         ids = t.column(id_column).to_numpy(zero_copy_only=False)
         keys = t.column(key).combine_chunks()
-        codes = keys.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        enc = keys.dictionary_encode()
+        idx = enc.indices
+        if idx.null_count:
+            # NULL keys form ONE group (SQL PARTITION BY semantics): raw
+            # indices give NaN codes and NaN != NaN, so null-keyed rows
+            # would emit no edges (ADVICE r2; window._key_codes pattern).
+            import pyarrow.compute as pc
+
+            idx = pc.fill_null(idx, len(enc.dictionary))
+        codes = idx.to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, codes))
         ids, codes = ids[order], codes[order]
         same = codes[1:] == codes[:-1] if len(codes) else np.empty(0, bool)

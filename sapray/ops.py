@@ -36,6 +36,16 @@ from sapray.partition import lww_reduce
 # --------------------------------------------------------------------------
 
 
+def actor_pool(frac: float = 0.5, lo: int = 2) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster: (1, max(lo,
+    CPU*frac)). Min stays 1 — a fixed pool >= session CPUs deadlocks the
+    streaming executor on small sessions (CLAUDE.md invariant) — while the
+    max tracks cluster size instead of a literal 2 that starves a 32-CPU
+    node (VERDICT r2 finding #5)."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(lo, int(ncpu * frac)))
+
+
 def read_projected(
     path: str, columns: list[str] | None = None, filter_expr=None
 ) -> ray.data.Dataset:
@@ -188,6 +198,15 @@ def broadcast_join(
     # pre-rename the small side's key so per-batch joins need no rename;
     # keep a single key column in the output (merge-on-key semantics)
     if right_on != left_on:
+        if left_on in small.column_names:
+            # renaming would create a duplicate column and every batch
+            # join would fail with an opaque ArrowInvalid at execution
+            # time (ADVICE r2) — fail loudly at plan time instead
+            raise ValueError(
+                f"broadcast_join: small side already has a column named "
+                f"{left_on!r}; rename or drop it before joining on "
+                f"{right_on!r} -> {left_on!r}"
+            )
         idx = small.column_names.index(right_on)
         small = small.rename_columns(
             [left_on if i == idx else c for i, c in enumerate(small.column_names)]
@@ -913,11 +932,110 @@ def exact_global_quantile(
     return exact_global_quantiles(ds, column, [q], num_buckets)[0]
 
 
+def _bucket_of(v: np.ndarray, lo: float, width: float, nb: int) -> np.ndarray:
+    """Histogram bucket assignment — the ONE expression shared by every
+    histogram/collect/refine pass so float boundary rounding can never
+    put a value in different buckets across passes."""
+    return np.clip(((v - lo) / width).astype(np.int64), 0, nb - 1)
+
+
+def _drop_nan(v: np.ndarray) -> np.ndarray:
+    return v[~np.isnan(v)] if v.dtype.kind == "f" else v
+
+
+def _select_in_chain(
+    ds: ray.data.Dataset,
+    column: str,
+    chain: list[tuple[float, float, int]],
+    rank: int,
+    nb: int,
+    cap: int,
+    depth: int = 0,
+) -> float:
+    """Exact order statistic among rows matching a bucket chain, without
+    ever collecting more than ``cap`` values to the driver.
+
+    ``chain`` is the membership predicate: at each level k a row's value
+    must land in bucket ``t_k`` of the level's (lo_k, width_k, nb)
+    histogram. An overweight bucket recurses one level deeper (range
+    shrinks by nb per level); when the range reaches float resolution —
+    a heavy-tailed column where half the rows are one value — the
+    endgame switches to per-batch distinct (value, count) partials,
+    which are tiny inside a <=1-ulp range, and selects exactly.
+    (VERDICT r2 finding #8: the old pass 2 collected the whole target
+    bucket to the driver.)"""
+    lo_k, width_k, t_k = chain[-1]
+    lo2 = lo_k + t_k * width_k
+    width2 = width_k / nb
+
+    def _filter(v: np.ndarray) -> np.ndarray:
+        v = _drop_nan(v)
+        for lo_i, w_i, t_i in chain:
+            v = v[_bucket_of(v, lo_i, w_i, nb) == t_i]
+        return v
+
+    if width2 <= 0 or not np.isfinite(width2) or lo2 + width2 == lo2 or depth >= 64:
+        # float-resolution endgame: exact per-value counts
+        def vc(batch: pa.Table) -> pa.Table:
+            v = _filter(batch.column(column).to_numpy(zero_copy_only=False))
+            u, c = np.unique(v, return_counts=True)
+            return pa.table({"v": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+        df = (
+            ds.map_batches(vc, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+            .groupby("v", sort=True)["c"]
+            .sum()
+        )
+        cum = df.cumsum().to_numpy()
+        return float(df.index.to_numpy()[int(np.searchsorted(cum, rank + 1))])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = _filter(batch.column(column).to_numpy(zero_copy_only=False))
+        counts = np.bincount(_bucket_of(v, lo2, width2, nb), minlength=nb)
+        return pa.table({"bucket": pa.array(np.arange(nb, dtype=np.int64)),
+                         "cnt": pa.array(counts)})
+
+    hdf = (
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    counts = hdf["sum(cnt)"].to_numpy()
+    cum = counts.cumsum()
+    sb = int(np.searchsorted(cum, rank + 1))
+    rib = rank - (int(cum[sb - 1]) if sb else 0)
+    sub_chain = chain + [(lo2, width2, sb)]
+    if counts[sb] > cap:
+        return _select_in_chain(ds, column, sub_chain, rib, nb, cap, depth + 1)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = _drop_nan(batch.column(column).to_numpy(zero_copy_only=False))
+        for lo_i, w_i, t_i in sub_chain:
+            v = v[_bucket_of(v, lo_i, w_i, nb) == t_i]
+        return pa.table({column: pa.array(v)})
+
+    vals = (
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()[column]
+        .to_numpy()
+    )
+    return float(np.partition(vals, rib)[rib])
+
+
+# values collected to the driver per target bucket at most; above this
+# the selection recurses the histogram instead (VERDICT r2 finding #8)
+QUANTILE_COLLECT_CAP = 4_000_000
+
+
 def exact_global_quantiles(
     ds: ray.data.Dataset,
     column: str,
     qs: list[float],
     num_buckets: int = 4096,
+    collect_cap: int = QUANTILE_COLLECT_CAP,
 ) -> list[float]:
     """Exact discrete quantiles of a whole column at any scale.
 
@@ -927,8 +1045,11 @@ def exact_global_quantiles(
     bucket containing each target rank. Pass 2 re-scans ONCE, keeps only
     the target buckets' values (a ~len(qs)/num_buckets fraction), and
     selects each exact in-bucket order statistic — all requested
-    quantiles share the same two scans. No full materialization, no
-    global sort; the driver holds the target buckets, not the column.
+    quantiles share the same two scans. A target bucket heavier than
+    ``collect_cap`` (key skew: half the rows one value) is never
+    collected — it recurses through :func:`_select_in_chain` instead.
+    No full materialization, no global sort; the driver holds at most
+    ``collect_cap`` values per bucket.
 
     Returns the elements at index ``floor(q * (n-1))`` of the sorted
     column (``quantile_disc`` semantics, exact selection — bit-identical
@@ -968,10 +1089,10 @@ def exact_global_quantiles(
 
     # pass 1b: per-batch histogram partials (num_buckets ints per batch)
     def hist(batch: pa.Table) -> pa.Table:
-        v = batch.column(column).to_numpy(zero_copy_only=False)
-        v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
-        b = np.minimum(((v - lo) / width).astype(np.int64), num_buckets - 1)
-        counts = np.bincount(b, minlength=num_buckets)
+        v = _drop_nan(batch.column(column).to_numpy(zero_copy_only=False))
+        counts = np.bincount(
+            _bucket_of(v, lo, width, num_buckets), minlength=num_buckets
+        )
         return pa.table({"bucket": pa.array(np.arange(num_buckets, dtype=np.int64)),
                          "cnt": pa.array(counts)})
 
@@ -982,26 +1103,42 @@ def exact_global_quantiles(
         .to_pandas()
         .sort_values("bucket")
     )
-    cum = hdf["sum(cnt)"].cumsum().to_numpy()
+    bucket_counts = hdf["sum(cnt)"].to_numpy()
+    cum = bucket_counts.cumsum()
     buckets = [int(np.searchsorted(cum, r + 1)) for r in ranks]
     ranks_in_bucket = [
         r - (int(cum[b - 1]) if b else 0) for r, b in zip(ranks, buckets)
     ]
-    targets = np.array(sorted(set(buckets)), dtype=np.int64)
+    light = sorted(
+        {b for b in buckets if bucket_counts[b] <= collect_cap}
+    )
+    targets = np.array(light, dtype=np.int64)
 
-    # pass 2: collect ONLY the target buckets' values, exact selection
-    def keep(batch: pa.Table) -> pa.Table:
-        v = batch.column(column).to_numpy(zero_copy_only=False)
-        v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
-        b = np.minimum(((v - lo) / width).astype(np.int64), num_buckets - 1)
-        mask = np.isin(b, targets)
-        return pa.table({column: pa.array(v[mask]), "__b": pa.array(b[mask])})
+    # pass 2: collect ONLY light target buckets' values, exact selection
+    kept = None
+    if len(targets):
+        def keep(batch: pa.Table) -> pa.Table:
+            v = _drop_nan(batch.column(column).to_numpy(zero_copy_only=False))
+            b = _bucket_of(v, lo, width, num_buckets)
+            mask = np.isin(b, targets)
+            return pa.table({column: pa.array(v[mask]), "__b": pa.array(b[mask])})
 
-    kept = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        kept = ds.map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+
     out: list[float] = []
     for b, rib in zip(buckets, ranks_in_bucket):
-        vals = kept[kept["__b"] == b][column].to_numpy()
-        out.append(float(np.partition(vals, rib)[rib]))
+        if bucket_counts[b] > collect_cap:
+            # skewed bucket: recurse the histogram, never collect it
+            out.append(
+                _select_in_chain(
+                    ds, column, [(lo, width, b)], rib, num_buckets, collect_cap
+                )
+            )
+        else:
+            vals = kept[kept["__b"] == b][column].to_numpy()
+            out.append(float(np.partition(vals, rib)[rib]))
     return out
 
 
@@ -1042,7 +1179,15 @@ def _set_op(
 
         side = g.column("__side").to_numpy(zero_copy_only=False)
         key = composite_key(g, tuple(columns))
-        codes = key.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        enc = key.dictionary_encode()
+        idx = enc.indices
+        if idx.null_count:
+            # NULL keys get one dedicated code: raw indices surface nulls
+            # as NaN, and NaN never matches in isin/unique, so NULL-keyed
+            # rows would silently never match across sides — SQL set ops
+            # treat NULLs as equal (ADVICE r2; same fix as window._key_codes).
+            idx = pc.fill_null(idx, len(enc.dictionary))
+        codes = idx.to_numpy(zero_copy_only=False)
         right_codes = np.unique(codes[side == 1])
         left_mask = side == 0
         in_right = np.isin(codes[left_mask], right_codes)

@@ -549,7 +549,7 @@ NGRAM_JACCARD_DOCS_SQL = MINHASH_DEDUP_DOCS_SQL
 
 def simhash_docs(sf_dir: str):
     ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=(1, 2))
+    out = ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=ops.actor_pool())
     return out.select_columns(["doc_id", "simhash"])
 
 
@@ -591,7 +591,7 @@ SIMHASH_DOCS_SQL = _simhash_sql()
 
 def fingerprint_docs(sf_dir: str):
     ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(text.Fingerprint, batch_format="pyarrow", concurrency=(1, 2))
+    out = ds.map_batches(text.Fingerprint, batch_format="pyarrow", concurrency=ops.actor_pool())
     return out.select_columns(["doc_id", "fingerprint"])
 
 
@@ -625,7 +625,7 @@ FINGERPRINT_DOCS_SQL = _fingerprint_sql()
 
 def token_count_docs(sf_dir: str):
     ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(text.TokenCount, batch_format="pyarrow", concurrency=(1, 2))
+    out = ds.map_batches(text.TokenCount, batch_format="pyarrow", concurrency=ops.actor_pool())
     return out.select_columns(["doc_id", "n_ws_tokens", "n_bpe_tokens"])
 
 
@@ -639,7 +639,7 @@ FROM documents
 
 def quality_docs(sf_dir: str):
     ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(text.QualityScore, batch_format="pyarrow", concurrency=(1, 2))
+    out = ds.map_batches(text.QualityScore, batch_format="pyarrow", concurrency=ops.actor_pool())
     return out.select_columns(["doc_id", "n_chars_calc", "n_spaces", "stop_hits"])
 
 
@@ -671,7 +671,7 @@ def langid_docs(sf_dir: str):
                          "text": pa.array(texts, pa.string())})
 
     ds = ds.map_batches(make_fixture, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.map_batches(text.LangId, batch_format="pyarrow", concurrency=(1, 2))
+    out = ds.map_batches(text.LangId, batch_format="pyarrow", concurrency=ops.actor_pool())
     return out.select_columns(["doc_id", "pred_lang"])
 
 
@@ -711,7 +711,7 @@ def pii_redact_docs(sf_dir: str):
         return pa.table({"doc_id": batch.column("doc_id"), "text": aug})
 
     ds = ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.map_batches(text.PiiRedact, batch_format="pyarrow", concurrency=(1, 2))
+    out = ds.map_batches(text.PiiRedact, batch_format="pyarrow", concurrency=ops.actor_pool())
     return out.select_columns(
         ["doc_id", "redacted", "n_emails", "n_ips", "n_phones"]
     )
@@ -753,7 +753,7 @@ PII_REDACT_DOCS_SQL = _pii_sql()
 def repetition_docs(sf_dir: str):
     ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(
-        text.RepetitionStats, batch_format="pyarrow", concurrency=(1, 2)
+        text.RepetitionStats, batch_format="pyarrow", concurrency=ops.actor_pool()
     )
     return out.select_columns(
         ["doc_id", "n_words", "n_distinct_words", "max_word_repeat"]
@@ -891,13 +891,17 @@ PACK_DOCS_SQL = """
 WITH t AS (
   SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents
 ), c AS (
+  -- ::BIGINT: DuckDB window sum(BIGINT) returns HUGEINT -> decimal128(38,0),
+  -- which the driver's type-sensitive value hash treats as float; the engine
+  -- emits int64, so the oracle must too (VERDICT r2 finding #1).
   SELECT doc_id, n_tokens,
          coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_before
   FROM t
 )
 SELECT doc_id, n_tokens, tok_before,
-       tok_before // 512 AS bin_id, tok_before % 512 AS bin_offset
+       (tok_before // 512)::BIGINT AS bin_id,
+       (tok_before % 512)::BIGINT AS bin_offset
 FROM c
 """
 
@@ -925,7 +929,7 @@ def decontaminate_docs(sf_dir: str):
         text.Decontaminate,
         fn_constructor_kwargs={"eval_grams_ref": ref, "n": 8},
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=ops.actor_pool(),
     )
     out = out.map_batches(
         lambda b: b.filter(pc.greater(b.column("n_hits"), 0)),
@@ -1272,13 +1276,17 @@ def q10_returned_items(sf_dir: str):
     by_cust = ops.grouped_aggregate(
         joined, ["o_custkey"], {"revenue_micro": ("rev_micro", "sum")}
     )
-    cust = pq.read_table(
+    # customer scales with the fact tables (1/4 of orders' rows): read it
+    # via Ray and hash-shuffle join — no driver-side pq.read_table +
+    # object-store broadcast of a fact-scaled table (VERDICT r2 #4).
+    # nation is a 25-row dimension; broadcast stays right for it.
+    cust = ops.read_projected(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_nationkey"]
     )
+    out = ops.shuffle_join(by_cust, cust, "o_custkey", "c_custkey")
     nation = pq.read_table(
         _p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
     )
-    out = ops.broadcast_join(by_cust, cust, "o_custkey", "c_custkey")
     out = ops.broadcast_join(out, nation, "c_nationkey", "n_nationkey")
     top = ops.topk(out, keys=["revenue_micro", "o_custkey"],
                    descending=[True, False], k=20)
@@ -1308,8 +1316,8 @@ def curate_docs(sf_dir: str):
     surviving duplicates to the smallest doc_id. One streaming plan;
     only the dedup groupby is an all-to-all (over 32-byte hashes)."""
     ds = _augmented_docs(sf_dir)
-    ds = ds.map_batches(text.TokenCount, batch_format="pyarrow", concurrency=(1, 2))
-    ds = ds.map_batches(text.QualityScore, batch_format="pyarrow", concurrency=(1, 2))
+    ds = ds.map_batches(text.TokenCount, batch_format="pyarrow", concurrency=ops.actor_pool())
+    ds = ds.map_batches(text.QualityScore, batch_format="pyarrow", concurrency=ops.actor_pool())
 
     def keep(batch: pa.Table) -> pa.Table:
         mask = pc.and_(
@@ -1880,10 +1888,10 @@ def running_sum_events(sf_dir: str):
 
 RUNNING_SUM_EVENTS_SQL = """
 SELECT event_id, user_id,
-       sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+       (sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS UNBOUNDED PRECEDING
-       ) AS run_cents
+       ))::BIGINT AS run_cents
 FROM events
 """
 
@@ -2069,7 +2077,7 @@ def trailing_sum_events(sf_dir: str):
 TRAILING_SUM_EVENTS_SQL = """
 SELECT user_id, event_id,
        count(*) OVER w AS n_1h,
-       sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS sum_cents_1h
+       (sum(CAST(floor(value * 100) AS BIGINT)) OVER w)::BIGINT AS sum_cents_1h
 FROM events
 WINDOW w AS (
   PARTITION BY user_id ORDER BY ts
@@ -2102,11 +2110,11 @@ def pivot_events(sf_dir: str):
 
 PIVOT_EVENTS_SQL = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click_n,
-       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error_n,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_n,
-       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup_n,
-       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view_n,
+       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS click_n,
+       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS error_n,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase_n,
+       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS signup_n,
+       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT AS view_n,
        count(*) AS total_n
 FROM events GROUP BY user_id
 """
@@ -2212,7 +2220,7 @@ HEAVY_VALUE_USERS_EVENTS_SQL = """
 WITH c AS (
   SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
 )
-SELECT user_id, sum(cents) AS wsum FROM c GROUP BY user_id
+SELECT user_id, sum(cents)::BIGINT AS wsum FROM c GROUP BY user_id
 HAVING sum(cents) >= 0.008::DOUBLE * (SELECT sum(cents) FROM c)
 """
 
@@ -2480,7 +2488,7 @@ def json_extract_events(sf_dir: str):
 
 JSON_EXTRACT_EVENTS_SQL = """
 SELECT user_id,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY user_id
 """
@@ -2970,7 +2978,7 @@ WITH ev AS (
          len(string_split_regex(trim(content), '\s+')) AS n
   FROM last WHERE last_op <> 'D'
 )
-SELECT repo, count(*) AS n_files, sum(n) AS total_ws_tokens
+SELECT repo, count(*) AS n_files, sum(n)::BIGINT AS total_ws_tokens
 FROM tok WHERE n >= 10 GROUP BY repo
 """
 
@@ -3021,8 +3029,15 @@ FROM last WHERE last_op <> 'D'
 
 
 def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
-    """name -> {"fn": callable(sf_dir), "sql": str | None}."""
-    return {
+    """name -> {"fn": callable(sf_dir), "sql": str | None}.
+
+    Insertion order matters: the correctness driver checks the FIRST 50
+    entries, so queries without driver-green evidence yet (the CDC
+    flagship family, the window family, pack_docs after its oracle-cast
+    fix, and anything new this round) are front-loaded via _PRIORITY
+    below; r2-green queries fill the tail (VERDICT r2 next-step #3).
+    """
+    entries = {
         "projection_docs": {"fn": projection_docs, "sql": PROJECTION_DOCS_SQL},
         "filter_docs": {"fn": filter_docs, "sql": FILTER_DOCS_SQL},
         "jsonl_source_docs": {
@@ -3183,3 +3198,51 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "fn": incremental_view_repo_stats, "sql": _incremental_view_sql(sf_name),
         },
     }
+    # Queries needing round-3 driver evidence, in check priority: the CDC
+    # flagship family (the engine's reason to exist — r1-green only), the
+    # window family and other never-driver-checked ops, and the queries
+    # whose oracles gained ::BIGINT casts this round.
+    priority = [
+        "cdc_replay_flagship",
+        "cdc_replay_delta",
+        "cdc_point_lookup",
+        "cdc_curate_lake",
+        "cdc_time_travel",
+        "cdc_change_feed",
+        "incremental_view_repo_stats",
+        "pack_docs",
+        "window_rank_orders",
+        "lead_lag_events",
+        "running_sum_events",
+        "sessionize_events",
+        "streaming_sessionize_events",
+        "trailing_window_events",
+        "trailing_sum_events",
+        "rank_functions_orders",
+        "string_agg_events",
+        "first_last_events",
+        "pivot_events",
+        "rollup_events",
+        "cube_events",
+        "anti_join_customers",
+        "asof_join_events",
+        "median_value_by_user",
+        "except_users",
+        "intersect_users",
+        "global_quantiles_events",
+        "range_join_events",
+        "mode_event_type_by_user",
+        "corr_value_k_by_type",
+        "json_extract_events",
+        "json_nested_events",
+        "approx_distinct_events",
+        "heavy_hitters_events",
+        "heavy_value_users_events",
+        "unnest_embeddings",
+        "approx_distinct_users_by_type",
+        "sample_docs",
+        "weighted_sample_docs",
+    ]
+    ordered = {k: entries[k] for k in priority if k in entries}
+    ordered.update({k: v for k, v in entries.items() if k not in ordered})
+    return ordered

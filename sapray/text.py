@@ -37,16 +37,23 @@ class LangId:
         self.text_column = text_column
         self.out_column = out_column
         self.langs = sorted(_LANG_PROFILES)
+        # RE2 alternations of literal grams — evaluated by Arrow's
+        # count_substring_regex, no pandas round trip in the hot loop
+        # (VERDICT r2 finding #7)
         self.patterns = {
-            lang: re.compile("|".join(re.escape(g) for g in grams))
+            lang: "|".join(re.escape(g) for g in grams)
             for lang, grams in _LANG_PROFILES.items()
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_column).to_pandas().str.lower()
-        scores = np.zeros((len(texts), len(self.langs)))
+        lowered = pc.utf8_lower(batch.column(self.text_column))
+        scores = np.zeros((len(batch), len(self.langs)))
         for j, lang in enumerate(self.langs):
-            scores[:, j] = texts.str.count(self.patterns[lang]).to_numpy()
+            scores[:, j] = (
+                pc.count_substring_regex(lowered, pattern=self.patterns[lang])
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
         best = np.argmax(scores, axis=1)  # ties -> lowest index = sorted lang
         pred = np.array(self.langs, dtype=object)[best]
         pred[scores.max(axis=1) == 0] = "und"
@@ -84,8 +91,10 @@ class TokenCount:
 
     def __init__(self, text_column: str = "text"):
         self.text_column = text_column
-        # BPE-ish word/number/punct splitter (public GPT-2-style shape)
-        self.bpe = re.compile(r"\w+|[^\w\s]")
+        # BPE-ish word/number/punct splitter (public GPT-2-style shape);
+        # RE2 via Arrow — same engine as the DuckDB oracle's
+        # regexp_extract_all, and no pandas round trip (VERDICT r2 #7)
+        self.bpe = r"\w+|[^\w\s]"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column(self.text_column)
@@ -93,8 +102,7 @@ class TokenCount:
         ws_tokens = pc.list_value_length(
             pc.split_pattern_regex(trimmed, pattern=r"\s+")
         ).cast(pa.int64())
-        s = batch.column(self.text_column).to_pandas()
-        bpe_tokens = pa.array(s.str.count(self.bpe).astype("int64"))
+        bpe_tokens = pc.count_substring_regex(text, pattern=self.bpe).cast(pa.int64())
         return batch.append_column("n_ws_tokens", ws_tokens).append_column(
             "n_bpe_tokens", bpe_tokens
         )
@@ -111,6 +119,8 @@ class Fingerprint:
         self.pows = np.power(base, np.arange(window, dtype=np.uint64))
 
     def _fp(self, s: str) -> int:
+        """Reference single-doc kernel (kept for tests/documentation of
+        the semantics the batched path reproduces)."""
         b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
         if len(b) < self.window:
             b = np.pad(b, (0, self.window - len(b)), constant_values=0)
@@ -119,9 +129,51 @@ class Fingerprint:
         return int(hashes.min())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [self._fp(t) if t else 0 for t in batch.column(self.text_column).to_pylist()]
+        """One sliding-window pass over the batch's concatenated UTF-8
+        buffers with per-document segment minima — no per-row Python
+        dispatch (VERDICT r2 finding #6; the word_ngrams buffer pattern).
+
+        Each document is zero-padded to >= window bytes (matching the
+        single-doc kernel); window positions that would cross a document
+        boundary are masked to uint64-max before the reduceat min."""
+        col = batch.column(self.text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return batch.append_column("fingerprint", pa.array([], pa.int64()))
+        bin_ = pc.cast(pc.fill_null(col, ""), pa.large_binary())
+        if isinstance(bin_, pa.ChunkedArray):
+            bin_ = bin_.combine_chunks()
+        offsets = np.frombuffer(bin_.buffers()[1], dtype=np.int64)[
+            bin_.offset : bin_.offset + n + 1
+        ]
+        data = np.frombuffer(bin_.buffers()[2], dtype=np.uint8)
+        lens = np.diff(offsets)
+        w = self.window
+        padded = np.maximum(lens, w)
+        out_starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(padded, out=out_starts[1:])
+        total = int(out_starts[-1])
+        concat = np.zeros(total, dtype=np.uint8)
+        # scatter every doc's bytes to its padded slot in one vectorized copy
+        shift = np.repeat(out_starts[:-1] - offsets[:-1], lens)
+        src = np.arange(offsets[0], offsets[-1], dtype=np.int64)
+        concat[src + shift] = data[offsets[0] : offsets[-1]]
+        wins = np.lib.stride_tricks.sliding_window_view(
+            concat.astype(np.uint64), w
+        )
+        hashes = (wins * self.pows).sum(axis=1, dtype=np.uint64)
+        H = len(hashes)  # total - w + 1
+        spans = np.minimum(out_starts[1:], H) - out_starts[:-1]
+        pos_within = np.arange(H, dtype=np.int64) - np.repeat(out_starts[:-1], spans)
+        invalid = pos_within >= np.repeat(padded - w + 1, spans)
+        hashes[invalid] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        fps = np.minimum.reduceat(hashes, out_starts[:-1])
+        # empty / null docs fingerprint to 0 (single-doc kernel contract)
+        fps[lens == 0] = 0
         return batch.append_column(
-            "fingerprint", pa.array(np.array(fps, dtype=np.uint64).astype(np.int64))
+            "fingerprint", pa.array(fps.astype(np.int64))
         )
 
 
@@ -352,10 +404,15 @@ def eval_gram_array(
     return sorted(out)
 
 
-def analyze_documents(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
+def analyze_documents(
+    ds: ray.data.Dataset, concurrency: int | None = None
+) -> ray.data.Dataset:
     """Full text-analysis pipeline: langid -> quality -> token counts."""
+    from sapray import ops
+
+    pool = (1, concurrency) if concurrency else ops.actor_pool()
     return (
-        ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, concurrency))
-        .map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, concurrency))
-        .map_batches(TokenCount, batch_format="pyarrow", concurrency=(1, concurrency))
+        ds.map_batches(LangId, batch_format="pyarrow", concurrency=pool)
+        .map_batches(QualityScore, batch_format="pyarrow", concurrency=pool)
+        .map_batches(TokenCount, batch_format="pyarrow", concurrency=pool)
     )

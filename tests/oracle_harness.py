@@ -36,6 +36,75 @@ def to_pandas(result) -> pd.DataFrame:
     return df
 
 
+def arrow_of(result):
+    import pyarrow as pa
+
+    if isinstance(result, pa.Table):
+        return result
+    if isinstance(result, pd.DataFrame):
+        return pa.Table.from_pandas(result, preserve_index=False)
+    # ray.data.Dataset
+    import ray
+
+    tables = [ray.get(ref) for ref in result.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+def _canon_type(t) -> str:
+    """Driver-style type canonicalization: int widths collapse to int64,
+    float32 to float64, timestamps to us, large_string to string. DECIMAL
+    canonicalizes to float64 (the driver converts decimal->float before
+    hashing, so an engine float64 matches a DECIMAL oracle — r2-green
+    geo_shapes_docs proves it) — which means a HUGEINT/DECIMAL oracle vs
+    an int64 engine column fails here, exactly like the driver's
+    type-sensitive value hash (VERDICT r2 findings #1-3)."""
+    import pyarrow.types as pt
+
+    if pt.is_integer(t):
+        return "int64"
+    if pt.is_floating(t) or pt.is_decimal(t):
+        return "float64"
+    if pt.is_timestamp(t):
+        return f"timestamp[us{',' + t.tz if t.tz else ''}]"
+    if pt.is_large_string(t) or pt.is_string(t):
+        return "string"
+    if pt.is_large_binary(t) or pt.is_binary(t):
+        return "binary"
+    if pt.is_list(t) or pt.is_large_list(t):
+        return f"list<{_canon_type(t.value_type)}>"
+    return str(t)
+
+
+def _decimals_to_float(tbl):
+    """Driver-style decimal->float64 canonicalization before value compare."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.types as pt
+
+    for i, f in enumerate(tbl.schema):
+        if pt.is_decimal(f.type):
+            tbl = tbl.set_column(
+                i, f.name, pc.cast(tbl.column(i), pa.float64())
+            )
+    return tbl
+
+
+def schema_mismatches(engine_tbl, oracle_tbl) -> list[str]:
+    """Column-by-column canonical-type comparison (columns sorted by name,
+    as the driver sorts before hashing)."""
+    errs = []
+    e = {f.name: _canon_type(f.type) for f in engine_tbl.schema}
+    o = {f.name: _canon_type(f.type) for f in oracle_tbl.schema}
+    for name in sorted(set(e) | set(o)):
+        te, to = e.get(name), o.get(name)
+        if te != to:
+            errs.append(f"{name}: engine={te} oracle={to}")
+    return errs
+
+
 def canonical(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -47,10 +116,16 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(name: str, ray_result, sql: str | None, con) -> tuple[bool, str]:
-    rdf = canonical(to_pandas(ray_result))
     if sql is None:
+        rdf = canonical(to_pandas(ray_result))
         return (len(rdf) >= 0, f"rows-only: {len(rdf)} rows")
-    odf = canonical(con.sql(sql).df())
+    engine_tbl = arrow_of(ray_result)
+    oracle_tbl = con.sql(sql).arrow()
+    type_errs = schema_mismatches(engine_tbl, oracle_tbl)
+    if type_errs:
+        return False, "type mismatch: " + "; ".join(type_errs)
+    rdf = canonical(_decimals_to_float(engine_tbl).to_pandas())
+    odf = canonical(_decimals_to_float(oracle_tbl).to_pandas())
     if list(rdf.columns) != list(odf.columns):
         return False, f"column mismatch: {list(rdf.columns)} vs {list(odf.columns)}"
     if len(rdf) != len(odf):

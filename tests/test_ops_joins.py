@@ -193,6 +193,40 @@ def test_global_quantiles_ignore_nan(ray_session):
     assert got == expect
 
 
+def test_global_quantiles_skewed_column_never_collects(ray_session):
+    """Heavy-tailed column (90% one value): the target bucket holds most
+    of the dataset, so pass 2 must recurse the histogram / switch to
+    per-value counts instead of collecting the bucket to the driver
+    (VERDICT r2 finding #8). collect_cap=100 forces the recursion path
+    at test scale."""
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        np.full(9000, 42.5),
+        rng.uniform(0.0, 100.0, 1000),
+    ])
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)}))
+    qs = [0.0, 0.25, 0.5, 0.9, 0.95, 1.0]
+    got = ops.exact_global_quantiles(ds, "v", qs, collect_cap=100)
+    clean = np.sort(vals)
+    expect = [float(clean[int(np.floor(q * (len(clean) - 1)))]) for q in qs]
+    assert got == expect
+
+
+def test_global_quantiles_skewed_int_column(ray_session):
+    """Same skew guard on an integer column (duplicates force the
+    float-resolution per-value-count endgame)."""
+    vals = np.concatenate([
+        np.full(5000, 7, dtype=np.int64),
+        np.arange(1000, dtype=np.int64),
+    ])
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)}))
+    qs = [0.1, 0.5, 0.99]
+    got = ops.exact_global_quantiles(ds, "v", qs, collect_cap=50)
+    clean = np.sort(vals)
+    expect = [float(clean[int(np.floor(q * (len(clean) - 1)))]) for q in qs]
+    assert got == expect
+
+
 def test_broadcast_join_rejects_outer_modes(ray_session):
     ds = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
     small = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array(["a"])})
@@ -594,3 +628,53 @@ def test_string_agg_null_semantics(ray_session):
     assert pd.isna(by_key[2])           # all-null group -> NULL
     assert by_key[None] == "x,y"        # one NULL-key group, not two
     assert len(out) == 3
+
+
+def test_set_ops_treat_null_keys_as_equal(ray_session):
+    """SQL EXCEPT/INTERSECT match NULL keys across sides (NULLs compare
+    equal in set ops). The raw dictionary-indices path gave NULL keys
+    NaN codes that never matched (ADVICE r2 regression)."""
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, None, None, 3], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, None], pa.int64()),
+    }))
+    # NULL intersects NULL; 2 intersects 2
+    vals = ops.intersect_distinct(left, right, ["k"], num_partitions=2).to_pandas()["k"]
+    assert vals.isna().sum() == 1
+    assert set(vals.dropna().astype(int)) == {2}
+    exc = ops.except_distinct(left, right, ["k"], num_partitions=2).to_pandas()["k"]
+    assert exc.isna().sum() == 0
+    assert set(exc.dropna().astype(int)) == {1, 3}
+
+
+def test_chain_edges_null_keys_form_one_group(ray_session):
+    """PARTITION BY groups NULLs together: null-keyed rows must chain
+    into edges like any other group (ADVICE r2 regression)."""
+    from sapray.graph import chain_edges
+
+    t = pa.table({
+        "k": pa.array(["a", "a", None, None, None], pa.string()),
+        "i": pa.array([1, 2, 10, 11, 12], pa.int64()),
+    })
+    out = chain_edges(
+        ray.data.from_arrow(t), "k", "i", num_partitions=2
+    ).to_pandas()
+    edges = set(zip(out["a"].astype(int), out["b"].astype(int)))
+    assert (1, 2) in edges
+    assert (10, 11) in edges and (11, 12) in edges
+    assert len(edges) == 3
+
+
+def test_broadcast_join_rejects_key_name_collision(ray_session):
+    """Renaming the small side's key onto an existing column would fail
+    per-batch with an opaque ArrowInvalid; fail at plan time instead
+    (ADVICE r2)."""
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    small = pa.table({
+        "rk": pa.array([1], pa.int64()),
+        "k": pa.array([9], pa.int64()),  # collides with left_on
+    })
+    with pytest.raises(ValueError, match="already has a column named"):
+        ops.broadcast_join(ds, small, "k", "rk")
