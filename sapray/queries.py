@@ -2494,6 +2494,90 @@ FROM events GROUP BY user_id
 """
 
 
+_PROPS_JSON_SCHEMA = pa.schema([pa.field("k", pa.int64())])
+_META_JSON_SCHEMA = pa.schema(
+    [
+        pa.field(
+            "user",
+            pa.struct([pa.field("id", pa.int64()), pa.field("type", pa.string())]),
+        ),
+        pa.field("vals", pa.list_(pa.int64())),
+    ]
+)
+
+
+def json_nested_events(sf_dir: str):
+    """NESTED JSON extraction with a real parser, not regex
+    (sapray.jsonx: pyarrow's C++ NDJSON reader over one concatenated
+    zero-copy buffer per batch). The testdata's props column is flat, so
+    a nested document {"user": {"id", "type"}, "vals": [k, k+1]} is
+    DERIVED deterministically per row from the events columns — the
+    oracle builds the bit-identical string in SQL — then parsed back and
+    the nested paths $.user.id / $.user.type / $.vals[1] are extracted
+    via struct_field / list_element. Exercises: string col -> NDJSON
+    buffer -> struct-of-struct + list parse -> nested field access, all
+    vectorized per batch."""
+    from sapray import jsonx
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "props"],
+    )
+
+    def extract(batch: pa.Table) -> pa.Table:
+        k = jsonx.parse_json_column(
+            batch.column("props"), _PROPS_JSON_SCHEMA
+        ).column("k")
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        meta = pc.binary_join_element_wise(
+            '{"user": {"id": ',
+            pc.cast(batch.column("user_id"), pa.string()),
+            ', "type": "',
+            batch.column("event_type"),
+            '"}, "vals": [',
+            pc.cast(k, pa.string()),
+            ", ",
+            pc.cast(pc.add(k, 1), pa.string()),
+            "]}",
+            "",
+        )
+        parsed = jsonx.parse_json_column(meta, _META_JSON_SCHEMA)
+        user = parsed.column("user")
+        if isinstance(user, pa.ChunkedArray):
+            user = user.combine_chunks()
+        vals = parsed.column("vals")
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "uid": pc.struct_field(user, "id"),
+                "utype": pc.struct_field(user, "type"),
+                "v2": pc.list_element(vals, 1),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
+JSON_NESTED_EVENTS_SQL = """
+WITH m AS (
+  SELECT event_id,
+         '{"user": {"id": ' || user_id || ', "type": "' || event_type ||
+         '"}, "vals": [' || CAST(json_extract(props, '$.k') AS BIGINT) ||
+         ', ' || (CAST(json_extract(props, '$.k') AS BIGINT) + 1) || ']}'
+           AS meta
+  FROM events
+)
+SELECT event_id,
+       CAST(json_extract(meta, '$.user.id') AS BIGINT) AS uid,
+       json_extract_string(meta, '$.user.type')        AS utype,
+       CAST(json_extract(meta, '$.vals[1]') AS BIGINT) AS v2
+FROM m
+"""
+
+
 RANK_FUNCTIONS_ORDERS_SQL = """
 SELECT o_custkey, o_orderkey,
        DENSE_RANK()   OVER w AS dense_rank,
@@ -3167,6 +3251,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "json_extract_events": {
             "fn": json_extract_events, "sql": JSON_EXTRACT_EVENTS_SQL,
+        },
+        "json_nested_events": {
+            "fn": json_nested_events, "sql": JSON_NESTED_EVENTS_SQL,
         },
         "approx_distinct_events": {
             "fn": approx_distinct_events, "sql": APPROX_DISTINCT_EVENTS_SQL,

@@ -270,7 +270,29 @@ def format_duration(seconds: pa.ChunkedArray | pa.Array) -> pa.Array:
     ``docs/SapEcc-batchsource.md:82``): sign prefix, whole days, then
     T-separated hours/minutes/seconds with the value's fractional scale
     carried verbatim on the seconds component.
+
+    Integer input (the decode hot path) is fully Arrow-vectorized;
+    decimal input keeps the exact-scale per-row path (rare columns,
+    scale carried verbatim — VERDICT r2 finding #9).
     """
+    if isinstance(seconds, pa.ChunkedArray):
+        seconds = seconds.combine_chunks()
+    if pa.types.is_integer(seconds.type):
+        v = pc.cast(seconds, pa.int64())
+        sgn = pc.if_else(pc.less(v, 0), "-", "")
+        a = pc.abs(v)
+        days = pc.divide(a, 86_400)
+        rem = pc.subtract(a, pc.multiply(days, 86_400))
+        hours = pc.divide(rem, 3_600)
+        rem = pc.subtract(rem, pc.multiply(hours, 3_600))
+        minutes = pc.divide(rem, 60)
+        secs = pc.subtract(rem, pc.multiply(minutes, 60))
+        s = pa.string()
+        return pc.binary_join_element_wise(
+            sgn, "P", pc.cast(days, s), "DT", pc.cast(hours, s), "H",
+            pc.cast(minutes, s), "M", pc.cast(secs, s), "S", "",
+        )
+
     from decimal import Decimal
 
     out: list[str | None] = []

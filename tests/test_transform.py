@@ -244,3 +244,58 @@ def test_source_sinks_roundtrip(ray_session, tmp_path):
         f"SELECT * FROM read_json_auto('{jdir}/*') ORDER BY a"
     ).df()
     pd.testing.assert_frame_equal(duck, expect.reset_index(drop=True))
+
+
+# --------------------------------------------------------------------------
+# nested JSON parsing (sapray.jsonx)
+# --------------------------------------------------------------------------
+
+
+def test_jsonx_nested_struct_and_list_roundtrip():
+    from sapray import jsonx
+
+    docs = [
+        '{"user": {"id": 5, "type": "x"}, "vals": [1, 2]}',
+        '{"user": {"id": 7, "type": "y"}, "vals": []}',
+        None,
+        '{"vals": [9]}',
+    ]
+    schema = pa.schema([
+        pa.field("user", pa.struct([
+            pa.field("id", pa.int64()), pa.field("type", pa.string()),
+        ])),
+        pa.field("vals", pa.list_(pa.int64())),
+    ])
+    out = jsonx.parse_json_column(pa.array(docs, pa.string()), schema)
+    assert out.num_rows == 4
+    rows = out.to_pylist()
+    assert rows[0] == {"user": {"id": 5, "type": "x"}, "vals": [1, 2]}
+    assert rows[1]["vals"] == []
+    assert rows[2] == {"user": None, "vals": None}  # null doc -> {}
+    assert rows[3]["user"] is None and rows[3]["vals"] == [9]
+
+
+def test_jsonx_large_string_and_escaped_newlines():
+    from sapray import jsonx
+
+    docs = ['{"s": "a\\nb"}', '{"s": "plain"}']  # escaped \n inside JSON
+    out = jsonx.parse_json_column(pa.array(docs, pa.large_string()))
+    assert out.column("s").to_pylist() == ["a\nb", "plain"]
+
+
+def test_jsonx_empty_column():
+    from sapray import jsonx
+
+    schema = pa.schema([pa.field("k", pa.int64())])
+    out = jsonx.parse_json_column(pa.array([], pa.string()), schema)
+    assert out.num_rows == 0 and out.schema == schema
+
+
+def test_jsonx_sliced_column_offsets():
+    """A sliced Arrow array has a non-zero buffer offset; the scatter
+    must honor it."""
+    from sapray import jsonx
+
+    arr = pa.array(['{"k": 1}', '{"k": 2}', '{"k": 3}', '{"k": 4}'])
+    out = jsonx.parse_json_column(arr.slice(1, 2))
+    assert out.column("k").to_pylist() == [2, 3]
