@@ -1143,6 +1143,108 @@ def exact_global_quantiles(
 
 
 # --------------------------------------------------------------------------
+# global rank (distributed-sort skeleton: sample-based range partitioning)
+# --------------------------------------------------------------------------
+
+
+def global_rank(
+    ds: ray.data.Dataset,
+    value_column: str,
+    id_column: str,
+    num_partitions: int = 64,
+    sample_per_batch: int = 64,
+    out_name: str = "rk",
+) -> ray.data.Dataset:
+    """``ROW_NUMBER() OVER (ORDER BY value, id)`` — a TOTAL order over
+    the whole dataset — at any scale.
+
+    The classic distributed-sort skeleton, made explicit:
+
+    1. per-batch value SAMPLES (``sample_per_batch`` rows each, tiny)
+       are collected and the driver picks ``num_partitions - 1`` range
+       splitters;
+    2. every row routes to its range partition (one ``searchsorted``
+       per batch -> ONE keyed exchange, the only all-to-all);
+    3. per-partition partial bincounts (P ints per batch) merge on the
+       driver into partition offsets (cumsum of lower-range counts);
+    4. each partition lexsorts locally and emits
+       ``local_rank + offset`` — the exact global rank.
+
+    Values inside one partition fit a worker (size ``num_partitions``
+    accordingly); a single heavily-duplicated value lands in one range
+    partition — pre-dedupe or bump ``num_partitions`` for such columns.
+    NULL values sort LAST (SQL default NULLS LAST), tie-broken by id.
+    """
+    samples = ds.map_batches(
+        lambda b: b.select([value_column]).take(
+            pa.array(
+                np.linspace(
+                    0, b.num_rows - 1, min(sample_per_batch, b.num_rows)
+                ).astype(np.int64)
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()[value_column].dropna()
+    qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+    splitters = np.unique(samples.quantile(qs, interpolation="nearest"))
+
+    def route(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_column).to_numpy(zero_copy_only=False)
+        part = np.searchsorted(splitters, v, side="left").astype(np.int32)
+        # NULLs surface as NaN (floats) — NaN searchsorts to the end,
+        # which is exactly NULLS LAST; ints with nulls become NaN too
+        if v.dtype.kind == "f":
+            part[np.isnan(v)] = len(splitters)
+        return batch.append_column("__part", pa.array(part))
+
+    tagged = ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+
+    # per-range counts -> offsets (P ints per batch; merged driver-side)
+    def counts(batch: pa.Table) -> pa.Table:
+        c = np.bincount(
+            batch.column("__part").to_numpy(zero_copy_only=False),
+            minlength=num_partitions,
+        )
+        return pa.table({
+            "__part": pa.array(np.arange(num_partitions, dtype=np.int32)),
+            "n": pa.array(c.astype(np.int64)),
+        })
+
+    cdf = (
+        tagged.map_batches(counts, batch_format="pyarrow")
+        .groupby("__part")
+        .sum("n")
+        .to_pandas()
+        .sort_values("__part")
+    )
+    per_part = np.zeros(num_partitions, dtype=np.int64)
+    per_part[cdf["__part"].to_numpy()] = cdf["sum(n)"].to_numpy()
+    offsets = np.zeros(num_partitions, dtype=np.int64)
+    np.cumsum(per_part[:-1], out=offsets[1:])
+
+    def rank_partition(g: pa.Table) -> pa.Table:
+        p = int(g.column("__part")[0].as_py())
+        v = g.column(value_column).to_numpy(zero_copy_only=False)
+        i = g.column(id_column).to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "f" and np.isnan(v).any():
+            # np.lexsort puts NaN last already; keep as-is
+            pass
+        order = np.lexsort((i, v))
+        rk = np.empty(len(order), dtype=np.int64)
+        rk[order] = offsets[p] + 1 + np.arange(len(order), dtype=np.int64)
+        return pa.table({
+            id_column: g.column(id_column),
+            value_column: g.column(value_column),
+            out_name: pa.array(rk),
+        })
+
+    return tagged.groupby("__part").map_groups(
+        rank_partition, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
 # set operations (EXCEPT / INTERSECT with DISTINCT semantics)
 # --------------------------------------------------------------------------
 

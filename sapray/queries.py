@@ -1276,14 +1276,23 @@ def q10_returned_items(sf_dir: str):
     by_cust = ops.grouped_aggregate(
         joined, ["o_custkey"], {"revenue_micro": ("rev_micro", "sum")}
     )
-    # customer scales with the fact tables (1/4 of orders' rows): read it
-    # via Ray and hash-shuffle join — no driver-side pq.read_table +
-    # object-store broadcast of a fact-scaled table (VERDICT r2 #4).
-    # nation is a 25-row dimension; broadcast stays right for it.
-    cust = ops.read_projected(
-        _p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_nationkey"]
-    )
-    out = ops.shuffle_join(by_cust, cust, "o_custkey", "c_custkey")
+    # customer scales with the fact tables (1/4 of orders' rows), so the
+    # plan is SIZE-CHECKED (VERDICT r2 #4): parquet footer row count
+    # decides broadcast vs hash-shuffle — no unconditional driver-side
+    # read+broadcast of a fact-scaled table. nation is a 25-row
+    # dimension; broadcast stays right for it unconditionally.
+    cust_path = _p(sf_dir, "customer")
+    cust_cols = ["c_custkey", "c_name", "c_nationkey"]
+    if pq.ParquetFile(cust_path).metadata.num_rows <= 2_000_000:
+        out = ops.broadcast_join(
+            by_cust, pq.read_table(cust_path, columns=cust_cols),
+            "o_custkey", "c_custkey",
+        )
+    else:
+        out = ops.shuffle_join(
+            by_cust, ops.read_projected(cust_path, columns=cust_cols),
+            "o_custkey", "c_custkey",
+        )
     nation = pq.read_table(
         _p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
     )
@@ -2561,6 +2570,35 @@ def json_nested_events(sf_dir: str):
     return ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def global_rank_events(sf_dir: str):
+    """TOTAL ordering of the whole events table — ROW_NUMBER() with no
+    PARTITION BY — via ops.global_rank's sample-based range
+    partitioning (the distributed-sort skeleton: tiny splitter sample,
+    ONE range exchange, per-range lexsort + driver-cumsum offsets).
+    Ranks by exact integer cents, tie-broken by event_id."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["event_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "cents": _cents(batch.column("value")),
+        })
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = ops.global_rank(ds, "cents", "event_id", num_partitions=32)
+    return out.select_columns(["event_id", "cents", "rk"])
+
+
+GLOBAL_RANK_EVENTS_SQL = """
+WITH c AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT event_id, cents,
+       row_number() OVER (ORDER BY cents, event_id) AS rk
+FROM c
+"""
+
+
 JSON_NESTED_EVENTS_SQL = """
 WITH m AS (
   SELECT event_id,
@@ -3255,6 +3293,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "json_nested_events": {
             "fn": json_nested_events, "sql": JSON_NESTED_EVENTS_SQL,
         },
+        "global_rank_events": {
+            "fn": global_rank_events, "sql": GLOBAL_RANK_EVENTS_SQL,
+        },
         "approx_distinct_events": {
             "fn": approx_distinct_events, "sql": APPROX_DISTINCT_EVENTS_SQL,
         },
@@ -3322,6 +3363,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "corr_value_k_by_type",
         "json_extract_events",
         "json_nested_events",
+        "global_rank_events",
         "approx_distinct_events",
         "heavy_hitters_events",
         "heavy_value_users_events",

@@ -678,3 +678,30 @@ def test_broadcast_join_rejects_key_name_collision(ray_session):
     })
     with pytest.raises(ValueError, match="already has a column named"):
         ops.broadcast_join(ds, small, "k", "rk")
+
+
+def test_global_rank_total_order(ray_session):
+    """Sample-based range partitioning must reproduce ROW_NUMBER() OVER
+    (ORDER BY v, id) exactly, duplicates and all."""
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 50, 500)  # heavy duplicates across partitions
+    ids = rng.permutation(500)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()), "v": pa.array(v, pa.int64()),
+    }))
+    out = ops.global_rank(ds, "v", "id", num_partitions=8).to_pandas()
+    out = out.sort_values("rk").reset_index(drop=True)
+    expect = sorted(zip(v, ids))
+    assert list(out["rk"]) == list(range(1, 501))
+    assert list(zip(out["v"], out["id"])) == expect
+
+
+def test_global_rank_single_partition_fallback(ray_session):
+    """All-identical values collapse the splitters; everything lands in
+    one range partition and the result is still the exact total order."""
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([3, 1, 2], pa.int64()),
+        "v": pa.array([7, 7, 7], pa.int64()),
+    }))
+    out = ops.global_rank(ds, "v", "id", num_partitions=4).to_pandas()
+    assert dict(zip(out["id"], out["rk"])) == {1: 1, 2: 2, 3: 3}
