@@ -1057,16 +1057,25 @@ def exact_global_quantiles(
     """
     if any(not (0.0 <= q <= 1.0) for q in qs):
         raise ValueError("q must be in [0, 1]")
+    lo, hi, n = _min_max_count(ds, column)
+    if n == 0:
+        raise ValueError(f"column '{column}' has no non-null values")
+    ranks = [int(np.floor(q * (n - 1))) for q in qs]
+    return _exact_select_ranks(
+        ds, column, ranks, lo, hi, n, num_buckets, collect_cap
+    )
 
-    # pass 1a: global min/max + count via tiny per-batch partials
+
+def _min_max_count(ds: ray.data.Dataset, column: str) -> tuple[float, float, int]:
+    """Global min/max + non-null non-NaN count via tiny per-batch
+    partials. NaN is not an Arrow null but is excluded from the
+    histogram and selection — exclude it from the population count too,
+    or ranks shift/overflow the buckets."""
+
     def mm(batch: pa.Table) -> pa.Table:
         col = batch.column(column)
         v = col.to_numpy(zero_copy_only=False)
         if v.dtype.kind == "f":
-            # NaN is not an Arrow null but is excluded from the
-            # histogram and pass-2 selection — exclude it from the
-            # population count too, or ranks shift/overflow the buckets.
-            # Nulls surface as NaN in to_numpy, so isnan covers both.
             n_valid = batch.num_rows - int(np.isnan(v).sum())
         else:
             n_valid = batch.num_rows - col.null_count
@@ -1079,12 +1088,25 @@ def exact_global_quantiles(
         )
 
     parts = ds.map_batches(mm, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    lo, hi, n = float(parts["mn"].min()), float(parts["mx"].max()), int(parts["n"].sum())
-    if n == 0:
-        raise ValueError(f"column '{column}' has no non-null values")
-    ranks = [int(np.floor(q * (n - 1))) for q in qs]
+    return float(parts["mn"].min()), float(parts["mx"].max()), int(parts["n"].sum())
+
+
+def _exact_select_ranks(
+    ds: ray.data.Dataset,
+    column: str,
+    ranks: list[int],
+    lo: float,
+    hi: float,
+    n: int,
+    num_buckets: int,
+    collect_cap: int,
+) -> list[float]:
+    """Exact order statistics at 0-based ``ranks`` (histogram selection
+    shared by the discrete-quantile and interpolated paths)."""
+    if any(r < 0 or r >= n for r in ranks):
+        raise ValueError(f"rank out of range for n={n}")
     if lo == hi:
-        return [lo] * len(qs)
+        return [lo] * len(ranks)
     width = (hi - lo) / num_buckets
 
     # pass 1b: per-batch histogram partials (num_buckets ints per batch)
@@ -1140,6 +1162,45 @@ def exact_global_quantiles(
             vals = kept[kept["__b"] == b][column].to_numpy()
             out.append(float(np.partition(vals, rib)[rib]))
     return out
+
+
+def quantile_cont(
+    ds: ray.data.Dataset,
+    column: str,
+    qs: list[float],
+    num_buckets: int = 4096,
+) -> list[float]:
+    """SQL ``quantile_cont`` / PERCENTILE_CONT: linear interpolation
+    between the two neighboring order statistics.
+
+    Exact selection of both neighbors via the distributed histogram
+    machinery (one extra shared scan pair, same as the discrete path),
+    then one closed-form IEEE interpolation on the driver:
+    ``lo + frac * (hi - lo)``. For integer-valued columns (< 2^51) and
+    dyadic q (0.25/0.5/0.75) the float64 result is bit-identical to
+    DuckDB's regardless of its internal formula — every term is exact.
+    """
+    lo_v, hi_v, n = _min_max_count(ds, column)
+    if n == 0:
+        raise ValueError(f"column '{column}' has no non-null values")
+    triples: list[tuple[int, int, float]] = []
+    need: set[int] = set()
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError("q must be in [0, 1]")
+        pos = q * (n - 1)
+        lo_r, hi_r = int(np.floor(pos)), int(np.ceil(pos))
+        triples.append((lo_r, hi_r, pos - np.floor(pos)))
+        need.update((lo_r, hi_r))
+    order = sorted(need)
+    vals = _exact_select_ranks(
+        ds, column, order, lo_v, hi_v, n, num_buckets, QUANTILE_COLLECT_CAP
+    )
+    by_rank = dict(zip(order, vals))
+    return [
+        by_rank[lo_r] + frac * (by_rank[hi_r] - by_rank[lo_r])
+        for lo_r, hi_r, frac in triples
+    ]
 
 
 # --------------------------------------------------------------------------

@@ -2642,6 +2642,100 @@ SELECT quantile_disc(value, 0.5) AS p50, quantile_disc(value, 0.9) AS p90 FROM e
 """
 
 
+def percentile_cont_events(sf_dir: str):
+    """PERCENTILE_CONT (interpolated quantile) at 0.25/0.5/0.75 over
+    exact integer cents — ops.quantile_cont selects both neighbor order
+    statistics with the distributed histogram machinery and interpolates
+    closed-form on the driver. Dyadic fractions x integer values < 2^51
+    make every float64 term exact, so the doubles hash-match DuckDB's
+    quantile_cont bit-for-bit (the streaming-float-aggregate rule from
+    CLAUDE.md does not bite: no accumulation, one expression)."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"cents": _cents(batch.column("value"))})
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    p25, p50, p75 = ops.quantile_cont(ds, "cents", [0.25, 0.5, 0.75])
+    return pa.table({
+        "p25": pa.array([p25], pa.float64()),
+        "p50": pa.array([p50], pa.float64()),
+        "p75": pa.array([p75], pa.float64()),
+    })
+
+
+PERCENTILE_CONT_EVENTS_SQL = """
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT quantile_cont(cents, 0.25) AS p25,
+       quantile_cont(cents, 0.50) AS p50,
+       quantile_cont(cents, 0.75) AS p75
+FROM c
+"""
+
+
+def funnel_events(sf_dir: str):
+    """Conversion-funnel analysis (click -> purchase within 1 h), the
+    product-analytics staple, as a COMPOSITION of existing operators —
+    no new primitive: clicks dedupe to one row per (user, ts)
+    (latest_by_key), purchases asof-join to the nearest preceding click
+    (one keyed exchange), a vectorized window filter keeps conversions,
+    and the partial-agg combiner counts per user. EXISTS(any click
+    within window) == check on the LATEST click <= ts, so the asof pick
+    is sufficient."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def purchases(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        return pa.table({
+            "user_id": b.column("user_id"), "t": b.column("ts"),
+            "event_id": b.column("event_id"),
+        })
+
+    def clicks(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "click"))
+        return pa.table({
+            "user_id": b.column("user_id"), "t": b.column("ts"),
+            "click_ts": b.column("ts"),
+        })
+
+    left = ds.map_batches(purchases, batch_format="pyarrow", zero_copy_batch=True)
+    right = ds.map_batches(clicks, batch_format="pyarrow", zero_copy_batch=True)
+    # one row per (user, t): click_ts == t for every duplicate, so any
+    # surviving row is equivalent — latest_by_key keeps it deterministic
+    right = ops.latest_by_key(right, ("user_id", "t"), "click_ts", num_partitions=16)
+    j = window.asof_join(left, right, key="user_id", ts_column="t")
+
+    def conversions(b: pa.Table) -> pa.Table:
+        gap = pc.subtract(b.column("t"), b.column("click_ts"))
+        keep = pc.and_kleene(
+            pc.is_valid(b.column("click_ts")),
+            pc.less_equal(gap, pa.scalar(3_600_000_000, pa.duration("us"))),
+        )
+        b = b.filter(pc.fill_null(keep, False))
+        return pa.table({"user_id": b.column("user_id")})
+
+    conv = j.map_batches(conversions, batch_format="pyarrow", zero_copy_batch=True)
+    return ops.grouped_aggregate(conv, ["user_id"], {"n_conv": (None, "count")})
+
+
+FUNNEL_EVENTS_SQL = """
+SELECT e.user_id, count(*) AS n_conv
+FROM events e
+WHERE e.event_type = 'purchase' AND EXISTS (
+  SELECT 1 FROM events c
+  WHERE c.user_id = e.user_id AND c.event_type = 'click'
+    AND c.ts <= e.ts AND e.ts - c.ts <= INTERVAL 1 HOUR
+)
+GROUP BY e.user_id
+"""
+
+
 def asof_join_events(sf_dir: str):
     """As-of join: every event picks the latest checkpoint (events with
     event_id % 5 == 0, LWW-unique per (user, ts)) at or before its own
@@ -3265,6 +3359,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "global_quantiles_events": {
             "fn": global_quantiles_events, "sql": GLOBAL_QUANTILES_EVENTS_SQL,
         },
+        "percentile_cont_events": {
+            "fn": percentile_cont_events, "sql": PERCENTILE_CONT_EVENTS_SQL,
+        },
+        "funnel_events": {"fn": funnel_events, "sql": FUNNEL_EVENTS_SQL},
         "range_join_events": {"fn": range_join_events, "sql": RANGE_JOIN_EVENTS_SQL},
         "trailing_sum_events": {
             "fn": trailing_sum_events, "sql": TRAILING_SUM_EVENTS_SQL,
@@ -3358,6 +3456,8 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "except_users",
         "intersect_users",
         "global_quantiles_events",
+        "percentile_cont_events",
+        "funnel_events",
         "range_join_events",
         "mode_event_type_by_user",
         "corr_value_k_by_type",

@@ -705,3 +705,21 @@ def test_global_rank_single_partition_fallback(ray_session):
     }))
     out = ops.global_rank(ds, "v", "id", num_partitions=4).to_pandas()
     assert dict(zip(out["id"], out["rk"])) == {1: 1, 2: 2, 3: 3}
+
+
+def test_quantile_cont_interpolates_exactly(ray_session):
+    """PERCENTILE_CONT: both neighbor order statistics selected exactly,
+    closed-form interpolation; dyadic q over ints is bit-exact vs numpy."""
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 10_000, 1001)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    qs = [0.0, 0.25, 0.5, 0.75, 1.0]
+    got = ops.quantile_cont(ds, "v", qs)
+    expect = [float(np.quantile(vals, q, method="linear")) for q in qs]
+    assert got == expect
+
+
+def test_quantile_cont_even_count_midpoint(ray_session):
+    """n=4, q=0.5 lands between ranks 1 and 2 -> exact midpoint."""
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([10, 20, 31, 40], pa.int64())}))
+    assert ops.quantile_cont(ds, "v", [0.5]) == [25.5]
