@@ -126,6 +126,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # exact similarity join (prefix filter + bitset verify; CPU-bound
         # — BASELINE.md round-2: 37.4 s at sf0.1 vs DuckDB oracle 235 s)
         "ngram_jaccard_docs",
+        # round-3 operators tracked for regressions
+        "global_rank_events",
+        "json_nested_events",
+        "percentile_cont_events",
+        "funnel_events",
     ]
     reg = Q.registry(os.path.basename(os.path.normpath(sf_dir)))
     out: dict[str, float] = {}

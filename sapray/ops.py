@@ -979,7 +979,11 @@ def _select_in_chain(
         def vc(batch: pa.Table) -> pa.Table:
             v = _filter(batch.column(column).to_numpy(zero_copy_only=False))
             u, c = np.unique(v, return_counts=True)
-            return pa.table({"v": pa.array(u), "c": pa.array(c.astype(np.int64))})
+            # float64 uniformly: a batch WITH nulls surfaces as float, one
+            # without as int — mixed block schemas otherwise (the API
+            # returns float, so no precision is lost vs the contract)
+            return pa.table({"v": pa.array(u.astype(np.float64)),
+                             "c": pa.array(c.astype(np.int64))})
 
         df = (
             ds.map_batches(vc, batch_format="pyarrow", zero_copy_batch=True)
@@ -1015,7 +1019,7 @@ def _select_in_chain(
         v = _drop_nan(batch.column(column).to_numpy(zero_copy_only=False))
         for lo_i, w_i, t_i in sub_chain:
             v = v[_bucket_of(v, lo_i, w_i, nb) == t_i]
-        return pa.table({column: pa.array(v)})
+        return pa.table({column: pa.array(v.astype(np.float64))})
 
     vals = (
         ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
@@ -1143,7 +1147,10 @@ def _exact_select_ranks(
             v = _drop_nan(batch.column(column).to_numpy(zero_copy_only=False))
             b = _bucket_of(v, lo, width, num_buckets)
             mask = np.isin(b, targets)
-            return pa.table({column: pa.array(v[mask]), "__b": pa.array(b[mask])})
+            # float64 uniformly: batches with/without nulls would emit
+            # mixed int64/float64 block schemas otherwise
+            return pa.table({column: pa.array(v[mask].astype(np.float64)),
+                             "__b": pa.array(b[mask])})
 
         kept = ds.map_batches(
             keep, batch_format="pyarrow", zero_copy_batch=True
