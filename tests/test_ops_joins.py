@@ -723,3 +723,40 @@ def test_quantile_cont_even_count_midpoint(ray_session):
     """n=4, q=0.5 lands between ranks 1 and 2 -> exact midpoint."""
     ds = ray.data.from_arrow(pa.table({"v": pa.array([10, 20, 31, 40], pa.int64())}))
     assert ops.quantile_cont(ds, "v", [0.5]) == [25.5]
+
+
+def test_ivf_persisted_index_build_and_pruned_search(ray_session, tmp_path):
+    """Persisted IVF: build writes centroids + cell-bucket-partitioned
+    vectors; search probes nearest cells only and still finds the exact
+    twin at rank 1."""
+    from sapray import similarity
+
+    rng = np.random.default_rng(5)
+    n, d = 240, 8
+    blob = rng.integers(0, 2, n)  # two far-apart blobs
+    base = np.where(blob[:, None] == 0, 10.0, -10.0) * np.eye(d)[0]
+    vecs = (base + rng.normal(0, 0.1, (n, d))).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+    idx = str(tmp_path / "ivf")
+    meta = similarity.build_ivf_index(
+        ray.data.from_arrow(t), idx, n_cells=8, n_buckets=4, sample_size=n
+    )
+    assert meta["n_buckets"] == 4
+    assert os.path.exists(os.path.join(idx, "centroids.parquet"))
+    bucket_dirs = [
+        p for p in os.listdir(os.path.join(idx, "vectors"))
+        if p.startswith("bucket=")
+    ]
+    assert len(bucket_dirs) >= 2  # really partitioned
+    # query = clone of vec 7 under a new id: its twin must be rank 1
+    q = pa.table({
+        "vec_id": pa.array([10_007], pa.int64()),
+        "embedding": pa.array([vecs[7]], pa.list_(pa.float32())),
+    })
+    out = similarity.ivf_index_topk(idx, q, k=3, nprobe=2).to_pandas()
+    r1 = out[out["rank"] == 1]
+    assert list(r1["query_id"]) == [10_007]
+    assert list(r1["neighbor_id"]) == [7]
