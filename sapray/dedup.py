@@ -905,3 +905,92 @@ def verify_pairs_cosine(
         return out.filter(pa.compute.greater_equal(out.column("cosine"), threshold))
 
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+# ------------------------------------------------ paragraph-level dedup
+
+
+def paragraph_dedup_stats(
+    ds: ray.data.Dataset,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    words_per_para: int = 10,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """CCNet/RefinedWeb-style PARAGRAPH-level dedup signals: per document,
+    how many of its paragraphs appear more than once in the corpus.
+
+    Paragraphs are fixed ``words_per_para``-word segments (the corpus has
+    no sentence separators; fixed segments keep the oracle expressible as
+    SQL list slicing). Explode is per-batch vectorized — the loop is over
+    SEGMENT POSITIONS (a handful), each one Arrow ``list_slice`` +
+    ``binary_join`` over every still-long-enough document, the ChunkDocs
+    pattern. Duplicate detection is ONE keyed exchange on the paragraph
+    STRING (value-exact, no hash-collision caveat): every copy of a
+    paragraph lands in one partition, so within-partition counts are
+    global counts; per-document partials then fold through the combiner
+    groupby. Emits (id, n_paras, n_dup_paras).
+    """
+    import pyarrow.compute as pc
+
+    from sapray import ops
+    from sapray.window import partitioned_apply
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column(text_column), pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        n = np.nan_to_num(n, nan=0).astype(np.int64)
+        ids = batch.column(id_column)
+        out_ids, out_paras = [], []
+        max_segs = int(np.ceil(n.max() / words_per_para)) if len(n) else 0
+        for j in range(max_segs):
+            start = j * words_per_para
+            has = n > start
+            if not has.any():
+                break
+            sub = pc.list_slice(
+                words.filter(pa.array(has)), start, start + words_per_para
+            )
+            out_paras.append(pc.binary_join(sub, " "))
+            out_ids.append(ids.filter(pa.array(has)))
+        if not out_ids:
+            return pa.table({
+                id_column: pa.array([], ids.type),
+                "para": pa.array([], pa.string()),
+            })
+        return pa.table({
+            id_column: pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in out_ids]
+            ),
+            "para": pa.concat_arrays(
+                [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                 for p in out_paras]
+            ),
+        })
+
+    paras = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        # all copies of each para value are in this partition: counts here
+        # ARE the global counts
+        p = g.column("para").to_numpy(zero_copy_only=False)
+        ids = g.column(id_column).to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(p, return_inverse=True, return_counts=True)
+        dup = (cnt > 1)[inv]
+        uid, uinv = np.unique(ids, return_inverse=True)
+        n_paras = np.bincount(uinv)
+        n_dup = np.bincount(uinv, weights=dup).astype(np.int64)
+        return pa.table({
+            id_column: pa.array(uid.astype(np.int64)),
+            "n_paras": pa.array(n_paras.astype(np.int64)),
+            "n_dup_paras": pa.array(n_dup),
+        })
+
+    partials = partitioned_apply(paras, "para", kernel, num_partitions)
+    return ops.grouped_aggregate(
+        partials, [id_column],
+        {"n_paras": ("n_paras", "sum"), "n_dup_paras": ("n_dup_paras", "sum")},
+    )

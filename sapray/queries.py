@@ -547,6 +547,43 @@ def ngram_jaccard_docs(sf_dir: str):
 NGRAM_JACCARD_DOCS_SQL = MINHASH_DEDUP_DOCS_SQL
 
 
+def paragraph_dedup_docs(sf_dir: str):
+    """Paragraph-level dedup signals (CCNet/RefinedWeb style) over the
+    near-dup-augmented corpus: per document, total 10-word segments and
+    how many appear elsewhere in the corpus (dedup.paragraph_dedup_stats
+    — vectorized segment explode, ONE keyed exchange on the paragraph
+    string, combiner fold). The injected near-dups share every segment
+    with their source except the perturbed tail, so the counts are
+    nontrivial and exactly SQL-checkable."""
+    out = dedup.paragraph_dedup_stats(_neardup_docs(sf_dir), words_per_para=10)
+    return out.select_columns(["doc_id", "n_paras", "n_dup_paras"])
+
+
+PARAGRAPH_DEDUP_DOCS_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' near dup tail' FROM documents
+  WHERE doc_id % 3 = 0
+), d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM aug
+), seg AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(0,
+           CAST(ceil(len(ws)/10.0) AS BIGINT) - 1)) AS g
+  FROM d
+), p AS (
+  SELECT doc_id, array_to_string(ws[g*10+1 : g*10+10], ' ') AS para FROM seg
+), f AS (
+  SELECT para, count(*) AS n FROM p GROUP BY para
+)
+SELECT p.doc_id, count(*)::BIGINT AS n_paras,
+       sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_paras
+FROM p JOIN f USING (para)
+GROUP BY p.doc_id
+"""
+
+
 def simhash_docs(sf_dir: str):
     ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=ops.actor_pool())
@@ -3409,6 +3446,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "ivf_index_topk_embeddings": {
             "fn": ivf_index_topk_embeddings, "sql": IVF_TOPK_EMBEDDINGS_SQL,
         },
+        "paragraph_dedup_docs": {
+            "fn": paragraph_dedup_docs, "sql": PARAGRAPH_DEDUP_DOCS_SQL,
+        },
         "range_join_events": {"fn": range_join_events, "sql": RANGE_JOIN_EVENTS_SQL},
         "trailing_sum_events": {
             "fn": trailing_sum_events, "sql": TRAILING_SUM_EVENTS_SQL,
@@ -3505,6 +3545,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "percentile_cont_events",
         "funnel_events",
         "ivf_index_topk_embeddings",
+        "paragraph_dedup_docs",
         "range_join_events",
         "mode_event_type_by_user",
         "corr_value_k_by_type",

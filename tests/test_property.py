@@ -545,3 +545,57 @@ def test_trailing_counts_fuzz_vs_duckdb(ray_session):
                 RANGE BETWEEN INTERVAL 1 SECOND PRECEDING AND CURRENT ROW) AS n
             FROM t ORDER BY eid""").fetch_df().set_index("eid")["n"]
         assert got.tolist() == exp.tolist(), f"trial {trial}"
+
+
+def test_global_rank_fuzz_vs_duckdb(ray_session):
+    """Randomized differential test: sample-based range-partitioned
+    global rank equals ROW_NUMBER() OVER (ORDER BY v, id) on data with
+    heavy duplicates and adversarial splitter collisions."""
+    import duckdb
+
+    from sapray import ops
+
+    rng = np.random.default_rng(47)
+    for trial in range(3):
+        n = int(rng.integers(50, 400))
+        v = rng.integers(0, 7, n)  # few distinct values: splitters collide
+        ids = rng.permutation(n)
+        t = pa.table({"id": pa.array(ids, pa.int64()),
+                      "v": pa.array(v, pa.int64())})
+        got = ops.global_rank(
+            ray.data.from_arrow(t).repartition(3), "v", "id",
+            num_partitions=int(rng.integers(2, 9)),
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute(
+            "SELECT id, v, row_number() OVER (ORDER BY v, id) AS rk FROM t "
+            "ORDER BY id"
+        ).fetch_df()
+        assert list(got["rk"]) == list(exp["rk"]), trial
+
+
+def test_quantile_cont_fuzz_vs_duckdb(ray_session):
+    """Randomized differential test: interpolated quantiles over skewed
+    integer data equal DuckDB quantile_cont at dyadic q."""
+    import duckdb
+
+    from sapray import ops
+
+    rng = np.random.default_rng(53)
+    for trial in range(3):
+        n = int(rng.integers(20, 300))
+        vals = np.concatenate([
+            np.full(n, int(rng.integers(0, 100))),  # heavy duplicate mass
+            rng.integers(0, 1000, n),
+        ])
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array(vals, pa.int64())})
+        ).repartition(3)
+        qs = [0.25, 0.5, 0.75]
+        got = ops.quantile_cont(ds, "v", qs, num_buckets=16)
+        con = duckdb.connect()
+        con.register("t", pa.table({"v": pa.array(vals, pa.int64())}).to_pandas())
+        exp = [con.execute(
+            f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0] for q in qs]
+        assert got == exp, (trial, got, exp)
