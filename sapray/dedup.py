@@ -494,6 +494,31 @@ def prefix_filtered_candidates(
     return routed.groupby("__part").map_groups(pair_kernel, batch_format="pyarrow")
 
 
+def distinct_pairs(
+    pairs: ray.data.Dataset, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Global distinct over (id_a, id_b) candidate pairs — ONE skinny
+    keyed exchange (16 B/row on id_a; every copy of a pair shares id_a so
+    all copies meet) + a per-partition lexsort unique.
+
+    Prefix filtering emits a pair once per shared prefix token (~2 dup
+    factor measured at sf0.1); deduping BEFORE the verify halves the
+    verify's text-value exchange, which ships document bodies and
+    dominates the pipeline's bytes."""
+    from sapray.window import partitioned_apply
+
+    def kernel(g: pa.Table) -> pa.Table:
+        a = g.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"id_a": pa.array(a[first]), "id_b": pa.array(b[first])})
+
+    return partitioned_apply(pairs, "id_a", kernel, num_partitions)
+
+
 def ngram_jaccard_dedup(
     ds: ray.data.Dataset,
     id_column: str = "doc_id",
@@ -510,6 +535,10 @@ def ngram_jaccard_dedup(
         ds, id_column, text_column, shingle_k, threshold,
         num_partitions=max(num_partitions, 2),
     )
+    # prefix filtering emits a pair once per shared prefix token (~2x at
+    # sf0.1); one skinny distinct exchange halves the verify's text
+    # exchange (measured 30.9 s -> 17.8 s verify at sf0.1)
+    candidates = distinct_pairs(candidates, max(num_partitions, 2))
     return verify_pairs_jaccard(
         candidates, ds, id_column, text_column, threshold, shingle_k, num_partitions
     )
