@@ -422,6 +422,70 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
+def gap_filled_hourly_events(sf_dir: str):
+    """Gap-filled (dense) hourly time series: every hour between the
+    corpus min and max appears, zero-filled where no events landed — the
+    sparse-to-dense step every downstream time-series model needs. The
+    calendar is TIME-bounded, not data-bounded (10 years = 87k hours),
+    so generating it on the driver is scale-safe; the merge with the
+    hourly aggregate runs as a distributed LEFT OUTER hash-shuffle join,
+    never a driver-side fill."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["ts"])
+
+    def hour_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"hour": pc.floor_temporal(batch.column("ts"), unit="hour")})
+
+    hours = ds.map_batches(hour_only, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ops.grouped_aggregate(hours, ["hour"], {"n": (None, "count")})
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        # the combiner groupby can round-trip timestamps to [s] once
+        # they're whole hours; the join requires matching units
+        return pa.table({
+            "hour": pc.cast(batch.column("hour"), pa.timestamp("us")),
+            "n": batch.column("n"),
+        })
+
+    agg = agg.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+    # corpus time range via tiny per-batch partials
+    mm = hours.map_batches(
+        lambda b: pa.table({
+            "mn": pa.array([pc.min(b.column("hour")).as_py()]),
+            "mx": pa.array([pc.max(b.column("hour")).as_py()]),
+        }),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lo = np.datetime64(mm["mn"].min(), "us")
+    hi = np.datetime64(mm["mx"].max(), "us")
+    step = np.timedelta64(1, "h").astype("timedelta64[us]")
+    cal = pa.table({"cal_hour": pa.array(np.arange(lo, hi + step, step))})
+    joined = ops.shuffle_join(
+        ray.data.from_arrow(cal), agg, "cal_hour", "hour", how="left"
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": batch.column("cal_hour"),
+            "n": pc.fill_null(batch.column("n"), pa.scalar(0, pa.int64())),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+GAP_FILLED_HOURLY_EVENTS_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1
+), cal AS (
+  SELECT unnest(generate_series(
+    (SELECT min(date_trunc('hour', ts)) FROM events),
+    (SELECT max(date_trunc('hour', ts)) FROM events),
+    INTERVAL 1 HOUR)) AS hour
+)
+SELECT cal.hour, coalesce(h.n, 0)::BIGINT AS n
+FROM cal LEFT JOIN h USING (hour)
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup family
 # --------------------------------------------------------------------------
@@ -3449,6 +3513,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "paragraph_dedup_docs": {
             "fn": paragraph_dedup_docs, "sql": PARAGRAPH_DEDUP_DOCS_SQL,
         },
+        "gap_filled_hourly_events": {
+            "fn": gap_filled_hourly_events, "sql": GAP_FILLED_HOURLY_EVENTS_SQL,
+        },
         "range_join_events": {"fn": range_join_events, "sql": RANGE_JOIN_EVENTS_SQL},
         "trailing_sum_events": {
             "fn": trailing_sum_events, "sql": TRAILING_SUM_EVENTS_SQL,
@@ -3546,6 +3613,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "funnel_events",
         "ivf_index_topk_embeddings",
         "paragraph_dedup_docs",
+        "gap_filled_hourly_events",
         "range_join_events",
         "mode_event_type_by_user",
         "corr_value_k_by_type",
