@@ -2519,6 +2519,98 @@ def corr_value_k_by_type(sf_dir: str):
     return sums.map_batches(finalize, batch_format="pyarrow")
 
 
+def distinct_types_by_user_events(sf_dir: str):
+    """Grouped EXACT distinct count — count(DISTINCT event_type) per
+    user — as a pure composition: distributed distinct over the pair
+    (one keyed exchange of already-batch-deduped pairs, ops.distinct),
+    then the partial-agg combiner count. The exact counterpart of
+    approx_distinct_users_by_type's HLL."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+    d = ops.distinct(ds, ["user_id", "event_type"])
+    return ops.grouped_aggregate(d, ["user_id"], {"n_types": (None, "count")})
+
+
+DISTINCT_TYPES_BY_USER_EVENTS_SQL = """
+SELECT user_id, count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def regr_slope_value_k_by_type(sf_dir: str):
+    """Grouped least-squares regression (slope + intercept of k on
+    cents) from five EXACT integer sums through the partial-agg
+    combiner, finalized with one closed-form IEEE expression mirrored
+    token-for-token in the oracle SQL — the corr_value_k_by_type recipe
+    applied to the regr_* aggregate family (streaming regr_slope() would
+    never hash-match)."""
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_type", "value", "props"]
+    )
+
+    def prods(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("value"))
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        y = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "x": x, "y": y,
+            "xy": pc.multiply(x, y),
+            "xx": pc.multiply(x, x),
+        })
+
+    sums = ops.grouped_aggregate(
+        ds.map_batches(prods, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        {"n": (None, "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+         "sxy": ("xy", "sum"), "sxx": ("xx", "sum")},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        f = {c: pc.cast(batch.column(c), pa.float64())
+             for c in ("n", "sx", "sy", "sxy", "sxx")}
+        num = pc.subtract(pc.multiply(f["n"], f["sxy"]),
+                          pc.multiply(f["sx"], f["sy"]))
+        den = pc.subtract(pc.multiply(f["n"], f["sxx"]),
+                          pc.multiply(f["sx"], f["sx"]))
+        slope = pc.if_else(
+            pc.greater(den, pa.scalar(0.0)),
+            pc.divide(num, den),
+            pa.nulls(batch.num_rows, pa.float64()),
+        )
+        intercept = pc.divide(
+            pc.subtract(f["sy"], pc.multiply(slope, f["sx"])), f["n"]
+        )
+        return pa.table({"event_type": batch.column("event_type"),
+                         "slope": slope, "intercept": intercept})
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+REGR_SLOPE_VALUE_K_BY_TYPE_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, count(*) AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx
+  FROM p GROUP BY event_type
+)
+SELECT event_type,
+       CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+            THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            ELSE NULL END AS slope,
+       (sy::DOUBLE - (CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+            THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            ELSE NULL END) * sx::DOUBLE) / n::DOUBLE AS intercept
+FROM s
+"""
+
+
 CORR_VALUE_K_BY_TYPE_SQL = """
 WITH p AS (
   SELECT event_type,
@@ -3516,6 +3608,14 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "gap_filled_hourly_events": {
             "fn": gap_filled_hourly_events, "sql": GAP_FILLED_HOURLY_EVENTS_SQL,
         },
+        "distinct_types_by_user_events": {
+            "fn": distinct_types_by_user_events,
+            "sql": DISTINCT_TYPES_BY_USER_EVENTS_SQL,
+        },
+        "regr_slope_value_k_by_type": {
+            "fn": regr_slope_value_k_by_type,
+            "sql": REGR_SLOPE_VALUE_K_BY_TYPE_SQL,
+        },
         "range_join_events": {"fn": range_join_events, "sql": RANGE_JOIN_EVENTS_SQL},
         "trailing_sum_events": {
             "fn": trailing_sum_events, "sql": TRAILING_SUM_EVENTS_SQL,
@@ -3614,6 +3714,8 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "ivf_index_topk_embeddings",
         "paragraph_dedup_docs",
         "gap_filled_hourly_events",
+        "distinct_types_by_user_events",
+        "regr_slope_value_k_by_type",
         "range_join_events",
         "mode_event_type_by_user",
         "corr_value_k_by_type",
