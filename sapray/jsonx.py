@@ -33,6 +33,13 @@ def ndjson_buffer(col: pa.Array | pa.ChunkedArray) -> pa.Buffer:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     filled = pc.fill_null(col, "{}")
+    # empty / whitespace-only docs also become {}: the NDJSON reader
+    # SKIPS blank lines, silently misaligning every later row (and a
+    # doc with an embedded raw newline can cancel the count change, so
+    # the row-count guard alone cannot catch it — review finding)
+    filled = pc.if_else(
+        pc.equal(pc.utf8_trim_whitespace(filled), ""), "{}", filled
+    )
     bin_ = pc.cast(filled, pa.large_binary())
     if isinstance(bin_, pa.ChunkedArray):
         bin_ = bin_.combine_chunks()

@@ -947,37 +947,40 @@ def _select_in_chain(
     ds: ray.data.Dataset,
     column: str,
     chain: list[tuple[float, float, int]],
-    rank: int,
+    ranks: list[int],
     nb: int,
     cap: int,
     depth: int = 0,
-) -> float:
-    """Exact order statistic among rows matching a bucket chain, without
-    ever collecting more than ``cap`` values to the driver.
+) -> list[float]:
+    """Exact order statistics (all of ``ranks``, 0-based within the
+    chain's row set) among rows matching a bucket chain, without ever
+    collecting more than ``cap`` values to the driver.
 
     ``chain`` is the membership predicate: at each level k a row's value
     must land in bucket ``t_k`` of the level's (lo_k, width_k, nb)
-    histogram. An overweight bucket recurses one level deeper (range
-    shrinks by nb per level); when the range reaches float resolution —
-    a heavy-tailed column where half the rows are one value — the
-    endgame switches to per-batch distinct (value, count) partials,
-    which are tiny inside a <=1-ulp range, and selects exactly.
-    (VERDICT r2 finding #8: the old pass 2 collected the whole target
-    bucket to the driver.)"""
+    histogram. Every rank that falls in the same overweight sub-bucket
+    recurses TOGETHER (one histogram + one recursion per sub-bucket, not
+    per rank — review finding); light sub-buckets share ONE collect
+    scan. When the range reaches float resolution — a heavy-tailed
+    column where half the rows are one value — the endgame switches to
+    per-batch distinct (value, count) partials, tiny inside a <=1-ulp
+    range. (VERDICT r2 finding #8: the old pass 2 collected the whole
+    target bucket to the driver.)"""
     lo_k, width_k, t_k = chain[-1]
     lo2 = lo_k + t_k * width_k
     width2 = width_k / nb
 
-    def _filter(v: np.ndarray) -> np.ndarray:
+    def _filter(v: np.ndarray, levels) -> np.ndarray:
         v = _drop_nan(v)
-        for lo_i, w_i, t_i in chain:
+        for lo_i, w_i, t_i in levels:
             v = v[_bucket_of(v, lo_i, w_i, nb) == t_i]
         return v
 
     if width2 <= 0 or not np.isfinite(width2) or lo2 + width2 == lo2 or depth >= 64:
-        # float-resolution endgame: exact per-value counts
+        # float-resolution endgame: exact per-value counts (once for all
+        # ranks)
         def vc(batch: pa.Table) -> pa.Table:
-            v = _filter(batch.column(column).to_numpy(zero_copy_only=False))
+            v = _filter(batch.column(column).to_numpy(zero_copy_only=False), chain)
             u, c = np.unique(v, return_counts=True)
             # float64 uniformly: a batch WITH nulls surfaces as float, one
             # without as int — mixed block schemas otherwise (the API
@@ -992,10 +995,13 @@ def _select_in_chain(
             .sum()
         )
         cum = df.cumsum().to_numpy()
-        return float(df.index.to_numpy()[int(np.searchsorted(cum, rank + 1))])
+        vals_sorted = df.index.to_numpy()
+        return [
+            float(vals_sorted[int(np.searchsorted(cum, r + 1))]) for r in ranks
+        ]
 
     def hist(batch: pa.Table) -> pa.Table:
-        v = _filter(batch.column(column).to_numpy(zero_copy_only=False))
+        v = _filter(batch.column(column).to_numpy(zero_copy_only=False), chain)
         counts = np.bincount(_bucket_of(v, lo2, width2, nb), minlength=nb)
         return pa.table({"bucket": pa.array(np.arange(nb, dtype=np.int64)),
                          "cnt": pa.array(counts)})
@@ -1009,24 +1015,41 @@ def _select_in_chain(
     )
     counts = hdf["sum(cnt)"].to_numpy()
     cum = counts.cumsum()
-    sb = int(np.searchsorted(cum, rank + 1))
-    rib = rank - (int(cum[sb - 1]) if sb else 0)
-    sub_chain = chain + [(lo2, width2, sb)]
-    if counts[sb] > cap:
-        return _select_in_chain(ds, column, sub_chain, rib, nb, cap, depth + 1)
+    out: dict[int, float] = {}
+    by_bucket: dict[int, list[int]] = {}
+    ribs: dict[int, int] = {}
+    for r in ranks:
+        sb = int(np.searchsorted(cum, r + 1))
+        ribs[r] = r - (int(cum[sb - 1]) if sb else 0)
+        by_bucket.setdefault(sb, []).append(r)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        v = _drop_nan(batch.column(column).to_numpy(zero_copy_only=False))
-        for lo_i, w_i, t_i in sub_chain:
-            v = v[_bucket_of(v, lo_i, w_i, nb) == t_i]
-        return pa.table({column: pa.array(v.astype(np.float64))})
+    light = sorted(sb for sb in by_bucket if counts[sb] <= cap)
+    if light:
+        targets = np.array(light, dtype=np.int64)
 
-    vals = (
-        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()[column]
-        .to_numpy()
-    )
-    return float(np.partition(vals, rib)[rib])
+        def keep(batch: pa.Table) -> pa.Table:
+            v = _filter(batch.column(column).to_numpy(zero_copy_only=False), chain)
+            b = _bucket_of(v, lo2, width2, nb)
+            mask = np.isin(b, targets)
+            return pa.table({column: pa.array(v[mask].astype(np.float64)),
+                             "__b": pa.array(b[mask])})
+
+        kept = ds.map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        for sb in light:
+            vals = kept[kept["__b"] == sb][column].to_numpy()
+            for r in by_bucket[sb]:
+                out[r] = float(np.partition(vals, ribs[r])[ribs[r]])
+
+    for sb in sorted(sb for sb in by_bucket if counts[sb] > cap):
+        sub = _select_in_chain(
+            ds, column, chain + [(lo2, width2, sb)],
+            [ribs[r] for r in by_bucket[sb]], nb, cap, depth + 1,
+        )
+        for r, val in zip(by_bucket[sb], sub):
+            out[r] = val
+    return [out[r] for r in ranks]
 
 
 # values collected to the driver per target bucket at most; above this
@@ -1156,15 +1179,25 @@ def _exact_select_ranks(
             keep, batch_format="pyarrow", zero_copy_batch=True
         ).to_pandas()
 
-    out: list[float] = []
-    for b, rib in zip(buckets, ranks_in_bucket):
+    # skewed buckets: recurse the histogram ONCE per bucket with every
+    # rank that landed in it (never collect the bucket)
+    heavy: dict[int, list[int]] = {}
+    for idx, (b, rib) in enumerate(zip(buckets, ranks_in_bucket)):
         if bucket_counts[b] > collect_cap:
-            # skewed bucket: recurse the histogram, never collect it
-            out.append(
-                _select_in_chain(
-                    ds, column, [(lo, width, b)], rib, num_buckets, collect_cap
-                )
-            )
+            heavy.setdefault(b, []).append(idx)
+    heavy_vals: dict[int, float] = {}
+    for b, idxs in heavy.items():
+        sub = _select_in_chain(
+            ds, column, [(lo, width, b)],
+            [ranks_in_bucket[i] for i in idxs], num_buckets, collect_cap,
+        )
+        for i, val in zip(idxs, sub):
+            heavy_vals[i] = val
+
+    out: list[float] = []
+    for idx, (b, rib) in enumerate(zip(buckets, ranks_in_bucket)):
+        if bucket_counts[b] > collect_cap:
+            out.append(heavy_vals[idx])
         else:
             vals = kept[kept["__b"] == b][column].to_numpy()
             out.append(float(np.partition(vals, rib)[rib]))
@@ -1295,9 +1328,7 @@ def global_rank(
         p = int(g.column("__part")[0].as_py())
         v = g.column(value_column).to_numpy(zero_copy_only=False)
         i = g.column(id_column).to_numpy(zero_copy_only=False)
-        if v.dtype.kind == "f" and np.isnan(v).any():
-            # np.lexsort puts NaN last already; keep as-is
-            pass
+        # NULLs surface as NaN; np.lexsort places NaN last (NULLS LAST)
         order = np.lexsort((i, v))
         rk = np.empty(len(order), dtype=np.int64)
         rk[order] = offsets[p] + 1 + np.arange(len(order), dtype=np.int64)

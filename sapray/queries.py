@@ -446,9 +446,14 @@ def gap_filled_hourly_events(sf_dir: str):
             "n": batch.column("n"),
         })
 
-    agg = agg.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
-    # corpus time range via tiny per-batch partials
-    mm = hours.map_batches(
+    # materialize the (time-bounded, tiny) aggregate ONCE: both the join
+    # and the min/max range read it — re-deriving the range from `hours`
+    # would scan and hour-floor the whole events table a second time
+    # (review finding)
+    agg = agg.map_batches(
+        to_us, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    mm = agg.map_batches(
         lambda b: pa.table({
             "mn": pa.array([pc.min(b.column("hour")).as_py()]),
             "mx": pa.array([pc.max(b.column("hour")).as_py()]),

@@ -266,7 +266,11 @@ def build_ivf_index(
                 .append_column("bucket", pa.array(cells % n_buckets))
             )
 
-    tagged = ds.map_batches(_Assign, batch_format="pyarrow", concurrency=(1, 4))
+    from sapray import ops
+
+    tagged = ds.map_batches(
+        _Assign, batch_format="pyarrow", concurrency=ops.actor_pool()
+    )
     tagged.write_parquet(
         os.path.join(index_dir, "vectors"), partition_cols=["bucket"]
     )

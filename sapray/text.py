@@ -160,11 +160,15 @@ class Fingerprint:
         shift = np.repeat(out_starts[:-1] - offsets[:-1], lens)
         src = np.arange(offsets[0], offsets[-1], dtype=np.int64)
         concat[src + shift] = data[offsets[0] : offsets[-1]]
-        wins = np.lib.stride_tricks.sliding_window_view(
-            concat.astype(np.uint64), w
-        )
-        hashes = (wins * self.pows).sum(axis=1, dtype=np.uint64)
-        H = len(hashes)  # total - w + 1
+        # accumulate over the w window positions instead of materializing
+        # an (H, w) product array — O(H) extra memory, not O(H*w): a
+        # multi-MB-document batch would otherwise allocate ~8w bytes per
+        # text byte at once (review finding)
+        concat_u64 = concat.astype(np.uint64)
+        H = total - w + 1
+        hashes = np.zeros(H, dtype=np.uint64)
+        for i in range(w):
+            hashes += concat_u64[i : i + H] * self.pows[i]
         spans = np.minimum(out_starts[1:], H) - out_starts[:-1]
         pos_within = np.arange(H, dtype=np.int64) - np.repeat(out_starts[:-1], spans)
         invalid = pos_within >= np.repeat(padded - w + 1, spans)

@@ -760,3 +760,23 @@ def test_ivf_persisted_index_build_and_pruned_search(ray_session, tmp_path):
     r1 = out[out["rank"] == 1]
     assert list(r1["query_id"]) == [10_007]
     assert list(r1["neighbor_id"]) == [7]
+
+
+def test_global_rank_nulls_last(ray_session):
+    """NULL values rank last (SQL NULLS LAST), tie-broken by id."""
+    import duckdb
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "v": pa.array([10, None, 5, None, 10, 1], pa.int64()),
+    })
+    got = ops.global_rank(
+        ray.data.from_arrow(t), "v", "id", num_partitions=3
+    ).to_pandas().sort_values("id")
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.execute(
+        "SELECT id, row_number() OVER (ORDER BY v NULLS LAST, id) AS rk "
+        "FROM t ORDER BY id"
+    ).fetch_df()
+    assert list(got["rk"]) == list(exp["rk"])

@@ -299,3 +299,19 @@ def test_jsonx_sliced_column_offsets():
     arr = pa.array(['{"k": 1}', '{"k": 2}', '{"k": 3}', '{"k": 4}'])
     out = jsonx.parse_json_column(arr.slice(1, 2))
     assert out.column("k").to_pylist() == [2, 3]
+
+
+def test_jsonx_empty_and_whitespace_docs_stay_aligned():
+    """The NDJSON reader skips blank lines; empty/whitespace docs must be
+    rewritten to {} or every later row misaligns (review finding: a doc
+    with an embedded raw newline could cancel the count change and defeat
+    the row-count guard)."""
+    from sapray import jsonx
+
+    out = jsonx.parse_json_column(
+        pa.array(['{"k": 1}', "", "  ", None, '{"k": 3}'])
+    )
+    assert out.column("k").to_pylist() == [1, None, None, None, 3]
+    # raw embedded newline is now always detected, even next to empties
+    with pytest.raises(ValueError, match="newline"):
+        jsonx.parse_json_column(pa.array(['{"k": 1}\n{"k": 99}', "", '{"k": 3}']))
