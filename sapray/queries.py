@@ -3310,6 +3310,60 @@ def incremental_view_repo_stats(sf_dir: str):
     )
 
 
+def incremental_view_minmax_stats(sf_dir: str):
+    """INCREMENTAL VIEW with MIN/MAX — the non-subtractable aggregates:
+    per-repo file count (decomposable) plus min/max content length,
+    maintained via view.py's affected-group partial re-aggregation (one
+    broadcast-filtered scan of the new state re-aggregates only groups
+    the feed touched; unaffected groups keep their base extremes). The
+    oracle recomputes from the full replay, so a stale extreme after a
+    retraction (the classic MIN/MAX IVM bug) hash-mismatches."""
+    import pyarrow.compute as pc
+
+    from sapray.view import incremental_group_view
+
+    eng, w1 = _two_commit_delta_lake(sf_dir, "lake_ivm_mm")
+
+    def prepare(ds):
+        def add_sz(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "__sz", pc.cast(pc.utf8_length(b.column("content")), pa.int64())
+            )
+
+        return ds.map_batches(add_sz, batch_format="pyarrow")
+
+    view, _ = incremental_group_view(
+        eng, "repo", {"n_files": (None, "count")}, since=w1, prepare=prepare,
+        minmax={"min_bytes": ("__sz", "min"), "max_bytes": ("__sz", "max")},
+    )
+    # pandas join arithmetic can float-ify; restore exact int64
+    for c in ("min_bytes", "max_bytes"):
+        i = view.schema.get_field_index(c)
+        view = view.set_column(
+            i, c, pc.cast(pc.round(view.column(c)), pa.int64())
+        )
+    return view
+
+
+def _incremental_view_minmax_sql(sf_name: str) -> str:
+    glob_all = os.path.join(ORACLE_TMP, sf_name, "changelog", "v*", "*.parquet")
+    return f"""
+WITH ev AS (
+  SELECT seq, op, repo, path, content
+  FROM read_parquet('{glob_all}', union_by_name=true)
+), last AS (
+  SELECT repo, path,
+         arg_max(op, seq)      AS last_op,
+         arg_max(content, seq) AS content
+  FROM ev GROUP BY repo, path
+)
+SELECT repo, count(*) AS n_files,
+       min(length(content))::BIGINT AS min_bytes,
+       max(length(content))::BIGINT AS max_bytes
+FROM last WHERE last_op <> 'D' GROUP BY repo
+"""
+
+
 def _incremental_view_sql(sf_name: str) -> str:
     glob_all = os.path.join(ORACLE_TMP, sf_name, "changelog", "v*", "*.parquet")
     return f"""
@@ -3681,6 +3735,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "incremental_view_repo_stats": {
             "fn": incremental_view_repo_stats, "sql": _incremental_view_sql(sf_name),
         },
+        "incremental_view_minmax_stats": {
+            "fn": incremental_view_minmax_stats,
+            "sql": _incremental_view_minmax_sql(sf_name),
+        },
     }
     # Queries needing round-3 driver evidence, in check priority: the CDC
     # flagship family (the engine's reason to exist — r1-green only), the
@@ -3694,6 +3752,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "cdc_time_travel",
         "cdc_change_feed",
         "incremental_view_repo_stats",
+        "incremental_view_minmax_stats",
         "pack_docs",
         "window_rank_orders",
         "lead_lag_events",

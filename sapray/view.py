@@ -24,10 +24,14 @@ never shuffled, and each side pre-aggregates per batch before the tiny
 per-group exchange (`ops.grouped_aggregate`). A cold refresh (no
 ``base_partials``) computes the base aggregate AND the retractions in
 ONE pass over the old state (masked-column partials), so the lake is
-merge-on-read-scanned exactly once. Supported aggregates are the
-self-decomposable ``count`` / ``sum`` / ``mean`` (mean via sum+count);
-groups whose row count reaches zero are dropped, matching SQL
-``GROUP BY`` over the new state.
+merge-on-read-scanned exactly once. Self-decomposable aggregates are
+``count`` / ``sum`` / ``mean`` (mean via sum+count); ``min``/``max`` —
+not subtractable (a retraction can remove the extreme) — maintain via
+the standard IVM fallback, AFFECTED-GROUP partial re-aggregation: one
+broadcast-filtered scan of the new state re-aggregates only touched
+groups, every other group keeps its base extreme. Groups whose row
+count reaches zero are dropped, matching SQL ``GROUP BY`` over the new
+state.
 
 The reference has no IVM analog (it implements no aggregations at all —
 ``SapODataSource.java`` is a source + per-record transform); this
@@ -72,7 +76,9 @@ def _decompose(spec: AggSpec) -> AggSpec:
     return out
 
 
-def _finalize(df: pd.DataFrame, spec: AggSpec, group: str) -> pa.Table:
+def _finalize(
+    df: pd.DataFrame, spec: AggSpec, group: str, minmax: AggSpec | None = None
+) -> pa.Table:
     df = df[df["__n"] > 0]
     cols: dict[str, object] = {group: df[group]}
     for name, (col, kind) in spec.items():
@@ -82,6 +88,8 @@ def _finalize(df: pd.DataFrame, spec: AggSpec, group: str) -> pa.Table:
             cols[name] = df[name]
         else:  # mean
             cols[name] = df[f"__sum_{name}"] / df["__cnt"]
+    for name in (minmax or {}):
+        cols[name] = df[f"__mm__{name}"]
     return pa.Table.from_pydict({k: pa.array(v) for k, v in cols.items()})
 
 
@@ -92,10 +100,12 @@ def _base_and_retractions(
     feed_keys: pa.Array,
     since: int,
     prepare,
+    minmax: AggSpec | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """ONE pass over state(as_of=since) producing both the base partials
     and the retraction partials: each per-row source column is summed
-    twice, once unmasked and once masked to feed-key rows."""
+    twice, once unmasked and once masked to feed-key rows. ``minmax``
+    aggregates ride the same pass as direct (unmasked) min/max columns."""
     import pyarrow.compute as pc
 
     from sapray.hashing import composite_key
@@ -107,6 +117,8 @@ def _base_and_retractions(
     for name in partials:
         sum_spec[name] = (f"__row_{name}", "sum")
         sum_spec[f"__ret__{name}"] = (f"__ret_row_{name}", "sum")
+    for name, (col, kind) in (minmax or {}).items():
+        sum_spec[f"__mm__{name}"] = (col, kind)
 
     def expand(batch: pa.Table) -> pa.Table:
         ks = _cached_broadcast(ref, lambda k: k)
@@ -129,7 +141,7 @@ def _base_and_retractions(
         ds = prepare(ds)
     ds = ds.map_batches(expand, batch_format="pyarrow")
     df = grouped_aggregate(ds, [group], sum_spec).to_pandas()
-    base = df[[group, *partials]]
+    base = df[[group, *partials, *(f"__mm__{n}" for n in (minmax or {}))]]
     ret = df[[group, *(f"__ret__{n}" for n in partials)]].rename(
         columns={f"__ret__{n}": n for n in partials}
     )
@@ -144,6 +156,7 @@ def incremental_group_view(
     until: int | None = None,
     base_partials: pd.DataFrame | None = None,
     prepare: Callable[[ray.data.Dataset], ray.data.Dataset] | None = None,
+    minmax: AggSpec | None = None,
 ) -> tuple[pa.Table, pd.DataFrame]:
     """Advance the grouped view of ``eng``'s lake from watermark
     ``since`` to ``until`` using only the change feed + one filtered
@@ -153,24 +166,41 @@ def incremental_group_view(
     group) and the count/sum partials to pass back as ``base_partials``
     on the next refresh — a chained refresh touches the OLD STATE only
     for pre-images, never to re-aggregate. When ``base_partials`` is
-    omitted, base + retractions come from a single combined pass."""
+    omitted, base + retractions come from a single combined pass.
+
+    ``minmax`` adds MIN/MAX aggregates, which are not self-decomposable
+    (a retraction can remove the extreme): they maintain via the
+    standard IVM fallback — AFFECTED-GROUP partial re-aggregation. The
+    affected set (groups touched by additions or retractions — already
+    known from the partials, no extra pass) is broadcast, and ONE
+    filtered scan of the NEW state re-aggregates min/max for those
+    groups only; every unaffected group keeps its base extreme.
+    """
     import pyarrow.compute as pc
 
     from sapray.hashing import composite_key
     from sapray.partition import lww_reduce
 
     partials = _decompose(spec)
+    mm = minmax or {}
+    for name, (col, kind) in mm.items():
+        if kind not in ("min", "max"):
+            raise ValueError(f"minmax entry {name!r} must be min or max")
+    mm_cols = [f"__mm__{n}" for n in mm]
 
-    def agg_df(ds: ray.data.Dataset) -> pd.DataFrame:
+    def agg_df(ds: ray.data.Dataset, with_mm: bool = False) -> pd.DataFrame:
         if prepare is not None:
             ds = prepare(ds)
-        return grouped_aggregate(ds, [group], partials).to_pandas()
+        s: AggSpec = dict(partials)
+        if with_mm:
+            s.update({f"__mm__{n}": (c, k) for n, (c, k) in mm.items()})
+        return grouped_aggregate(ds, [group], s).to_pandas()
 
     feed = eng.changes_table(since=since, until=until)
     if feed.num_rows == 0:
         if base_partials is None:
-            base_partials = agg_df(eng.state_dataset(as_of=since))
-        return _finalize(base_partials, spec, group), base_partials
+            base_partials = agg_df(eng.state_dataset(as_of=since), with_mm=True)
+        return _finalize(base_partials, spec, group, mm), base_partials
 
     # one row per key: only the final post-image is the key's state at
     # the window end; earlier intra-window images must not be counted
@@ -183,7 +213,7 @@ def incremental_group_view(
 
     if base_partials is None:
         base_partials, ret_df = _base_and_retractions(
-            eng, group, partials, feed_keys, since, prepare
+            eng, group, partials, feed_keys, since, prepare, mm
         )
     else:
 
@@ -200,6 +230,8 @@ def incremental_group_view(
         ret_df = agg_df(retract_ds)
 
     merged = base_partials.set_index(group)
+    base_mm = merged[mm_cols] if mm else None
+    merged = merged[list(partials)]
     numeric = list(merged.columns)
     if add_df is not None and len(add_df):
         merged = merged.add(add_df.set_index(group)[numeric], fill_value=0)
@@ -207,4 +239,44 @@ def incremental_group_view(
         merged = merged.sub(ret_df.set_index(group)[numeric], fill_value=0)
     out = merged.reset_index()
     out = out[out["__n"] > 0].reset_index(drop=True)
-    return _finalize(out, spec, group), out
+
+    if mm:
+        # affected groups: touched by an addition or a retraction — both
+        # already known from the partials, no extra pass
+        affected: set = set()
+        if add_df is not None and len(add_df):
+            affected |= set(add_df[group])
+        if len(ret_df):
+            affected |= set(ret_df[ret_df["__n"] > 0][group])
+        new_mm = None
+        if affected:
+            aref = ray.put(pa.array(sorted(affected)))
+
+            def only_affected(batch: pa.Table) -> pa.Table:
+                ks = _cached_broadcast(aref, lambda k: k)
+                return batch.filter(
+                    pc.is_in(batch.column(group), value_set=ks)
+                )
+
+            ds_new = eng.state_dataset(as_of=until)
+            if prepare is not None:
+                ds_new = prepare(ds_new)
+            ds_new = ds_new.map_batches(only_affected, batch_format="pyarrow")
+            mm_spec: AggSpec = {
+                f"__mm__{n}": (c, k) for n, (c, k) in mm.items()
+            }
+            new_mm = (
+                grouped_aggregate(ds_new, [group], mm_spec)
+                .to_pandas()
+                .set_index(group)
+            )
+        final_mm = (
+            base_mm.drop(index=[g for g in affected if g in base_mm.index])
+            if base_mm is not None
+            else pd.DataFrame(columns=mm_cols)
+        )
+        if new_mm is not None and len(new_mm):
+            final_mm = pd.concat([final_mm, new_mm])
+        out = out.set_index(group).join(final_mm).reset_index()
+
+    return _finalize(out, spec, group, mm), out

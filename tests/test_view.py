@@ -206,3 +206,75 @@ def test_unsupported_aggregate_refused(ray_session, changelog_dir, tmp_path):
         incremental_group_view(
             eng, "repo", {"m": ("size_bytes", "max")}, since=0
         )
+
+
+def _write_minmax_changelog(root: str) -> None:
+    """Commit 1: repo 'a' holds the corpus max (len 10) and min (len 1);
+    repo 'c' is untouched later. Commit 2 DELETES a's max row and
+    UPDATES a's min row longer — both of a's extremes must be
+    recomputed, while c's must survive from the base."""
+    from sapray.changelog import _events_chunk
+
+    def chunk(seqs, ops, repos, paths, contents):
+        return _events_chunk(
+            np.array(repos, dtype=object),
+            np.array(paths, dtype=object),
+            np.array(["py"] * len(seqs), dtype=object),
+            np.array(contents, dtype=object),
+            np.array(seqs, dtype=np.int64),
+            np.array(ops, dtype=object),
+            schema_ver=2,
+        )
+
+    os.makedirs(os.path.join(root, "v1"))
+    os.makedirs(os.path.join(root, "v2"))
+    pq.write_table(
+        chunk(
+            [1, 2, 3, 4],
+            ["I", "I", "I", "I"],
+            ["a", "a", "a", "c"],
+            ["max.py", "min.py", "mid.py", "only.py"],
+            ["x" * 10, "x", "xxx", "ccccc"],
+        ),
+        os.path.join(root, "v1", "chunk-0.parquet"),
+    )
+    pq.write_table(
+        chunk(
+            [5, 6],
+            ["D", "U"],
+            ["a", "a"],
+            ["max.py", "min.py"],
+            [None, "x" * 6],
+        ),
+        os.path.join(root, "v2", "chunk-0.parquet"),
+    )
+
+
+def test_minmax_view_recomputes_affected_groups(ray_session, tmp_path):
+    """The classic MIN/MAX IVM bug: after the max row is deleted and the
+    min row grows, a stale extreme would report (1, 10); the affected-
+    group re-aggregation must yield a=(3, 6) while untouched repo c
+    keeps its base (5, 5) without re-aggregation."""
+    cl = str(tmp_path / "cl")
+    os.makedirs(cl)
+    _write_minmax_changelog(cl)
+    stage1 = str(tmp_path / "stage1")
+    os.makedirs(stage1)
+    shutil.copytree(os.path.join(cl, "v1"), os.path.join(stage1, "v1"))
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(
+        CDCConfig(lake_dir=lake, num_partitions=4, sink_mode="delta", compact_every=99)
+    )
+    w1 = int(eng.apply(stage1)["watermark"])
+    eng.apply(cl)
+
+    view, _ = incremental_group_view(
+        eng, "repo", {"n_files": (None, "count")}, since=w1, prepare=_prepare,
+        minmax={"min_bytes": ("__sz", "min"), "max_bytes": ("__sz", "max")},
+    )
+    got = {
+        r["repo"]: (int(r["n_files"]), int(r["min_bytes"]), int(r["max_bytes"]))
+        for r in view.to_pylist()
+    }
+    assert got == {"a": (2, 3, 6), "c": (1, 5, 5)}
