@@ -943,6 +943,26 @@ def _drop_nan(v: np.ndarray) -> np.ndarray:
     return v[~np.isnan(v)] if v.dtype.kind == "f" else v
 
 
+def _chunks_by_cap(buckets: list[int], counts: np.ndarray, cap: int) -> list[list[int]]:
+    """Greedily group buckets so each chunk's summed row count stays
+    <= cap (single buckets are <= cap by construction) — one collect
+    scan per chunk keeps the driver's 'never more than cap values held'
+    invariant even when many ranks land in many light buckets."""
+    chunks: list[list[int]] = []
+    cur: list[int] = []
+    cur_n = 0
+    for b in buckets:
+        c = int(counts[b])
+        if cur and cur_n + c > cap:
+            chunks.append(cur)
+            cur, cur_n = [], 0
+        cur.append(b)
+        cur_n += c
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
 def _select_in_chain(
     ds: ray.data.Dataset,
     column: str,
@@ -1024,10 +1044,12 @@ def _select_in_chain(
         by_bucket.setdefault(sb, []).append(r)
 
     light = sorted(sb for sb in by_bucket if counts[sb] <= cap)
-    if light:
-        targets = np.array(light, dtype=np.int64)
+    # chunk the light buckets so each collect scan holds <= cap values
+    # on the driver, no matter how many ranks landed in light buckets
+    for chunk in _chunks_by_cap(light, counts, cap):
+        targets = np.array(chunk, dtype=np.int64)
 
-        def keep(batch: pa.Table) -> pa.Table:
+        def keep(batch: pa.Table, targets=targets) -> pa.Table:
             v = _filter(batch.column(column).to_numpy(zero_copy_only=False), chain)
             b = _bucket_of(v, lo2, width2, nb)
             mask = np.isin(b, targets)
@@ -1037,7 +1059,7 @@ def _select_in_chain(
         kept = ds.map_batches(
             keep, batch_format="pyarrow", zero_copy_batch=True
         ).to_pandas()
-        for sb in light:
+        for sb in chunk:
             vals = kept[kept["__b"] == sb][column].to_numpy()
             for r in by_bucket[sb]:
                 out[r] = float(np.partition(vals, ribs[r])[ribs[r]])
@@ -1161,12 +1183,14 @@ def _exact_select_ranks(
     light = sorted(
         {b for b in buckets if bucket_counts[b] <= collect_cap}
     )
-    targets = np.array(light, dtype=np.int64)
 
     # pass 2: collect ONLY light target buckets' values, exact selection
-    kept = None
-    if len(targets):
-        def keep(batch: pa.Table) -> pa.Table:
+    # — chunked so each scan holds <= collect_cap values on the driver
+    light_vals: dict[int, np.ndarray] = {}
+    for chunk in _chunks_by_cap(light, bucket_counts, collect_cap):
+        targets = np.array(chunk, dtype=np.int64)
+
+        def keep(batch: pa.Table, targets=targets) -> pa.Table:
             v = _drop_nan(batch.column(column).to_numpy(zero_copy_only=False))
             b = _bucket_of(v, lo, width, num_buckets)
             mask = np.isin(b, targets)
@@ -1178,6 +1202,8 @@ def _exact_select_ranks(
         kept = ds.map_batches(
             keep, batch_format="pyarrow", zero_copy_batch=True
         ).to_pandas()
+        for b in chunk:
+            light_vals[b] = kept[kept["__b"] == b][column].to_numpy()
 
     # skewed buckets: recurse the histogram ONCE per bucket with every
     # rank that landed in it (never collect the bucket)
@@ -1199,7 +1225,7 @@ def _exact_select_ranks(
         if bucket_counts[b] > collect_cap:
             out.append(heavy_vals[idx])
         else:
-            vals = kept[kept["__b"] == b][column].to_numpy()
+            vals = light_vals[b]
             out.append(float(np.partition(vals, rib)[rib]))
     return out
 

@@ -174,7 +174,11 @@ def incremental_group_view(
     affected set (groups touched by additions or retractions — already
     known from the partials, no extra pass) is broadcast, and ONE
     filtered scan of the NEW state re-aggregates min/max for those
-    groups only; every unaffected group keeps its base extreme.
+    groups only; every unaffected group keeps its base extreme. The
+    filter runs on the RAW state (before ``prepare``) so the derived-
+    column work only touches the affected slice — therefore ``prepare``
+    must not create or transform the GROUP column; it may only add
+    derived value columns.
     """
     import pyarrow.compute as pc
 
@@ -250,18 +254,35 @@ def incremental_group_view(
             affected |= set(ret_df[ret_df["__n"] > 0][group])
         new_mm = None
         if affected:
-            aref = ray.put(pa.array(sorted(affected)))
+            # Ray's groupby keeps NULL group keys: None must not reach
+            # sorted()/is_in (is_in never matches null) — route the null
+            # group through an explicit is_null branch instead of
+            # silently keeping a stale extreme (review finding)
+            def _is_null_key(g) -> bool:
+                return g is None or (isinstance(g, float) and np.isnan(g))
+
+            null_affected = any(_is_null_key(g) for g in affected)
+            non_null = [g for g in affected if not _is_null_key(g)]
+            aref = ray.put(pa.array(sorted(non_null))) if non_null else None
 
             def only_affected(batch: pa.Table) -> pa.Table:
-                ks = _cached_broadcast(aref, lambda k: k)
-                return batch.filter(
-                    pc.is_in(batch.column(group), value_set=ks)
-                )
+                col = batch.column(group)
+                if aref is not None:
+                    ks = _cached_broadcast(aref, lambda k: k)
+                    m = pc.is_in(col, value_set=ks)
+                    if null_affected:
+                        m = pc.or_kleene(m, pc.is_null(col))
+                else:  # only the null group was touched
+                    m = pc.is_null(col)
+                return batch.filter(pc.fill_null(m, False))
 
-            ds_new = eng.state_dataset(as_of=until)
+            # filter BEFORE prepare: the derived-column work must run
+            # over the affected slice, not the whole lake (review finding)
+            ds_new = eng.state_dataset(as_of=until).map_batches(
+                only_affected, batch_format="pyarrow"
+            )
             if prepare is not None:
                 ds_new = prepare(ds_new)
-            ds_new = ds_new.map_batches(only_affected, batch_format="pyarrow")
             mm_spec: AggSpec = {
                 f"__mm__{n}": (c, k) for n, (c, k) in mm.items()
             }
@@ -270,10 +291,8 @@ def incremental_group_view(
                 .to_pandas()
                 .set_index(group)
             )
-        final_mm = (
-            base_mm.drop(index=[g for g in affected if g in base_mm.index])
-            if base_mm is not None
-            else pd.DataFrame(columns=mm_cols)
+        final_mm = base_mm.drop(
+            index=[g for g in affected if g in base_mm.index]
         )
         if new_mm is not None and len(new_mm):
             final_mm = pd.concat([final_mm, new_mm])

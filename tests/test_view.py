@@ -278,3 +278,54 @@ def test_minmax_view_recomputes_affected_groups(ray_session, tmp_path):
         for r in view.to_pylist()
     }
     assert got == {"a": (2, 3, 6), "c": (1, 5, 5)}
+
+
+class _StubEng:
+    """Minimal engine facade for exercising view logic directly."""
+
+    def __init__(self, old: pa.Table, new: pa.Table, feed: pa.Table):
+        self._old, self._new, self._feed = old, new, feed
+
+        class Cfg:
+            key_columns = ("path",)
+            seq_column = "seq"
+
+        self.cfg = Cfg()
+
+    def changes_table(self, since, until=None):
+        return self._feed
+
+    def state_dataset(self, as_of=None):
+        import ray
+
+        return ray.data.from_arrow(self._old if as_of is not None else self._new)
+
+
+def test_minmax_view_null_group_key(ray_session):
+    """A NULL group key must neither crash the affected-set broadcast
+    (sorted() over None raises) nor keep a stale extreme — the null
+    group routes through an explicit is_null branch (review finding)."""
+    old = pa.table({
+        "path": pa.array(["a", "b", "c"]),
+        "g": pa.array([None, None, "py"], pa.string()),
+        "sz": pa.array([9, 2, 3], pa.int64()),
+    })
+    # feed deletes path 'a' (the null group's max row)
+    feed = pa.table({
+        "path": pa.array(["a"]),
+        "g": pa.array([None], pa.string()),
+        "sz": pa.array([None], pa.int64()),
+        "seq": pa.array([4], pa.int64()),
+        "change_op": pa.array(["D"]),
+    })
+    new = pa.table({
+        "path": pa.array(["b", "c"]),
+        "g": pa.array([None, "py"], pa.string()),
+        "sz": pa.array([2, 3], pa.int64()),
+    })
+    view, _ = incremental_group_view(
+        _StubEng(old, new, feed), "g", {"n": (None, "count")}, since=1,
+        minmax={"max_sz": ("sz", "max")},
+    )
+    got = {r["g"]: (int(r["n"]), int(r["max_sz"])) for r in view.to_pylist()}
+    assert got == {None: (1, 2), "py": (1, 3)}
