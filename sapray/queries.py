@@ -2131,6 +2131,36 @@ FROM events GROUP BY user_id
 """
 
 
+def median_cont_value_by_user(sf_dir: str):
+    """Per-key INTERPOLATED median (PERCENTILE_CONT 0.5) over exact
+    integer cents — window.grouped_quantile_cont: the grouped_quantile
+    sweep with two neighbor gathers + closed-form interpolation. Dyadic
+    q x integer values keeps the doubles bit-exact vs DuckDB."""
+    from sapray import window
+
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "cents": _cents(batch.column("value")),
+        })
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return window.grouped_quantile_cont(
+        ds, "user_id", "cents", 0.5, out_name="median_cents"
+    )
+
+
+MEDIAN_CONT_VALUE_BY_USER_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT user_id, quantile_cont(cents, 0.5) AS median_cents
+FROM c GROUP BY user_id
+"""
+
+
 def _typed_user_hours(sf_dir: str, event_type: str):
     """Distinct (user_id, hour) buckets holding events of one type."""
     ds = ops.read_projected(
@@ -3648,6 +3678,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "asof_join_events": {"fn": asof_join_events, "sql": ASOF_JOIN_EVENTS_SQL},
         "median_value_by_user": {
             "fn": median_value_by_user, "sql": MEDIAN_VALUE_BY_USER_SQL,
+        },
+        "median_cont_value_by_user": {
+            "fn": median_cont_value_by_user, "sql": MEDIAN_CONT_VALUE_BY_USER_SQL,
         },
         "except_users": {"fn": except_users, "sql": EXCEPT_USERS_SQL},
         "intersect_users": {"fn": intersect_users, "sql": INTERSECT_USERS_SQL},

@@ -461,6 +461,51 @@ def grouped_quantile(
     return partitioned_apply(ds, key, kernel, num_partitions)
 
 
+def grouped_quantile_cont(
+    ds: ray.data.Dataset,
+    key: str,
+    value_column: str,
+    q: float,
+    out_name: str = "quantile",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Interpolated quantile per key (``quantile_cont`` / SQL
+    PERCENTILE_CONT semantics: ``lo + frac * (hi - lo)`` between the two
+    neighboring order statistics at position ``q * (n-1)``).
+
+    Same one-exchange vectorized sweep as :func:`grouped_quantile`, with
+    TWO gathers (floor and ceil neighbors) and one closed-form IEEE
+    interpolation — for integer values < 2^51 and dyadic q the doubles
+    hash-match DuckDB's quantile_cont bit-exactly."""
+    if not (0.0 <= q <= 1.0):
+        raise ValueError("q must be in [0, 1]")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        codes = _key_codes(t, key)
+        vals = t.column(value_column).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((vals, codes))
+        codes_s = codes[idx]
+        starts = _run_starts(codes_s)
+        ends = np.concatenate([starts[1:], [len(codes_s)]])
+        pos = q * (ends - starts - 1)
+        lo_sel = starts + np.floor(pos).astype(np.int64)
+        hi_sel = starts + np.ceil(pos).astype(np.int64)
+        frac = pos - np.floor(pos)
+        lo_v = pc.cast(
+            t.column(value_column).take(pa.array(idx[lo_sel])), pa.float64()
+        ).to_numpy(zero_copy_only=False)
+        hi_v = pc.cast(
+            t.column(value_column).take(pa.array(idx[hi_sel])), pa.float64()
+        ).to_numpy(zero_copy_only=False)
+        out = lo_v + frac * (hi_v - lo_v)
+        keys_out = t.column(key).take(pa.array(idx[starts]))
+        return pa.table({key: keys_out, out_name: pa.array(out)})
+
+    return partitioned_apply(ds, key, kernel, num_partitions)
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

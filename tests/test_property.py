@@ -599,3 +599,76 @@ def test_quantile_cont_fuzz_vs_duckdb(ray_session):
         exp = [con.execute(
             f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0] for q in qs]
         assert got == exp, (trial, got, exp)
+
+
+def test_grouped_quantile_cont_fuzz_vs_duckdb(ray_session):
+    """Per-key interpolated quantiles over random skewed integers equal
+    DuckDB quantile_cont at q=0.5 (dyadic -> bit-exact)."""
+    import duckdb
+
+    from sapray import window
+
+    rng = np.random.default_rng(61)
+    for trial in range(3):
+        n = int(rng.integers(30, 300))
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 8, n), pa.int64()),
+            "v": pa.array(rng.integers(-50, 50, n), pa.int64()),
+        })
+        got = window.grouped_quantile_cont(
+            ray.data.from_arrow(t).repartition(3), "k", "v", 0.5,
+            out_name="m", num_partitions=3,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute(
+            "SELECT k, quantile_cont(v, 0.5) AS m FROM t GROUP BY k ORDER BY k"
+        ).fetch_df()
+        assert list(got["k"]) == list(exp["k"]), trial
+        assert list(got["m"]) == list(exp["m"]), trial
+
+
+def test_funnel_composition_fuzz_vs_duckdb(ray_session):
+    """The asof-join funnel composition equals SQL EXISTS-within-window
+    over random interleaved click/purchase streams with ties."""
+    import duckdb
+    import pandas as pd
+
+    from sapray import ops, window
+
+    rng = np.random.default_rng(67)
+    for trial in range(3):
+        n = int(rng.integers(40, 200))
+        ts = rng.integers(0, 5000, n)  # seconds; 1h window = 3600
+        t = pa.table({
+            "user_id": pa.array(rng.integers(0, 6, n), pa.int64()),
+            "et": pa.array(
+                np.where(rng.random(n) < 0.5, "click", "purchase")),
+            "ts": pa.array(ts, pa.int64()),
+        })
+        left = ray.data.from_arrow(t).map_batches(
+            lambda b: pa.table({
+                "user_id": b.filter(pa.compute.equal(b.column("et"), "purchase")).column("user_id"),
+                "t": b.filter(pa.compute.equal(b.column("et"), "purchase")).column("ts"),
+            }), batch_format="pyarrow")
+        right = ray.data.from_arrow(t).map_batches(
+            lambda b: pa.table({
+                "user_id": b.filter(pa.compute.equal(b.column("et"), "click")).column("user_id"),
+                "t": b.filter(pa.compute.equal(b.column("et"), "click")).column("ts"),
+                "click_ts": b.filter(pa.compute.equal(b.column("et"), "click")).column("ts"),
+            }), batch_format="pyarrow")
+        right = ops.latest_by_key(right, ("user_id", "t"), "click_ts", num_partitions=4)
+        j = window.asof_join(left, right, key="user_id", ts_column="t",
+                             num_partitions=4).to_pandas()
+        conv = j[(~j["click_ts"].isna()) & (j["t"] - j["click_ts"] <= 3600)]
+        got = conv.groupby("user_id").size().to_dict()
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute("""
+            SELECT e.user_id, count(*) AS n FROM t e
+            WHERE e.et='purchase' AND EXISTS (
+              SELECT 1 FROM t c WHERE c.user_id=e.user_id AND c.et='click'
+                AND c.ts <= e.ts AND e.ts - c.ts <= 3600)
+            GROUP BY e.user_id
+        """).fetch_df()
+        assert got == dict(zip(exp["user_id"], exp["n"])), trial
