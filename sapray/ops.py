@@ -1269,6 +1269,35 @@ def quantile_cont(
     ]
 
 
+def unpivot(
+    ds: ray.data.Dataset,
+    id_columns: list[str],
+    value_columns: list[str],
+    name_column: str = "name",
+    value_column: str = "value",
+    value_type: pa.DataType | None = None,
+) -> ray.data.Dataset:
+    """UNPIVOT / melt: wide value columns -> (id..., name, value) rows.
+
+    Pure per-batch reshape (rows out = rows in x len(value_columns)),
+    no exchange: the loop is over COLUMNS (a handful), each emission a
+    zero-copy column reference plus one constant-name column."""
+    vt = value_type or pa.int64()
+
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_columns:
+            cols = {k: batch.column(k) for k in id_columns}
+            cols[name_column] = pa.DictionaryArray.from_arrays(
+                np.zeros(batch.num_rows, dtype=np.int32), pa.array([c])
+            ).cast(pa.string())
+            cols[value_column] = pc.cast(batch.column(c), vt)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --------------------------------------------------------------------------
 # global rank (distributed-sort skeleton: sample-based range partitioning)
 # --------------------------------------------------------------------------

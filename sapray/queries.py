@@ -2054,6 +2054,78 @@ FROM events
 """
 
 
+def rows_window_events(sf_dir: str):
+    """Fixed-ROW-count window frame: SUM(cents) OVER (PARTITION BY user
+    ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) —
+    window.rows_window_sum, the ROWS twin of the RANGE windowed_agg
+    (cumsum minus its k-shifted self, clamped at key-run starts)."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "cents": _cents(batch.column("value")),
+        })
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = window.rows_window_sum(
+        ds, "user_id", "ts", "event_id", "cents", preceding=3,
+        out_name="sum_last4",
+    )
+    return out.select_columns(["event_id", "user_id", "sum_last4"])
+
+
+ROWS_WINDOW_EVENTS_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       (sum(cents) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+       ))::BIGINT AS sum_last4
+FROM c
+"""
+
+
+def unpivot_events(sf_dir: str):
+    """UNPIVOT / melt: the per-user pivot's wide event-type counts back
+    to (user_id, metric, n) rows — ops.unpivot, a pure per-batch reshape
+    with zero-copy column references, no exchange."""
+    wide = pivot_events(sf_dir)
+    out = ops.unpivot(
+        wide, ["user_id"], [f"{t}_n" for t in _EVENT_TYPES],
+        name_column="metric", value_column="n",
+    )
+    return out.select_columns(["user_id", "metric", "n"])
+
+
+UNPIVOT_EVENTS_SQL = """
+WITH p AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS click_n,
+         sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS error_n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase_n,
+         sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS signup_n,
+         sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT AS view_n
+  FROM events GROUP BY user_id
+)
+SELECT user_id, 'click_n' AS metric, click_n AS n FROM p
+UNION ALL SELECT user_id, 'error_n', error_n FROM p
+UNION ALL SELECT user_id, 'purchase_n', purchase_n FROM p
+UNION ALL SELECT user_id, 'signup_n', signup_n FROM p
+UNION ALL SELECT user_id, 'view_n', view_n FROM p
+"""
+
+
 def sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user session
     count — one shuffle + one vectorized reduceat per partition
@@ -3682,6 +3754,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "median_cont_value_by_user": {
             "fn": median_cont_value_by_user, "sql": MEDIAN_CONT_VALUE_BY_USER_SQL,
         },
+        "rows_window_events": {
+            "fn": rows_window_events, "sql": ROWS_WINDOW_EVENTS_SQL,
+        },
+        "unpivot_events": {"fn": unpivot_events, "sql": UNPIVOT_EVENTS_SQL},
         "except_users": {"fn": except_users, "sql": EXCEPT_USERS_SQL},
         "intersect_users": {"fn": intersect_users, "sql": INTERSECT_USERS_SQL},
         "global_quantiles_events": {

@@ -670,6 +670,48 @@ def running_sum(
     return partitioned_apply(ds, key, kernel, num_partitions)
 
 
+def rows_window_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    order_column: str,
+    tiebreak_column: str,
+    value_column: str,
+    preceding: int,
+    out_name: str = "rows_sum",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """SUM(value) OVER (PARTITION BY key ORDER BY order, tiebreak ROWS
+    BETWEEN ``preceding`` PRECEDING AND CURRENT ROW) — the fixed-ROW-count
+    frame (the RANGE twin is ``windowed_agg``): one cumsum minus its
+    k-shifted self per partition, clamped at each key run's start.
+    Integral values only (exact int64 prefix sums)."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        ov = t.column(order_column).to_numpy(zero_copy_only=False)
+        tie = t.column(tiebreak_column).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((tie, ov, codes))
+        t = t.take(pa.array(idx))
+        codes = codes[idx]
+        n = len(codes)
+        if n == 0:
+            return t.append_column(out_name, pa.array([], pa.int64()))
+        v = t.column(value_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        csum = np.cumsum(v)
+        starts = _run_starts(codes)
+        pos = np.arange(n, dtype=np.int64)
+        run_start = starts[np.searchsorted(starts, pos, side="right") - 1]
+        # frame start = max(run_start, pos - preceding); sum = csum[pos]
+        # - csum[start-1] (0 before the partition's first row)
+        frame_start = np.maximum(run_start, pos - preceding)
+        before = np.where(frame_start > 0, csum[frame_start - 1], 0)
+        # a frame starting at the global row 0 must subtract nothing
+        before = np.where(frame_start == 0, 0, before)
+        return t.append_column(out_name, pa.array(csum - before))
+
+    return partitioned_apply(ds, key, kernel, num_partitions)
+
+
 def trailing_counts(
     ds: ray.data.Dataset,
     key: str,
