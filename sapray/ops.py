@@ -1281,16 +1281,24 @@ def unpivot(
 
     Pure per-batch reshape (rows out = rows in x len(value_columns)),
     no exchange: the loop is over COLUMNS (a handful), each emission a
-    zero-copy column reference plus one constant-name column."""
+    zero-copy id-column reference plus one constant-name column
+    (``pa.repeat``, C++-materialized)."""
+    if not value_columns:
+        raise ValueError("unpivot: value_columns must be non-empty")
+    taken = set(id_columns) | set(value_columns)
+    for out_col in (name_column, value_column):
+        if out_col in taken:
+            raise ValueError(
+                f"unpivot: output column {out_col!r} collides with an "
+                "input column; rename it (silent overwrite otherwise)"
+            )
     vt = value_type or pa.int64()
 
     def melt(batch: pa.Table) -> pa.Table:
         parts = []
         for c in value_columns:
             cols = {k: batch.column(k) for k in id_columns}
-            cols[name_column] = pa.DictionaryArray.from_arrays(
-                np.zeros(batch.num_rows, dtype=np.int32), pa.array([c])
-            ).cast(pa.string())
+            cols[name_column] = pa.repeat(pa.scalar(c), batch.num_rows)
             cols[value_column] = pc.cast(batch.column(c), vt)
             parts.append(pa.table(cols))
         return pa.concat_tables(parts)

@@ -476,7 +476,10 @@ def grouped_quantile_cont(
     Same one-exchange vectorized sweep as :func:`grouped_quantile`, with
     TWO gathers (floor and ceil neighbors) and one closed-form IEEE
     interpolation — for integer values < 2^51 and dyadic q the doubles
-    hash-match DuckDB's quantile_cont bit-exactly."""
+    hash-match DuckDB's quantile_cont bit-exactly. NULL values are
+    ignored per SQL aggregate semantics (they would otherwise sort last
+    and shift the selected ranks — review finding); a group whose values
+    are ALL null yields a NULL quantile, like SQL GROUP BY."""
     if not (0.0 <= q <= 1.0):
         raise ValueError("q must be in [0, 1]")
 
@@ -485,7 +488,19 @@ def grouped_quantile_cont(
 
         codes = _key_codes(t, key)
         vals = t.column(value_column).to_numpy(zero_copy_only=False)
-        idx = np.lexsort((vals, codes))
+        valid = ~np.isnan(vals) if vals.dtype.kind == "f" else np.ones(
+            len(vals), dtype=bool
+        )
+        # group roster from ALL rows (a group of only-null values must
+        # still appear, with a NULL quantile)
+        all_idx = np.lexsort((codes,))
+        roster_starts = _run_starts(codes[all_idx])
+        roster_keys = t.column(key).take(pa.array(all_idx[roster_starts]))
+        roster_codes = codes[all_idx][roster_starts]
+
+        vidx = np.nonzero(valid)[0]
+        sub_codes = codes[vidx]
+        idx = vidx[np.lexsort((vals[vidx], sub_codes))]
         codes_s = codes[idx]
         starts = _run_starts(codes_s)
         ends = np.concatenate([starts[1:], [len(codes_s)]])
@@ -499,9 +514,21 @@ def grouped_quantile_cont(
         hi_v = pc.cast(
             t.column(value_column).take(pa.array(idx[hi_sel])), pa.float64()
         ).to_numpy(zero_copy_only=False)
-        out = lo_v + frac * (hi_v - lo_v)
-        keys_out = t.column(key).take(pa.array(idx[starts]))
-        return pa.table({key: keys_out, out_name: pa.array(out)})
+        qvals = lo_v + frac * (hi_v - lo_v)
+        have = codes_s[starts]  # ascending (lexsort output)
+        pos_in = np.searchsorted(have, roster_codes)
+        safe = np.minimum(pos_in, max(len(have) - 1, 0))
+        found = (
+            (pos_in < len(have)) & (have[safe] == roster_codes)
+            if len(have)
+            else np.zeros(len(roster_codes), dtype=bool)
+        )
+        out = np.full(len(roster_codes), np.nan)
+        out[found] = qvals[pos_in[found]]
+        return pa.table({
+            key: roster_keys,
+            out_name: pa.array(out, pa.float64(), from_pandas=True),
+        })
 
     return partitioned_apply(ds, key, kernel, num_partitions)
 
@@ -684,7 +711,13 @@ def rows_window_sum(
     BETWEEN ``preceding`` PRECEDING AND CURRENT ROW) — the fixed-ROW-count
     frame (the RANGE twin is ``windowed_agg``): one cumsum minus its
     k-shifted self per partition, clamped at each key run's start.
-    Integral values only (exact int64 prefix sums)."""
+    Integral values only (exact int64 prefix sums, values < 2^53 when
+    the column is nullable — nulls surface through float64). NULL values
+    contribute nothing, and a frame of only NULLs yields NULL — SQL SUM
+    semantics (a raw astype would turn NaN into INT64_MIN and poison
+    every later frame in the partition — review finding)."""
+    if preceding < 0:
+        raise ValueError("preceding must be >= 0")
 
     def kernel(t: pa.Table) -> pa.Table:
         codes = _key_codes(t, key)
@@ -696,18 +729,25 @@ def rows_window_sum(
         n = len(codes)
         if n == 0:
             return t.append_column(out_name, pa.array([], pa.int64()))
-        v = t.column(value_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = t.column(value_column).to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(raw) if raw.dtype.kind == "f" else np.ones(n, bool)
+        v = np.where(valid, raw, 0).astype(np.int64)
         csum = np.cumsum(v)
+        vcnt = np.cumsum(valid.astype(np.int64))
         starts = _run_starts(codes)
         pos = np.arange(n, dtype=np.int64)
         run_start = starts[np.searchsorted(starts, pos, side="right") - 1]
         # frame start = max(run_start, pos - preceding); sum = csum[pos]
-        # - csum[start-1] (0 before the partition's first row)
+        # - csum[start-1] (np.where already yields 0 at frame_start == 0)
         frame_start = np.maximum(run_start, pos - preceding)
         before = np.where(frame_start > 0, csum[frame_start - 1], 0)
-        # a frame starting at the global row 0 must subtract nothing
-        before = np.where(frame_start == 0, 0, before)
-        return t.append_column(out_name, pa.array(csum - before))
+        n_before = np.where(frame_start > 0, vcnt[frame_start - 1], 0)
+        sums = csum - before
+        frame_valid = vcnt - n_before
+        # all-NULL frame -> NULL via a validity mask (no float round trip
+        # — int64 exactness survives above 2^53 on the no-null path)
+        arr = pa.array(sums, pa.int64(), mask=frame_valid == 0)
+        return t.append_column(out_name, arr)
 
     return partitioned_apply(ds, key, kernel, num_partitions)
 

@@ -780,3 +780,58 @@ def test_global_rank_nulls_last(ray_session):
         "FROM t ORDER BY id"
     ).fetch_df()
     assert list(got["rk"]) == list(exp["rk"])
+
+
+def test_grouped_quantile_cont_ignores_nulls(ray_session):
+    """SQL quantile_cont ignores NULLs; an all-null group still appears
+    with a NULL quantile (review finding: NaN sorted into the selection
+    and shifted ranks)."""
+    from sapray import window
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "v": pa.array([10, None, 20, None, None], pa.int64()),
+    })
+    out = window.grouped_quantile_cont(
+        ray.data.from_arrow(t), "k", "v", 0.5, out_name="m", num_partitions=2
+    ).to_pandas().set_index("k")["m"]
+    assert out[1] == 15.0  # DuckDB: quantile_cont ignores the NULL
+    assert np.isnan(out[2])  # all-null group -> NULL, group still present
+
+
+def test_rows_window_sum_null_values(ray_session):
+    """SUM over a ROWS frame skips NULLs; an all-NULL frame is NULL (a
+    raw astype turned NaN into INT64_MIN and poisoned later frames —
+    review finding)."""
+    from sapray import window
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "o": pa.array([1, 2, 3, 1], pa.int64()),
+        "i": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([5, None, 7, None], pa.int64()),
+    })
+    out = window.rows_window_sum(
+        ray.data.from_arrow(t), "k", "o", "i", "v", preceding=1,
+        out_name="s", num_partitions=2,
+    ).to_pandas().set_index("i")["s"]
+    assert out[1] == 5       # frame [5]
+    assert out[2] == 5       # frame [5, NULL] -> 5
+    assert out[3] == 7       # frame [NULL, 7] -> 7
+    assert np.isnan(out[4])  # frame [NULL] -> NULL
+    with pytest.raises(ValueError, match="preceding"):
+        window.rows_window_sum(
+            ray.data.from_arrow(t), "k", "o", "i", "v", preceding=-1
+        )
+
+
+def test_unpivot_rejects_collisions_and_empty(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1], pa.int64()), "a": pa.array([2], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="non-empty"):
+        ops.unpivot(ds, ["id"], [])
+    with pytest.raises(ValueError, match="collides"):
+        ops.unpivot(ds, ["id"], ["a"], name_column="id")
+    with pytest.raises(ValueError, match="collides"):
+        ops.unpivot(ds, ["id"], ["a"], value_column="a")
