@@ -561,7 +561,7 @@ def minhash_dedup_docs(sf_dir: str):
     aug = _neardup_docs(sf_dir)
     # distinct_pairs=False: the verify's reunite dedups structurally,
     # saving the candidate-distinct all-to-all
-    pairs = dedup.minhash_lsh_candidates(aug, concurrency=2, distinct_pairs=False)
+    pairs = dedup.minhash_lsh_candidates(aug, concurrency=ops.actor_pool()[1], distinct_pairs=False)
     verified = dedup.verify_pairs_jaccard(
         pairs, _neardup_docs(sf_dir), threshold=0.8
     )
@@ -1545,7 +1545,7 @@ def ann_topk_embeddings(sf_dir: str):
     emb = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     queries = emb.filter(pc.less(emb.column("vec_id"), 5))
     ds = ops.read_projected(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    return similarity.brute_force_topk(ds, queries, k=10, concurrency=2)
+    return similarity.brute_force_topk(ds, queries, k=10, concurrency=ops.actor_pool()[1])
 
 
 ANN_TOPK_EMBEDDINGS_SQL = """
@@ -1592,7 +1592,7 @@ def ivf_topk_embeddings(sf_dir: str):
         )
 
     aug = base.union(dups.map_batches(shift, batch_format="pyarrow"))
-    out = similarity.ivf_topk(aug, queries, k=10, nprobe=4, concurrency=2)
+    out = similarity.ivf_topk(aug, queries, k=10, nprobe=4, concurrency=ops.actor_pool()[1])
 
     def top1(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch.column("rank"), 1))
@@ -1641,7 +1641,7 @@ def ivf_index_topk_embeddings(sf_dir: str):
     )
     _sh.rmtree(index_dir, ignore_errors=True)
     similarity.build_ivf_index(aug, index_dir)
-    out = similarity.ivf_index_topk(index_dir, qs, k=10, nprobe=4, concurrency=2)
+    out = similarity.ivf_index_topk(index_dir, qs, k=10, nprobe=4, concurrency=ops.actor_pool()[1])
 
     def top1(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch.column("rank"), 1))
@@ -1694,7 +1694,7 @@ def media_features(sf_dir: str):
     from sapray import multimodal
 
     ds = ray.data.from_arrow(multimodal.synth_media_table(64))
-    out = multimodal.extract_media_features(ds, batch_size=16, concurrency=2)
+    out = multimodal.extract_media_features(ds, batch_size=16, concurrency=ops.actor_pool()[1])
     return out.select_columns(
         ["media_id", "content_type", "n_bytes", "width", "height",
          "sample_rate", "n_samples"]
