@@ -1466,6 +1466,87 @@ def _set_op(
     return tagged.groupby("__part").map_groups(kernel, batch_format="pyarrow")
 
 
+def _set_op_all(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    columns: list[str],
+    mode: str,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Bag-semantics set operation (EXCEPT ALL / INTERSECT ALL): per-key
+    multiplicities pre-aggregate PER BATCH (only (key, count) rows enter
+    the one keyed exchange), then each partition computes
+    ``max(l - r, 0)`` / ``min(l, r)`` per key and emits that many copies
+    — vectorized np.repeat, no per-key Python. NULL key components
+    compare equal (one dictionary code), like the DISTINCT variants."""
+    from sapray.hashing import hash_key
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            b = batch.select(columns).group_by(columns).aggregate(
+                [([], "count_all")]
+            )
+            kh = hash_key(b, tuple(columns))
+            part = (kh % np.uint64(num_partitions)).astype(np.int32)
+            return (
+                b.append_column(
+                    "__side", pa.array(np.full(b.num_rows, side, np.int8))
+                ).append_column("__part", pa.array(part))
+            )
+
+        return f
+
+    tagged = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        from sapray.hashing import composite_key
+
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        cnt = g.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = composite_key(g, tuple(columns))
+        enc = key.dictionary_encode()
+        idx = enc.indices
+        if idx.null_count:
+            idx = pa.compute.fill_null(idx, len(enc.dictionary))
+        codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        u, fi, inv = np.unique(codes, return_index=True, return_inverse=True)
+        l = np.zeros(len(u), np.int64)
+        r = np.zeros(len(u), np.int64)
+        np.add.at(l, inv[side == 0], cnt[side == 0])
+        np.add.at(r, inv[side == 1], cnt[side == 1])
+        n_out = np.maximum(l - r, 0) if mode == "except" else np.minimum(l, r)
+        rows = g.select(columns).take(pa.array(fi))
+        return rows.take(
+            pa.array(np.repeat(np.arange(len(u), dtype=np.int64), n_out))
+        )
+
+    return tagged.groupby("__part").map_groups(kernel, batch_format="pyarrow")
+
+
+def except_all(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    columns: list[str],
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """SQL ``EXCEPT ALL``: each key row survives max(l_count - r_count, 0)
+    times (multiset difference)."""
+    return _set_op_all(left, right, columns, "except", num_partitions)
+
+
+def intersect_all(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    columns: list[str],
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """SQL ``INTERSECT ALL``: each key row appears min(l_count, r_count)
+    times (multiset intersection)."""
+    return _set_op_all(left, right, columns, "intersect", num_partitions)
+
+
 def except_distinct(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -2284,6 +2284,52 @@ SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events WHERE event_
 """
 
 
+def _typed_user_rows(sf_dir: str, event_type: str):
+    """user_id rows (WITH multiplicity) for one event type."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"), event_type))
+        return pa.table({"user_id": b.column("user_id")})
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def except_all_users(sf_dir: str):
+    """SQL EXCEPT ALL (bag semantics): each user survives
+    n_clicks - n_purchases times — ops.except_all, per-batch count
+    partials into ONE keyed exchange, vectorized repeat emit."""
+    return ops.except_all(
+        _typed_user_rows(sf_dir, "click"),
+        _typed_user_rows(sf_dir, "purchase"),
+        ["user_id"],
+    )
+
+
+EXCEPT_ALL_USERS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT ALL
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def intersect_all_users(sf_dir: str):
+    """SQL INTERSECT ALL: each user appears min(n_clicks, n_purchases)
+    times (multiset intersection)."""
+    return ops.intersect_all(
+        _typed_user_rows(sf_dir, "click"),
+        _typed_user_rows(sf_dir, "purchase"),
+        ["user_id"],
+    )
+
+
+INTERSECT_ALL_USERS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT ALL
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
 def range_join_events(sf_dir: str):
     """Range self-join as a window operator: per event, how many of the
     same user's events fall within ±30 minutes (window.windowed_agg with
@@ -3758,6 +3804,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "fn": rows_window_events, "sql": ROWS_WINDOW_EVENTS_SQL,
         },
         "unpivot_events": {"fn": unpivot_events, "sql": UNPIVOT_EVENTS_SQL},
+        "except_all_users": {"fn": except_all_users, "sql": EXCEPT_ALL_USERS_SQL},
+        "intersect_all_users": {
+            "fn": intersect_all_users, "sql": INTERSECT_ALL_USERS_SQL,
+        },
         "except_users": {"fn": except_users, "sql": EXCEPT_USERS_SQL},
         "intersect_users": {"fn": intersect_users, "sql": INTERSECT_USERS_SQL},
         "global_quantiles_events": {

@@ -835,3 +835,22 @@ def test_unpivot_rejects_collisions_and_empty(ray_session):
         ops.unpivot(ds, ["id"], ["a"], name_column="id")
     with pytest.raises(ValueError, match="collides"):
         ops.unpivot(ds, ["id"], ["a"], value_column="a")
+
+
+def test_set_ops_all_bag_semantics_with_nulls(ray_session):
+    """EXCEPT ALL / INTERSECT ALL multiplicities, NULL keys comparing
+    equal like the DISTINCT variants."""
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, None, None], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None, 3], pa.int64()),
+    }))
+    exc = ops.except_all(left, right, ["k"], num_partitions=2).to_pandas()["k"]
+    # 1 appears 3-1=2 times, 2 once, NULL 2-1=1 time, 3 never (right-only)
+    assert sorted(exc.dropna().astype(int).tolist()) == [1, 1, 2]
+    assert int(exc.isna().sum()) == 1
+    inter = ops.intersect_all(left, right, ["k"], num_partitions=2).to_pandas()["k"]
+    # min(3,1)=1 copy of 1; min(2,1)=1 NULL; 2 and 3 absent
+    assert sorted(inter.dropna().astype(int).tolist()) == [1]
+    assert int(inter.isna().sum()) == 1
