@@ -1125,6 +1125,70 @@ SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
 _VOCAB_K = 256
 
 
+def dedup_keep_best_docs(sf_dir: str):
+    """Cluster-representative selection — the step after duplicate
+    clustering in a curation pipeline: every clustered doc maps to its
+    cluster's BEST member (longest text, tie-break lowest doc_id). Pure
+    composition: connected components (dedup_clusters_docs) ->
+    hash-shuffle join with per-doc scores -> grouped_topk rank-1 per
+    cluster -> one more keyed join mapping members to their
+    representative. No new primitive, no driver materialization."""
+    from sapray import window
+
+    clusters = dedup_clusters_docs(sf_dir)  # (node, cluster_id)
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "sz": pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
+        })
+
+    scores = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    scored = ops.shuffle_join(clusters, scores, "node", "doc_id")
+    reps = window.grouped_topk(
+        scored, "cluster_id", "sz", "node", top_n=1, rank_name="rnk"
+    )
+
+    def rep_only(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("rnk"), 1))
+        return pa.table({
+            "cluster_id": b.column("cluster_id"),
+            "rep_id": b.column("node"),
+        })
+
+    reps = reps.map_batches(rep_only, batch_format="pyarrow", zero_copy_batch=True)
+    out = ops.shuffle_join(
+        clusters.map_batches(
+            lambda b: b.select(["node", "cluster_id"]), batch_format="pyarrow"
+        ),
+        reps, "cluster_id", "cluster_id",
+    )
+    return out.select_columns(["node", "rep_id"])
+
+
+# splice the cluster CTE chain: the final SELECT becomes a comp CTE
+# (note the leading "), " keeping the WITH list valid), then score, pick
+# the representative, and map every member to it
+DEDUP_KEEP_BEST_DOCS_SQL = DEDUP_CLUSTERS_DOCS_SQL.replace(
+    ")\nSELECT node, min(r) AS cluster_id FROM reach GROUP BY node",
+    """), comp AS (
+  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+), scored AS (
+  SELECT c.node, c.cluster_id, length(d.text) AS sz
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+), rep AS (
+  SELECT cluster_id, node AS rep_id FROM (
+    SELECT cluster_id, node,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY sz DESC, node) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT s.node, r.rep_id FROM scored s JOIN rep r USING (cluster_id)""",
+)
+
+
 def _term_stats(sf_dir: str):
     """(doc_id, word, tf) stream plus the top-``_VOCAB_K`` vocabulary
     table (word, cnt, df, rank). The corpus-wide word stats flow through
@@ -3807,6 +3871,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "except_all_users": {"fn": except_all_users, "sql": EXCEPT_ALL_USERS_SQL},
         "intersect_all_users": {
             "fn": intersect_all_users, "sql": INTERSECT_ALL_USERS_SQL,
+        },
+        "dedup_keep_best_docs": {
+            "fn": dedup_keep_best_docs, "sql": DEDUP_KEEP_BEST_DOCS_SQL,
         },
         "except_users": {"fn": except_users, "sql": EXCEPT_USERS_SQL},
         "intersect_users": {"fn": intersect_users, "sql": INTERSECT_USERS_SQL},
