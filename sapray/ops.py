@@ -1269,6 +1269,30 @@ def quantile_cont(
     ]
 
 
+def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Rebuild a dataset without its empty blocks.
+
+    ``groupby().map_groups`` emits ZERO-COLUMN empty blocks for empty
+    hash partitions, and Ray's native hash-join rejects any input block
+    missing the key field ('No match ... for key field reference');
+    map_batches cannot heal them because empty blocks bypass the UDF.
+    Only object refs move here — block data stays in the object store —
+    but the dataset executes (materializes) to enumerate its blocks, so
+    use this right before a join of a map_groups output, not mid-stream.
+    """
+    bundles = ds.iter_internal_ref_bundles()
+    refs = [
+        blk
+        for b in bundles
+        for blk, meta in b.blocks
+        if (meta.num_rows or 0) > 0
+    ]
+    if not refs:
+        # keep an empty but SCHEMA-FUL dataset if possible
+        return ray.data.from_arrow(pa.table({}))
+    return ray.data.from_arrow_refs(refs)
+
+
 def unpivot(
     ds: ray.data.Dataset,
     id_columns: list[str],

@@ -1136,6 +1136,12 @@ def dedup_keep_best_docs(sf_dir: str):
     from sapray import window
 
     clusters = dedup_clusters_docs(sf_dir)  # (node, cluster_id)
+
+    # map_groups emits zero-column EMPTY blocks on empty hash partitions
+    # (more partitions at 32 CPUs -> more of them) which the native
+    # hash-join rejects, and map_batches cannot heal them (empty blocks
+    # bypass the UDF) — drop them at the ref level before joining
+    clusters = ops.drop_empty_blocks(clusters)
     ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def score(b: pa.Table) -> pa.Table:
@@ -1151,13 +1157,18 @@ def dedup_keep_best_docs(sf_dir: str):
     )
 
     def rep_only(b: pa.Table) -> pa.Table:
+        if "rnk" not in b.column_names:  # zero-column empty block
+            return pa.table({"cluster_id": pa.array([], pa.int64()),
+                             "rep_id": pa.array([], pa.int64())})
         b = b.filter(pc.equal(b.column("rnk"), 1))
         return pa.table({
-            "cluster_id": b.column("cluster_id"),
-            "rep_id": b.column("node"),
+            "cluster_id": pc.cast(b.column("cluster_id"), pa.int64()),
+            "rep_id": pc.cast(b.column("node"), pa.int64()),
         })
 
-    reps = reps.map_batches(rep_only, batch_format="pyarrow", zero_copy_batch=True)
+    reps = ops.drop_empty_blocks(
+        reps.map_batches(rep_only, batch_format="pyarrow", zero_copy_batch=True)
+    )
     out = ops.shuffle_join(
         clusters.map_batches(
             lambda b: b.select(["node", "cluster_id"]), batch_format="pyarrow"
