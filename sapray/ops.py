@@ -1280,6 +1280,7 @@ def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
     but the dataset executes (materializes) to enumerate its blocks, so
     use this right before a join of a map_groups output, not mid-stream.
     """
+    schema = ds.schema()
     bundles = ds.iter_internal_ref_bundles()
     refs = [
         blk
@@ -1288,7 +1289,14 @@ def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
         if (meta.num_rows or 0) > 0
     ]
     if not refs:
-        # keep an empty but SCHEMA-FUL dataset if possible
+        # all-empty input: keep a SCHEMA-FUL empty dataset — a
+        # zero-column fallback would recreate exactly the block shape
+        # this helper removes (review finding)
+        base = getattr(schema, "base_schema", None)
+        if base is not None and len(base.names):
+            return ray.data.from_arrow(
+                pa.table({f.name: pa.array([], f.type) for f in base})
+            )
         return ray.data.from_arrow(pa.table({}))
     return ray.data.from_arrow_refs(refs)
 
@@ -1435,6 +1443,46 @@ def global_rank(
 # --------------------------------------------------------------------------
 
 
+def _tag_sides(columns: list[str], num_partitions: int, aggregate: list):
+    """Shared per-batch tagger for the set-operation family: pre-reduce
+    per batch (distinct or counted), route by the column-wise key hash."""
+    from sapray.hashing import hash_key
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            b = batch.select(columns).group_by(columns).aggregate(aggregate)
+            kh = hash_key(b, tuple(columns))
+            part = (kh % np.uint64(num_partitions)).astype(np.int32)
+            return b.append_column(
+                "__side", pa.array(np.full(b.num_rows, side, np.int8))
+            ).append_column("__part", pa.array(part))
+
+        return f
+
+    return tag
+
+
+def _null_safe_key_codes(
+    g: pa.Table, columns: list[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-row key codes over multiple columns: per-column
+    dictionary codes (NULL -> one sentinel code PER COLUMN) stacked and
+    uniqued row-wise — component-wise NULL equality (SQL IS NOT DISTINCT
+    FROM). A composite-string encode collapses every partial-NULL key to
+    one code ((1, NULL) == (NULL, 1) — review finding); this never does.
+    Returns (codes aligned to rows, first-occurrence row index per code)."""
+    cols = []
+    for c in columns:
+        enc = g.column(c).combine_chunks().dictionary_encode()
+        idx = enc.indices
+        if idx.null_count:
+            idx = pc.fill_null(idx, len(enc.dictionary))
+        cols.append(idx.to_numpy(zero_copy_only=False).astype(np.int64))
+    m = np.stack(cols, axis=1)
+    _, first, inv = np.unique(m, axis=0, return_index=True, return_inverse=True)
+    return inv.ravel().astype(np.int64), first
+
+
 def _set_op(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -1445,37 +1493,16 @@ def _set_op(
     """Distinct set operation over ``columns``: one hash exchange routes
     both sides' (distinct-per-batch) key rows to partitions, then a
     vectorized per-partition membership test — no per-group Python, no
-    broadcast of either side."""
-    from sapray.hashing import hash_key
-
-    def tag(side: int):
-        def f(batch: pa.Table) -> pa.Table:
-            b = batch.select(columns).group_by(columns).aggregate([])
-            kh = hash_key(b, tuple(columns))
-            part = (kh % np.uint64(num_partitions)).astype(np.int32)
-            return b.append_column("__side", pa.array(np.full(b.num_rows, side, np.int8))) \
-                    .append_column("__part", pa.array(part))
-
-        return f
-
+    broadcast of either side. NULL key components compare equal
+    component-wise (_null_safe_key_codes)."""
+    tag = _tag_sides(columns, num_partitions, [])
     tagged = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow")
     )
 
     def kernel(g: pa.Table) -> pa.Table:
-        from sapray.hashing import composite_key
-
         side = g.column("__side").to_numpy(zero_copy_only=False)
-        key = composite_key(g, tuple(columns))
-        enc = key.dictionary_encode()
-        idx = enc.indices
-        if idx.null_count:
-            # NULL keys get one dedicated code: raw indices surface nulls
-            # as NaN, and NaN never matches in isin/unique, so NULL-keyed
-            # rows would silently never match across sides — SQL set ops
-            # treat NULLs as equal (ADVICE r2; same fix as window._key_codes).
-            idx = pc.fill_null(idx, len(enc.dictionary))
-        codes = idx.to_numpy(zero_copy_only=False)
+        codes, _ = _null_safe_key_codes(g, columns)
         right_codes = np.unique(codes[side == 1])
         left_mask = side == 0
         in_right = np.isin(codes[left_mask], right_codes)
@@ -1502,48 +1529,26 @@ def _set_op_all(
     the one keyed exchange), then each partition computes
     ``max(l - r, 0)`` / ``min(l, r)`` per key and emits that many copies
     — vectorized np.repeat, no per-key Python. NULL key components
-    compare equal (one dictionary code), like the DISTINCT variants."""
-    from sapray.hashing import hash_key
-
-    def tag(side: int):
-        def f(batch: pa.Table) -> pa.Table:
-            b = batch.select(columns).group_by(columns).aggregate(
-                [([], "count_all")]
-            )
-            kh = hash_key(b, tuple(columns))
-            part = (kh % np.uint64(num_partitions)).astype(np.int32)
-            return (
-                b.append_column(
-                    "__side", pa.array(np.full(b.num_rows, side, np.int8))
-                ).append_column("__part", pa.array(part))
-            )
-
-        return f
-
+    compare equal COMPONENT-WISE (SQL IS NOT DISTINCT FROM —
+    _null_safe_key_codes), like the DISTINCT variants."""
+    tag = _tag_sides(columns, num_partitions, [([], "count_all")])
     tagged = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow")
     )
 
     def kernel(g: pa.Table) -> pa.Table:
-        from sapray.hashing import composite_key
-
         side = g.column("__side").to_numpy(zero_copy_only=False)
         cnt = g.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
-        key = composite_key(g, tuple(columns))
-        enc = key.dictionary_encode()
-        idx = enc.indices
-        if idx.null_count:
-            idx = pa.compute.fill_null(idx, len(enc.dictionary))
-        codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
-        u, fi, inv = np.unique(codes, return_index=True, return_inverse=True)
-        l = np.zeros(len(u), np.int64)
-        r = np.zeros(len(u), np.int64)
+        inv, fi = _null_safe_key_codes(g, columns)
+        n_keys = len(fi)
+        l = np.zeros(n_keys, np.int64)
+        r = np.zeros(n_keys, np.int64)
         np.add.at(l, inv[side == 0], cnt[side == 0])
         np.add.at(r, inv[side == 1], cnt[side == 1])
         n_out = np.maximum(l - r, 0) if mode == "except" else np.minimum(l, r)
         rows = g.select(columns).take(pa.array(fi))
         return rows.take(
-            pa.array(np.repeat(np.arange(len(u), dtype=np.int64), n_out))
+            pa.array(np.repeat(np.arange(n_keys, dtype=np.int64), n_out))
         )
 
     return tagged.groupby("__part").map_groups(kernel, batch_format="pyarrow")

@@ -1157,9 +1157,6 @@ def dedup_keep_best_docs(sf_dir: str):
     )
 
     def rep_only(b: pa.Table) -> pa.Table:
-        if "rnk" not in b.column_names:  # zero-column empty block
-            return pa.table({"cluster_id": pa.array([], pa.int64()),
-                             "rep_id": pa.array([], pa.int64())})
         b = b.filter(pc.equal(b.column("rnk"), 1))
         return pa.table({
             "cluster_id": pc.cast(b.column("cluster_id"), pa.int64()),
@@ -1169,12 +1166,7 @@ def dedup_keep_best_docs(sf_dir: str):
     reps = ops.drop_empty_blocks(
         reps.map_batches(rep_only, batch_format="pyarrow", zero_copy_batch=True)
     )
-    out = ops.shuffle_join(
-        clusters.map_batches(
-            lambda b: b.select(["node", "cluster_id"]), batch_format="pyarrow"
-        ),
-        reps, "cluster_id", "cluster_id",
-    )
+    out = ops.shuffle_join(clusters, reps, "cluster_id", "cluster_id")
     return out.select_columns(["node", "rep_id"])
 
 
@@ -1197,6 +1189,12 @@ DEDUP_KEEP_BEST_DOCS_SQL = DEDUP_CLUSTERS_DOCS_SQL.replace(
   ) WHERE rn = 1
 )
 SELECT s.node, r.rep_id FROM scored s JOIN rep r USING (cluster_id)""",
+)
+# the splice is an exact-substring replace: fail HERE if a future edit to
+# the cluster SQL breaks the match (a silent no-op would make this oracle
+# a byte-copy of the clusters query — review finding)
+assert DEDUP_KEEP_BEST_DOCS_SQL != DEDUP_CLUSTERS_DOCS_SQL, (
+    "DEDUP_KEEP_BEST_DOCS_SQL splice did not match DEDUP_CLUSTERS_DOCS_SQL"
 )
 
 
@@ -4028,6 +4026,17 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "heavy_value_users_events",
         "unnest_embeddings",
         "approx_distinct_users_by_type",
+        # late round-3 queries, in importance order: the window is 50, so
+        # the tail may fall outside — sample_docs/weighted_sample_docs
+        # moved out (both have round-1 driver evidence + local sf0.01
+        # re-verification), intersect_all is structurally the same op as
+        # except_all, and keep_best composes driver-checked pieces
+        "median_cont_value_by_user",
+        "rows_window_events",
+        "unpivot_events",
+        "except_all_users",
+        "intersect_all_users",
+        "dedup_keep_best_docs",
         "sample_docs",
         "weighted_sample_docs",
     ]

@@ -854,3 +854,40 @@ def test_set_ops_all_bag_semantics_with_nulls(ray_session):
     # min(3,1)=1 copy of 1; min(2,1)=1 NULL; 2 and 3 absent
     assert sorted(inter.dropna().astype(int).tolist()) == [1]
     assert int(inter.isna().sum()) == 1
+
+
+def test_set_ops_partial_null_composite_keys(ray_session):
+    """(1, NULL) and (NULL, 1) are DISTINCT keys (SQL component-wise IS
+    NOT DISTINCT FROM) — a composite-string encode collapsed every
+    partial-NULL key to one code (review finding)."""
+    left = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, None, 1], pa.int64()),
+        "b": pa.array([None, 1, None], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "a": pa.array([None], pa.int64()),
+        "b": pa.array([1], pa.int64()),
+    }))
+    # EXCEPT ALL: (1,NULL) x2 survive (right only has (NULL,1))
+    exc = ops.except_all(left, right, ["a", "b"], num_partitions=2).to_pandas()
+    assert len(exc) == 2
+    assert exc["a"].tolist() == [1, 1] and exc["b"].isna().all()
+    # INTERSECT ALL: exactly one (NULL,1)
+    inter = ops.intersect_all(left, right, ["a", "b"], num_partitions=2).to_pandas()
+    assert len(inter) == 1
+    assert inter["a"].isna().all() and inter["b"].tolist() == [1]
+    # DISTINCT variants agree
+    exc_d = ops.except_distinct(left, right, ["a", "b"], num_partitions=2).to_pandas()
+    assert len(exc_d) == 1 and exc_d["a"].tolist() == [1]
+    int_d = ops.intersect_distinct(left, right, ["a", "b"], num_partitions=2).to_pandas()
+    assert len(int_d) == 1 and int_d["b"].tolist() == [1]
+
+
+def test_drop_empty_blocks_all_empty_keeps_schema(ray_session):
+    """All-empty input must stay SCHEMA-FUL (a zero-column fallback
+    recreates the pathological block shape — review finding)."""
+    t = pa.table({"node": pa.array([], pa.int64()),
+                  "cluster_id": pa.array([], pa.int64())})
+    out = ops.drop_empty_blocks(ray.data.from_arrow(t))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "cluster_id"}
