@@ -3975,11 +3975,16 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "sql": _incremental_view_minmax_sql(sf_name),
         },
     }
-    # Queries needing round-3 driver evidence, in check priority: the CDC
-    # flagship family (the engine's reason to exist — r1-green only), the
-    # window family and other never-driver-checked ops, and the queries
-    # whose oracles gained ::BIGINT casts this round.
+    # Round-4 check priority. First: the only three registry queries with
+    # NO driver evidence across rounds 1-3 (VERDICT r3 "Next round" #1) and
+    # the queries added this round; then the CDC flagship family (the
+    # engine's reason to exist — keep it re-confirmed every round); then
+    # the r3-green spread. The driver checks the first 50 — everything
+    # displaced has r2/r3 driver evidence.
     priority = [
+        "intersect_all_users",
+        "dedup_keep_best_docs",
+        "weighted_sample_docs",
         "cdc_replay_flagship",
         "cdc_replay_delta",
         "cdc_point_lookup",
@@ -4026,19 +4031,13 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "heavy_value_users_events",
         "unnest_embeddings",
         "approx_distinct_users_by_type",
-        # late round-3 queries, in importance order: the window is 50, so
-        # the tail may fall outside — sample_docs/weighted_sample_docs
-        # moved out (both have round-1 driver evidence + local sf0.01
-        # re-verification), intersect_all is structurally the same op as
-        # except_all, and keep_best composes driver-checked pieces
+        # tail: r3-green queries that may fall outside the 50-window this
+        # round (each has driver evidence from r3; sample_docs from r1)
         "median_cont_value_by_user",
         "rows_window_events",
         "unpivot_events",
         "except_all_users",
-        "intersect_all_users",
-        "dedup_keep_best_docs",
         "sample_docs",
-        "weighted_sample_docs",
     ]
     ordered = {k: entries[k] for k in priority if k in entries}
     ordered.update({k: v for k, v in entries.items() if k not in ordered})
