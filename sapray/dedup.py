@@ -23,6 +23,7 @@ import pyarrow as pa
 import ray.data
 
 from sapray.ops import dedup_first
+from sapray.partition import exchange_partitions
 
 # --------------------------------------------------------------------- exact
 
@@ -44,7 +45,7 @@ def exact_dedup(
     ds: ray.data.Dataset,
     text_column: str = "text",
     id_column: str = "doc_id",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Keep the min-id row per distinct text (hash-partition + first)."""
     ds = add_sha256(ds, text_column)
@@ -174,7 +175,7 @@ def minhash_lsh_candidates(
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
     pairs = _bucket_pairs(
-        exploded, ("band", "band_hash"), id_column, bucket_cap, num_partitions=32
+        exploded, ("band", "band_hash"), id_column, bucket_cap
     )
     if not distinct_pairs:
         return pairs
@@ -188,7 +189,7 @@ def _bucket_pairs(
     bucket_columns: tuple[str, ...],
     id_column: str,
     bucket_cap: int,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     cap_mode: str = "star",
     prehashed: str | None = None,
     local_distinct: bool = False,
@@ -221,6 +222,9 @@ def _bucket_pairs(
     :func:`prefix_filtered_candidates`' own pair kernel.)
     """
     from sapray.hashing import hash_key
+
+    if num_partitions is None:
+        num_partitions = exchange_partitions(rows)
 
     def route(batch: pa.Table) -> pa.Table:
         if prehashed is not None:
@@ -287,7 +291,7 @@ def ngram_inverted_candidates(
     text_column: str = "text",
     shingle_k: int = 5,
     df_cap: int = 64,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs via a shingle INVERTED INDEX — the exact
     counterpart of :func:`minhash_lsh_candidates`.
@@ -357,7 +361,7 @@ def prefix_filtered_candidates(
     text_column: str = "text",
     shingle_k: int = 5,
     threshold: float = 0.8,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Candidate pairs via PREFIX FILTERING (Bayardo et al., "Scaling Up
     All Pairs Similarity Search", WWW'07) — exact recall at ANY corpus
@@ -495,7 +499,7 @@ def prefix_filtered_candidates(
 
 
 def distinct_pairs(
-    pairs: ray.data.Dataset, num_partitions: int = 16
+    pairs: ray.data.Dataset, num_partitions: int | None = None
 ) -> ray.data.Dataset:
     """Global distinct over (id_a, id_b) candidate pairs — ONE skinny
     keyed exchange (16 B/row on id_a; every copy of a pair shares id_a so
@@ -525,12 +529,14 @@ def ngram_jaccard_dedup(
     text_column: str = "text",
     threshold: float = 0.8,
     shingle_k: int = 5,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Exact n-gram-Jaccard near-dup pairs: prefix-filtered candidates
     (exact recall at any scale) -> distributed exact-Jaccard verify
     (texts reach verifiers via keyed exchanges, never a driver
     broadcast)."""
+    if num_partitions is None:
+        num_partitions = exchange_partitions(ds)
     candidates = prefix_filtered_candidates(
         ds, id_column, text_column, shingle_k, threshold,
         num_partitions=max(num_partitions, 2),
@@ -554,7 +560,7 @@ def _values_for_pairs(
     values: ray.data.Dataset,
     id_column: str,
     value_column: str,
-    num_partitions: int,
+    num_partitions: int | None,
 ) -> ray.data.Dataset:
     """Attach ``values[id]`` to BOTH members of every candidate pair with
     two keyed exchanges and NO driver-side materialization (the round-1
@@ -572,6 +578,8 @@ def _values_for_pairs(
     one row per 0->1 side transition of each sorted (id_a, id_b) run),
     so callers need not pre-distinct their candidate stream.
     """
+    if num_partitions is None:
+        num_partitions = exchange_partitions(values)
     vtype = dict(zip(values.schema().names, values.schema().types))[value_column]
 
     def pair_sides(batch: pa.Table) -> pa.Table:
@@ -701,7 +709,7 @@ def verify_pairs_jaccard(
     text_column: str = "text",
     threshold: float = 0.8,
     shingle_k: int = 5,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     bitset_vocab_max: int = _BITSET_VOCAB_MAX,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verify of candidate pairs, fully distributed.
@@ -844,7 +852,7 @@ def embedding_neardup_pairs(
     planes_per_table: int = 16,
     seed: int = 42,
     bucket_cap: int = 512,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs by cosine similarity — banded multi-table
     hyperplane LSH, then exact distributed verify.
@@ -907,7 +915,7 @@ def verify_pairs_cosine(
     id_column: str = "vec_id",
     vec_column: str = "embedding",
     threshold: float = 0.95,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Exact-cosine verify of candidate pairs, fully distributed
     (vectors joined to pairs via keyed exchanges, scored with one
@@ -944,7 +952,7 @@ def paragraph_dedup_stats(
     id_column: str = "doc_id",
     text_column: str = "text",
     words_per_para: int = 10,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """CCNet/RefinedWeb-style PARAGRAPH-level dedup signals: per document,
     how many of its paragraphs appear more than once in the corpus.

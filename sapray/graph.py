@@ -30,7 +30,7 @@ def chain_edges(
     ds: ray.data.Dataset,
     key: str,
     id_column: str,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     out_a: str = "a",
     out_b: str = "b",
 ) -> ray.data.Dataset:
@@ -72,7 +72,7 @@ def connected_components(
     node_a: str = "a",
     node_b: str = "b",
     max_rounds: int = 30,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Label every node with its component's minimum node id.
 

@@ -29,7 +29,7 @@ import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
 from sapray.hashing import hash_key
-from sapray.partition import lww_reduce
+from sapray.partition import exchange_partitions, lww_reduce
 
 # --------------------------------------------------------------------------
 # projection / filter / top-k  (M16, M17, $top/$orderby pushdown analogues)
@@ -272,14 +272,17 @@ def latest_by_key(
     ds: ray.data.Dataset,
     key_columns: tuple[str, ...],
     seq_column: str,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """One row per key: the row with the maximum ``seq_column``.
 
     Same physical plan as the CDC applier (O-CDC5/8): within-batch LWW
     combiner -> hash-partition shuffle -> exact per-key reduce. SQL
-    equivalent: ``arg_max(col, seq) ... GROUP BY key``.
+    equivalent: ``arg_max(col, seq) ... GROUP BY key``. The exchange
+    width defaults to :func:`exchange_partitions` (cluster-scaled).
     """
+    if num_partitions is None:
+        num_partitions = exchange_partitions(ds)
 
     def combine(batch: pa.Table) -> pa.Table:
         batch = lww_reduce(batch, key_columns, seq_column)
@@ -301,7 +304,7 @@ def latest_by_key(
 
 
 def distinct(
-    ds: ray.data.Dataset, columns: list[str], num_partitions: int = 32
+    ds: ray.data.Dataset, columns: list[str], num_partitions: int | None = None
 ) -> ray.data.Dataset:
     """Distinct over columns: per-batch unique combiner, ONE hash
     exchange on the key columns, then one vectorized Arrow unique per
@@ -309,6 +312,9 @@ def distinct(
     map_groups pays the interpreter once per key; with millions of
     distinct values that dispatch dominates)."""
     from sapray.hashing import hash_key
+
+    if num_partitions is None:
+        num_partitions = exchange_partitions(ds)
 
     def local_unique(batch: pa.Table) -> pa.Table:
         b = batch.select(columns).group_by(columns).aggregate([])
@@ -330,7 +336,7 @@ def dedup_first(
     ds: ray.data.Dataset,
     key_columns: tuple[str, ...],
     order_column: str,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Exact dedup keeping the row with the MINIMUM order column per key
     (hash-partition + per-group first)."""
@@ -409,7 +415,7 @@ def grouped_hll_distinct(
     group_key: str,
     value_columns: list[str],
     b: int = 12,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Approximate COUNT(DISTINCT value_columns) PER GROUP via
     HyperLogLog — the sketch that replaces an exact distinct exchange
@@ -1347,7 +1353,7 @@ def global_rank(
     ds: ray.data.Dataset,
     value_column: str,
     id_column: str,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     sample_per_batch: int = 64,
     out_name: str = "rk",
 ) -> ray.data.Dataset:
@@ -1371,6 +1377,8 @@ def global_rank(
     partition — pre-dedupe or bump ``num_partitions`` for such columns.
     NULL values sort LAST (SQL default NULLS LAST), tie-broken by id.
     """
+    if num_partitions is None:
+        num_partitions = exchange_partitions(ds)
     samples = ds.map_batches(
         lambda b: b.select([value_column]).take(
             pa.array(
@@ -1488,13 +1496,15 @@ def _set_op(
     right: ray.data.Dataset,
     columns: list[str],
     keep_if_in_right: bool,
-    num_partitions: int,
+    num_partitions: int | None,
 ) -> ray.data.Dataset:
     """Distinct set operation over ``columns``: one hash exchange routes
     both sides' (distinct-per-batch) key rows to partitions, then a
     vectorized per-partition membership test — no per-group Python, no
     broadcast of either side. NULL key components compare equal
     component-wise (_null_safe_key_codes)."""
+    if num_partitions is None:
+        num_partitions = exchange_partitions(left)
     tag = _tag_sides(columns, num_partitions, [])
     tagged = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow")
@@ -1522,7 +1532,7 @@ def _set_op_all(
     right: ray.data.Dataset,
     columns: list[str],
     mode: str,
-    num_partitions: int,
+    num_partitions: int | None,
 ) -> ray.data.Dataset:
     """Bag-semantics set operation (EXCEPT ALL / INTERSECT ALL): per-key
     multiplicities pre-aggregate PER BATCH (only (key, count) rows enter
@@ -1531,6 +1541,8 @@ def _set_op_all(
     — vectorized np.repeat, no per-key Python. NULL key components
     compare equal COMPONENT-WISE (SQL IS NOT DISTINCT FROM —
     _null_safe_key_codes), like the DISTINCT variants."""
+    if num_partitions is None:
+        num_partitions = exchange_partitions(left)
     tag = _tag_sides(columns, num_partitions, [([], "count_all")])
     tagged = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow")
@@ -1558,7 +1570,7 @@ def except_all(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     columns: list[str],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """SQL ``EXCEPT ALL``: each key row survives max(l_count - r_count, 0)
     times (multiset difference)."""
@@ -1569,7 +1581,7 @@ def intersect_all(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     columns: list[str],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """SQL ``INTERSECT ALL``: each key row appears min(l_count, r_count)
     times (multiset intersection)."""
@@ -1580,7 +1592,7 @@ def except_distinct(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     columns: list[str],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """SQL ``EXCEPT``: distinct left key rows absent from the right."""
     return _set_op(left, right, columns, keep_if_in_right=False,
@@ -1591,7 +1603,7 @@ def intersect_distinct(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     columns: list[str],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """SQL ``INTERSECT``: distinct key rows present on both sides."""
     return _set_op(left, right, columns, keep_if_in_right=True,

@@ -37,7 +37,7 @@ def pack_by_token_budget(
     token_column: str,
     budget: int,
     bucket_width: int = 4096,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Add ``tok_before`` / ``bin_id`` / ``bin_offset`` columns.
 

@@ -22,6 +22,53 @@ from sapray.config import CDCConfig
 from sapray.hashing import composite_key, hash_key
 
 
+def _lazy_input_bytes(ds) -> int | None:
+    """Input bytes from READ metadata only — never executes the plan.
+
+    ``Dataset.size_bytes()`` falls back to ``plan.execute()`` when the
+    size is not statically inferable (any post-map dataset), which would
+    materialize mid-pipeline; this probe returns None instead. Callers
+    that want bytes-aware sizing should pass the SOURCE dataset (the
+    ``read_parquet`` handle) before transforms erase the metadata.
+    """
+    try:
+        return ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:
+        return None
+
+
+def exchange_partitions(
+    ds=None,
+    bytes_per_part: int = 64 << 20,
+    floor: int = 2,
+    cap_per_cpu: int = 16,
+) -> int:
+    """Partition count for a keyed ``map_groups`` exchange, sized to the
+    cluster and (when cheaply knowable) the data — replaces the fixed
+    ``num_partitions=16/32`` literals that capped exchange parallelism
+    below the cluster and let per-partition tables outgrow a worker's
+    heap at 100x data (VERDICT r3 finding #1).
+
+    Baseline is one partition per cluster CPU (every core busy through
+    the exchange); when ``ds`` carries read-metadata size, the count
+    grows so each partition holds ~``bytes_per_part``, capped at
+    ``cap_per_cpu`` partitions/CPU so tiny-payload exchanges don't
+    explode into millions of ms-scale tasks. These exchanges run on the
+    sort-based shuffle where partitions > CPUs simply queue — the
+    <= session-CPUs deadlock clamp (CLAUDE.md) applies only to native
+    hash-join aggregator pools, which ``ops.shuffle_join`` clamps itself.
+    """
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n = max(floor, ncpu)
+    if ds is not None:
+        sz = _lazy_input_bytes(ds)
+        if sz:
+            n = max(n, min(cap_per_cpu * ncpu, -(-sz // bytes_per_part)))
+    return n
+
+
 def detect_hot_key_hashes(sample: pa.Table, cfg: CDCConfig) -> np.ndarray:
     """Return sorted uint64 hashes of keys whose share of the sample
     exceeds ``cfg.hot_key_threshold`` (driver-side, sample-sized)."""

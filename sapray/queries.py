@@ -98,7 +98,7 @@ def lww_latest_events(sf_dir: str):
     ds = ops.read_projected(
         _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
     )
-    out = ops.latest_by_key(ds, ("user_id",), "event_id", num_partitions=16)
+    out = ops.latest_by_key(ds, ("user_id",), "event_id")
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -137,7 +137,7 @@ def cdc_upsert_events(sf_dir: str):
         return batch.append_column("op", op)
 
     ds = ds.map_batches(add_op, batch_format="pyarrow", zero_copy_batch=True)
-    out = ops.latest_by_key(ds, ("user_id",), "event_id", num_partitions=16)
+    out = ops.latest_by_key(ds, ("user_id",), "event_id")
 
     def finish(batch: pa.Table) -> pa.Table:
         live = batch.filter(pc.not_equal(batch.column("op"), "D"))
@@ -3047,7 +3047,7 @@ def global_rank_events(sf_dir: str):
         })
 
     ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
-    out = ops.global_rank(ds, "cents", "event_id", num_partitions=32)
+    out = ops.global_rank(ds, "cents", "event_id")
     return out.select_columns(["event_id", "cents", "rk"])
 
 
@@ -3170,7 +3170,7 @@ def funnel_events(sf_dir: str):
     right = ds.map_batches(clicks, batch_format="pyarrow", zero_copy_batch=True)
     # one row per (user, t): click_ts == t for every duplicate, so any
     # surviving row is equivalent — latest_by_key keeps it deterministic
-    right = ops.latest_by_key(right, ("user_id", "t"), "click_ts", num_partitions=16)
+    right = ops.latest_by_key(right, ("user_id", "t"), "click_ts")
     j = window.asof_join(left, right, key="user_id", ts_column="t")
 
     def conversions(b: pa.Table) -> pa.Table:
@@ -3216,7 +3216,7 @@ def asof_join_events(sf_dir: str):
     right = right.map_batches(checkpoints, batch_format="pyarrow", zero_copy_batch=True)
     # unique per (user, ts): keep the max-event_id checkpoint (ties would
     # make the asof pick nondeterministic on both engines)
-    right = ops.latest_by_key(right, ("user_id", "ts"), "event_id", num_partitions=16)
+    right = ops.latest_by_key(right, ("user_id", "ts"), "event_id")
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -30,14 +30,21 @@ def partitioned_apply(
     ds: ray.data.Dataset,
     key: str,
     fn: Callable[[pa.Table], pa.Table],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Hash-partition on ``key`` and run ``fn`` once per partition.
 
     ``fn`` receives the whole partition as one Arrow table (all rows of
-    every key routed to it) WITHOUT the routing column. Size
-    ``num_partitions`` so rows/num_partitions fits a worker's heap.
+    every key routed to it) WITHOUT the routing column. ``num_partitions``
+    defaults to :func:`sapray.partition.exchange_partitions` — scaled to
+    cluster CPUs (and input bytes when knowable) so rows/num_partitions
+    fits a worker's heap at any cluster size; pass an explicit count only
+    when the key's cardinality bounds it.
     """
+    if num_partitions is None:
+        from sapray.partition import exchange_partitions
+
+        num_partitions = exchange_partitions(ds)
 
     def assign(batch: pa.Table) -> pa.Table:
         kh = hash_key(batch, (key,))
@@ -94,7 +101,7 @@ def rank_in_key(
     top_n: int,
     descending: bool = True,
     rank_name: str = "rnk",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """ROW_NUMBER() OVER (PARTITION BY key ORDER BY order, tiebreak)
     filtered to ``rank <= top_n`` — one vectorized sweep per partition.
@@ -114,7 +121,7 @@ def rank_functions(
     tiebreak_column: str,
     descending: bool = False,
     ntile_k: int = 4,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """The remaining SQL ranking family in one vectorized per-partition
     sweep: DENSE_RANK / PERCENT_RANK / NTILE over
@@ -183,7 +190,7 @@ def first_last_value(
     value_column: str,
     first_name: str = "first_val",
     last_name: str = "last_val",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """FIRST_VALUE / LAST_VALUE OVER (PARTITION BY key ORDER BY order,
     tiebreak ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -221,7 +228,7 @@ def string_agg(
     order_column: str,
     sep: str = ",",
     out_name: str = "agg",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """SQL ``string_agg(value, sep ORDER BY order_column)`` per key.
 
@@ -301,7 +308,7 @@ def grouped_topk(
     top_n: int,
     descending: bool = True,
     rank_name: str = "rnk",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Top-n rows per group with a pre-shuffle combiner.
 
@@ -330,7 +337,7 @@ def session_counts(
     ts_column: str,
     gap: np.timedelta64,
     out_name: str = "n_sessions",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Gap-based sessionization: per key, number of sessions separated by
     inactivity > ``gap``. One sort + one reduceat per partition."""
@@ -365,7 +372,7 @@ def windowed_agg(
     value_column: str | None = None,
     out_count: str = "n_window",
     out_sum: str | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Range-window aggregate: per row, COUNT (and optionally SUM of an
     int column) over the same key's rows with
@@ -432,7 +439,7 @@ def grouped_quantile(
     value_column: str,
     q: float,
     out_name: str = "quantile",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Exact discrete quantile per key (``quantile_disc`` semantics: the
     element at index ``floor(q * (n-1))`` of the key's sorted values).
@@ -467,7 +474,7 @@ def grouped_quantile_cont(
     value_column: str,
     q: float,
     out_name: str = "quantile",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Interpolated quantile per key (``quantile_cont`` / SQL
     PERCENTILE_CONT semantics: ``lo + frac * (hi - lo)`` between the two
@@ -538,7 +545,7 @@ def asof_join(
     right: ray.data.Dataset,
     key: str,
     ts_column: str,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """As-of (nearest-preceding) join: each left row picks the LATEST
     right row of the same key with ``right.ts <= left.ts``.
@@ -628,7 +635,7 @@ def lead_lag(
     value_column: str,
     lag_name: str = "lag_1",
     lead_name: str = "lead_1",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """LAG(value, 1) and LEAD(value, 1) OVER (PARTITION BY key ORDER BY
     order, tiebreak) — exact SELECTIONS (existing values are gathered,
@@ -669,7 +676,7 @@ def running_sum(
     tiebreak_column: str,
     value_column: str,
     out_name: str = "running_sum",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """SUM(value) OVER (PARTITION BY key ORDER BY order, tiebreak ROWS
     UNBOUNDED PRECEDING) — one cumsum per partition rebased at each key
@@ -705,7 +712,7 @@ def rows_window_sum(
     value_column: str,
     preceding: int,
     out_name: str = "rows_sum",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """SUM(value) OVER (PARTITION BY key ORDER BY order, tiebreak ROWS
     BETWEEN ``preceding`` PRECEDING AND CURRENT ROW) — the fixed-ROW-count
@@ -759,7 +766,7 @@ def trailing_counts(
     window: np.timedelta64,
     id_column: str,
     out_name: str = "n_trailing",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """COUNT(*) OVER (PARTITION BY key ORDER BY ts RANGE window
     PRECEDING AND CURRENT ROW) — vectorized two-pointer over the whole

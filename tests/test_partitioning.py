@@ -1,0 +1,74 @@
+"""Keyed-exchange sizing (VERDICT r3 finding #1): exchange widths must
+scale with the cluster and the data, not sit at a 16/32 literal."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sapray.partition import exchange_partitions
+
+
+def test_grows_with_cluster_cpus(monkeypatch):
+    import ray
+
+    monkeypatch.setattr(ray, "is_initialized", lambda: True)
+    sizes = {}
+    for ncpu in (8, 32, 256):
+        monkeypatch.setattr(ray, "cluster_resources", lambda n=ncpu: {"CPU": n})
+        sizes[ncpu] = exchange_partitions()
+    assert sizes[8] == 8 and sizes[32] == 32 and sizes[256] == 256
+    assert sizes[8] < sizes[32] < sizes[256]
+
+
+def test_grows_with_input_bytes(monkeypatch):
+    import ray
+
+    monkeypatch.setattr(ray, "is_initialized", lambda: True)
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 8})
+
+    class FakeMeta:
+        def __init__(self, size_bytes):
+            self.size_bytes = size_bytes
+
+    class FakeDs:
+        def __init__(self, size_bytes):
+            class Dag:
+                def infer_metadata(dag_self):
+                    return FakeMeta(size_bytes)
+
+            class Plan:
+                dag = Dag()
+
+            self._logical_plan = Plan()
+
+    small = exchange_partitions(FakeDs(1 << 20))
+    big = exchange_partitions(FakeDs(100 << 30))  # 100 GiB
+    assert small == 8  # CPU floor dominates tiny inputs
+    assert big > small
+    assert big <= 16 * 8  # cap_per_cpu guard against task explosion
+
+
+def test_unknown_size_falls_back_to_cpus(monkeypatch):
+    import ray
+
+    monkeypatch.setattr(ray, "is_initialized", lambda: True)
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 12})
+
+    class Opaque:
+        pass  # no _logical_plan: probe must not raise, just fall back
+
+    assert exchange_partitions(Opaque()) == 12
+
+
+def test_partitioned_apply_default_resolves(ray_session):
+    """End to end: a default-width partitioned_apply on the 4-CPU test
+    session still routes every row exactly once."""
+    import ray.data
+
+    from sapray.window import partitioned_apply
+
+    t = pa.table({"k": pa.array(np.arange(1000) % 37), "v": pa.array(np.arange(1000))})
+    ds = ray.data.from_arrow(t)
+    out = partitioned_apply(ds, "k", lambda g: g).take_all()
+    assert len(out) == 1000
+    assert sorted(r["v"] for r in out) == list(range(1000))
