@@ -64,7 +64,11 @@ _BITSET_VOCAB_MAX = 1 << 16
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Stable uint64 hashes of the k-char shingles of ``text``."""
+    """Stable uint64 hashes of the k-char shingles of ``text``.
+
+    Reference single-doc kernel (kept for the verify kernels and as the
+    semantic spec the batched path reproduces — see
+    :func:`_batch_shingle_hashes`)."""
     if len(text) < k:
         text = text.ljust(k)
     b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
@@ -73,6 +77,65 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
     pows = np.power(np.uint64(257), np.arange(k, dtype=np.uint64))
     return np.unique((w * pows).sum(axis=1, dtype=np.uint64))
+
+
+def _batch_shingle_hashes(
+    col: pa.Array | pa.ChunkedArray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Every k-byte-window hash of every document in ONE pass over the
+    batch's concatenated UTF-8 buffers (the Fingerprint recipe,
+    ``text.py``; VERDICT r3 finding #3 — no ``to_pylist`` / per-row
+    dispatch in the signature hot path).
+
+    Returns ``(hashes, offsets)``: doc ``i``'s window hashes (multiset,
+    NOT uniqued) are ``hashes[offsets[i]:offsets[i+1]]``. Matches
+    :func:`_shingle_hashes` exactly, including the space-pad of
+    sub-``k``-CHARACTER texts (``str.ljust`` pads by characters, so the
+    pad count comes from ``utf8_length``, not the byte length) and the
+    uint64 wraparound of the polynomial accumulation. Every document
+    yields >= 1 window.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    col = pc.fill_null(col, "")
+    nchars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    bin_ = pc.cast(col, pa.large_binary())
+    if isinstance(bin_, pa.ChunkedArray):
+        bin_ = bin_.combine_chunks()
+    boffs = np.frombuffer(bin_.buffers()[1], dtype=np.int64)[
+        bin_.offset : bin_.offset + n + 1
+    ]
+    data = np.frombuffer(bin_.buffers()[2], dtype=np.uint8)
+    lens = np.diff(boffs)
+    padded = lens + np.maximum(k - nchars, 0)  # ljust pads CHARS with spaces
+    out_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(padded, out=out_starts[1:])
+    total = int(out_starts[-1])
+    concat = np.full(total, 0x20, dtype=np.uint8)  # pad byte = ' '
+    shift = np.repeat(out_starts[:-1] - boffs[:-1], lens)
+    src = np.arange(boffs[0], boffs[-1], dtype=np.int64)
+    concat[src + shift] = data[boffs[0] : boffs[-1]]
+    pows = np.power(np.uint64(257), np.arange(k, dtype=np.uint64))
+    concat_u64 = concat.astype(np.uint64)
+    H = total - k + 1
+    hashes = np.zeros(H, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            hashes += concat_u64[i : i + H] * pows[i]
+    # drop windows that cross a document boundary
+    n_windows = padded - k + 1  # >= 1: padded >= max(k, nchars) >= k
+    spans = np.minimum(out_starts[1:], H) - out_starts[:-1]
+    pos_within = np.arange(H, dtype=np.int64) - np.repeat(out_starts[:-1], spans)
+    valid = pos_within < np.repeat(n_windows, spans)
+    hashes = hashes[valid]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_windows, out=offsets[1:])
+    return hashes, offsets
 
 
 class MinHasher:
@@ -93,22 +156,40 @@ class MinHasher:
         self.text_column = text_column
 
     def signature(self, text: str) -> np.ndarray:
+        """Reference single-doc kernel (kept for tests/documentation of
+        the semantics the batched ``__call__`` path reproduces)."""
         sh = _shingle_hashes(text, self.k)
         # (a*x + b) mod p, min over shingles, vectorized over perms
         vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """One concatenated-buffer shingle pass for the whole batch +
+        ``np.minimum.reduceat`` segment minima per permutation — no
+        per-row Python dispatch or string copies (VERDICT r3 #3; the
+        Fingerprint recipe). min over the window-hash MULTISET equals
+        min over the uniqued set, so the reference's ``np.unique`` is
+        skipped."""
         if batch.num_rows == 0:
             return batch.append_column(
                 "minhash", pa.array([], pa.list_(pa.int64()))
             )
-        sigs = np.stack(
-            [self.signature(t or "") for t in batch.column(self.text_column).to_pylist()]
+        hashes, offs = _batch_shingle_hashes(batch.column(self.text_column), self.k)
+        n = batch.num_rows
+        starts = offs[:-1]
+        sig = np.empty((self.num_perm, n), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(self.num_perm):
+                v = (hashes * self.a[j] + self.b[j]) % _MERSENNE
+                sig[j] = np.minimum.reduceat(v, starts)
+        flat = sig.T.reshape(-1).astype(np.int64)  # doc-major
+        list_offs = pa.array(
+            np.arange(n + 1, dtype=np.int64) * self.num_perm, pa.int64()
         )
-        return batch.append_column(
-            "minhash", pa.array(list(sigs.astype(np.int64)), pa.list_(pa.int64()))
+        col = pa.LargeListArray.from_arrays(list_offs, pa.array(flat)).cast(
+            pa.list_(pa.int64())
         )
+        return batch.append_column("minhash", col)
 
 
 def minhash_lsh_candidates(
@@ -153,7 +234,13 @@ def minhash_lsh_candidates(
                  id_column: pa.array([], pa.int64())}
             )
         ids = batch.column(id_column).to_numpy(zero_copy_only=False)
-        sigs = np.stack(batch.column("minhash").to_pandas().to_numpy()).astype(np.uint64)
+        # fixed-length lists with no nulls: flatten + reshape is zero-copy
+        # (a pandas round-trip boxes every signature into an object row)
+        mh = batch.column("minhash").combine_chunks()
+        sigs = (
+            mh.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.uint64).reshape(len(mh), num_perm)
+        )
         n = len(ids)
         band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
         doc_ids = np.tile(ids, bands)
@@ -823,6 +910,7 @@ class SimHasher:
         self.bits = np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
+        """Reference single-doc kernel (semantic spec for ``__call__``)."""
         sh = _shingle_hashes(text, self.k)
         if len(sh) == 0:
             return 0
@@ -833,11 +921,32 @@ class SimHasher:
         return int(((votes > 0).astype(np.uint64) << self.bits).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = np.array(
-            [self.simhash(t or "") for t in batch.column(self.text_column).to_pylist()],
-            dtype=np.uint64,
-        )
-        return batch.append_column("simhash", pa.array(hs.astype(np.int64)))
+        """Batched simhash: one concatenated-buffer shingle pass, per-doc
+        UNIQUE shingles via a (doc, hash) lexsort + adjacent-dup drop
+        (simhash votes count each DISTINCT shingle once — unlike minhash,
+        the multiset is not equivalent), then 64 bit-plane
+        ``np.add.reduceat`` segment sums. O(shingles) memory — no
+        (shingles x 64) matrix."""
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("simhash", pa.array([], pa.int64()))
+        hashes, offs = _batch_shingle_hashes(batch.column(self.text_column), self.k)
+        doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        order = np.lexsort((hashes, doc))
+        h_s, d_s = hashes[order], doc[order]
+        keep = np.ones(len(h_s), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        h_u, d_u = h_s[keep], d_s[keep]
+        cnt = np.bincount(d_u, minlength=n)  # >= 1 per doc (>=1 window)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        out = np.zeros(n, dtype=np.uint64)
+        for b in range(64):
+            ones = np.add.reduceat(
+                ((h_u >> np.uint64(b)) & np.uint64(1)).astype(np.int64), starts
+            )
+            out |= (ones * 2 > cnt).astype(np.uint64) << np.uint64(b)
+        return batch.append_column("simhash", pa.array(out.astype(np.int64)))
 
 
 # -------------------------------------------------- embedding cosine near-dup
