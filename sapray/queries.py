@@ -1285,11 +1285,11 @@ def bloom_semi_join_orders(sf_dir: str):
     definite non-members with 5 vectorized probes per key, and the
     surviving fraction goes through the exact membership stage — result
     exact, expensive check sees a fraction of the rows."""
+    # segment predicate pushed into the read: row groups with no
+    # BUILDING rows never leave the footer
     cust = ops.read_projected(
-        _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
-    ).map_batches(
-        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")),
-        batch_format="pyarrow", zero_copy_batch=True,
+        _p(sf_dir, "customer"), columns=["c_custkey"],
+        filter_expr=pc.field("c_mktsegment") == "BUILDING",
     )
     bloom_ref, n_bits, k = ops.bloom_build(cust, "c_custkey", n_bits_log2=18)
     orders = ops.read_projected(
@@ -1369,11 +1369,11 @@ def q3_shipping_priority(sf_dir: str):
     """
     import datetime as _dt
 
+    # segment predicate pushed into the read: row groups with no
+    # BUILDING rows never leave the footer
     cust = ops.read_projected(
-        _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
-    ).map_batches(
-        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")),
-        batch_format="pyarrow", zero_copy_batch=True,
+        _p(sf_dir, "customer"), columns=["c_custkey"],
+        filter_expr=pc.field("c_mktsegment") == "BUILDING",
     )
     orders = ops.read_projected(
         _p(sf_dir, "orders"),
@@ -1434,13 +1434,16 @@ def q10_returned_items(sf_dir: str):
     join; customer and nation ride the object store as broadcast sides.
     Revenue in exact integer micro-units; global top-20 via the
     per-batch top-k truncation combiner."""
+    # returnflag predicate pushed into the read (VERDICT r3 #4): row
+    # groups containing no 'R' rows never leave the parquet footer, and
+    # the flag column itself stays out of the projection
     li = ops.read_projected(
         _p(sf_dir, "lineitem"),
-        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter_expr=pc.field("l_returnflag") == "R",
     )
 
     def returned_revenue(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
         cents = _cents(batch.column("l_extendedprice"))
         disc_bp = _cents(batch.column("l_discount"), scale=10_000)
         rev = pc.multiply(cents, pc.subtract(pa.scalar(10_000, pa.int64()), disc_bp))
