@@ -1393,13 +1393,33 @@ def global_rank(
     qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
     splitters = np.unique(samples.quantile(qs, interpolation="nearest"))
 
+    def _values_nullsafe(col) -> tuple[np.ndarray, np.ndarray]:
+        """(values, null_mask) keeping integer columns INTEGRAL: an
+        int64 column with any NULL degrades to float64 via to_numpy, so
+        values above 2^53 would mis-partition and mis-order ties
+        (ADVICE r3) — fill nulls through the Arrow validity mask instead
+        and route/order NULL rows by the mask."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        nulls = col.is_null().to_numpy(zero_copy_only=False)
+        if col.null_count and pa.types.is_integer(col.type):
+            v = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        else:
+            v = col.to_numpy(zero_copy_only=False)
+        return v, nulls
+
     def route(batch: pa.Table) -> pa.Table:
-        v = batch.column(value_column).to_numpy(zero_copy_only=False)
-        part = np.searchsorted(splitters, v, side="left").astype(np.int32)
-        # NULLs surface as NaN (floats) — NaN searchsorts to the end,
-        # which is exactly NULLS LAST; ints with nulls become NaN too
+        v, nulls = _values_nullsafe(batch.column(value_column))
+        # nearest-interpolation splitters cast back exactly for integral
+        # columns (any rounding drift in the SAMPLE stage only shifts a
+        # boundary; route comparisons stay exact int64 vs int64)
+        sp = splitters.astype(v.dtype) if v.dtype.kind in "iu" else splitters
+        part = np.searchsorted(sp, v, side="left").astype(np.int32)
+        # float NaN searchsorts to the end, which is NULLS LAST already;
+        # masked NULLs route there explicitly
         if v.dtype.kind == "f":
             part[np.isnan(v)] = len(splitters)
+        part[nulls] = len(splitters)
         return batch.append_column("__part", pa.array(part))
 
     tagged = ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
@@ -1429,10 +1449,11 @@ def global_rank(
 
     def rank_partition(g: pa.Table) -> pa.Table:
         p = int(g.column("__part")[0].as_py())
-        v = g.column(value_column).to_numpy(zero_copy_only=False)
+        v, nulls = _values_nullsafe(g.column(value_column))
         i = g.column(id_column).to_numpy(zero_copy_only=False)
-        # NULLs surface as NaN; np.lexsort places NaN last (NULLS LAST)
-        order = np.lexsort((i, v))
+        # null mask is the PRIMARY sort key (NULLS LAST, exact for ints);
+        # float NaN still lexsorts last within the non-null block
+        order = np.lexsort((i, v, nulls))
         rk = np.empty(len(order), dtype=np.int64)
         rk[order] = offsets[p] + 1 + np.arange(len(order), dtype=np.int64)
         return pa.table({

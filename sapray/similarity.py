@@ -104,6 +104,33 @@ def brute_force_topk(
     return partials.groupby("query_id").map_groups(reduce_query, batch_format="pandas")
 
 
+
+def _train_sample(
+    ds: ray.data.Dataset, vec_column: str, sample_size: int
+) -> np.ndarray:
+    """Uniform strided training sample across the WHOLE corpus.
+
+    ``ds.limit(sample_size)`` takes the FIRST rows, so a sorted or
+    clustered corpus trains skewed centroids and unbalanced cells
+    (ADVICE r3 — search stays correct because build and search share the
+    centroids, but partition pruning degrades). Every read task instead
+    keeps an evenly strided slice of its batch, spreading the sample
+    over all input files; ``count()`` is footer-metadata-cheap on the
+    parquet read this receives. Deterministic (no RNG)."""
+    n_total = ds.count()
+    stride = max(1, n_total // max(sample_size, 1))
+
+    def strided(b: pa.Table) -> pa.Table:
+        idx = np.arange(0, b.num_rows, stride, dtype=np.int64)
+        return b.select([vec_column]).take(pa.array(idx))
+
+    return _to_matrix(
+        ds.map_batches(strided, batch_format="pyarrow", zero_copy_batch=True)
+        .limit(sample_size)
+        .to_pandas()[vec_column]
+    )
+
+
 def train_centroids(sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 42) -> np.ndarray:
     """k-means-lite on a driver-side sample (the IVF coarse quantizer)."""
     rng = np.random.default_rng(seed)
@@ -138,9 +165,7 @@ def ivf_topk(
     cells ~ sqrt(corpus) balances quantizer scan vs cell scan) — size
     ``sample_size`` to the corpus, e.g. 1M samples -> 1000 cells, so the
     default never silently stays toy-sized as the data grows."""
-    sample = _to_matrix(
-        ds.limit(sample_size).select_columns([vec_column]).to_pandas()[vec_column]
-    )
+    sample = _train_sample(ds, vec_column, sample_size)
     if n_cells is None:
         n_cells = max(16, int(np.sqrt(len(sample))))
     cents = train_centroids(sample, n_cells)
@@ -236,9 +261,7 @@ def build_ivf_index(
 
     import pyarrow.parquet as pq
 
-    sample = _to_matrix(
-        ds.limit(sample_size).select_columns([vec_column]).to_pandas()[vec_column]
-    )
+    sample = _train_sample(ds, vec_column, sample_size)
     if n_cells is None:
         n_cells = max(16, int(np.sqrt(len(sample))))
     cents = train_centroids(sample, n_cells)

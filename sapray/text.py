@@ -87,7 +87,16 @@ class QualityScore:
 
 
 class TokenCount:
-    """Whitespace + BPE-ish token counting (compiled once per actor)."""
+    """Whitespace + BPE-ish token counting (compiled once per actor).
+
+    Tokenization is Arrow/RE2, whose ``\\w`` is ASCII-only — unlike
+    Python ``re``'s Unicode ``\\w`` — so for non-ASCII text each
+    multibyte word counts as punctuation runs, not word tokens. This is
+    deliberate: the DuckDB oracle is also RE2, so counts compare
+    bit-exactly; a multilingual corpus wanting Unicode word classes
+    should swap the pattern for an explicit class like ``[\\p{L}\\p{N}]+``
+    (RE2 supports Unicode property classes, just not in ``\\w``).
+    """
 
     def __init__(self, text_column: str = "text"):
         self.text_column = text_column

@@ -234,6 +234,15 @@ def incremental_group_view(
         ret_df = agg_df(retract_ds)
 
     merged = base_partials.set_index(group)
+    if mm:
+        missing = [c for c in mm_cols if c not in merged.columns]
+        if missing:
+            raise ValueError(
+                "incremental_group_view: base_partials is missing min/max "
+                f"partial columns {missing} — it was produced by a refresh "
+                "without minmax=; recompute the base partials with the same "
+                "minmax spec (a contract error, not a pandas KeyError)"
+            )
     base_mm = merged[mm_cols] if mm else None
     merged = merged[list(partials)]
     numeric = list(merged.columns)

@@ -50,7 +50,18 @@ def arrow_of(result):
     tables = [t for t in tables if t.num_rows] or tables[:1]
     if not tables:
         return pa.table({})
-    return pa.concat_tables(tables, promote_options="permissive")
+    # STRICT: permissive promotion would silently widen mixed per-block
+    # schemas (one int64 block among float64 blocks) before the type
+    # gate; the driver's per-value type-sensitive hash would still fail
+    # on such drift, so report it here instead of hiding it (ADVICE r3)
+    base = tables[0].schema
+    for t in tables[1:]:
+        if not t.schema.equals(base):
+            raise AssertionError(
+                "mixed per-block schemas in engine result:\n"
+                f"{base}\n--- vs ---\n{t.schema}"
+            )
+    return pa.concat_tables(tables)
 
 
 def _canon_type(t) -> str:

@@ -72,3 +72,25 @@ def test_partitioned_apply_default_resolves(ray_session):
     out = partitioned_apply(ds, "k", lambda g: g).take_all()
     assert len(out) == 1000
     assert sorted(r["v"] for r in out) == list(range(1000))
+
+
+def test_global_rank_int64_above_2_53_with_nulls(ray_session):
+    """int64 values above 2^53 must not round through float64 when the
+    column carries NULLs (ADVICE r3): adjacent huge values that collide
+    as doubles must still rank in exact integer order, NULLs last."""
+    import ray.data
+
+    from sapray.ops import global_rank
+
+    base = 1 << 60
+    vals = [base + 3, base + 1, None, base + 2, base, None]
+    t = pa.table({
+        "v": pa.array(vals, pa.int64()),
+        "id": pa.array(range(len(vals)), pa.int64()),
+    })
+    out = global_rank(ray.data.from_arrow(t), "v", "id", num_partitions=3)
+    rows = sorted(out.take_all(), key=lambda r: r["rk"])
+    got = [r["id"] for r in rows]
+    # exact ascending value order: base, +1, +2, +3, then NULLs by id
+    assert got == [4, 1, 3, 0, 2, 5]
+    assert [r["rk"] for r in rows] == [1, 2, 3, 4, 5, 6]
