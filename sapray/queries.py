@@ -758,6 +758,46 @@ FROM documents
 """
 
 
+def stage_pipeline_docs(sf_dir: str):
+    """User-extension Stage protocol end to end (SURVEY §2.6): the
+    token_count and quality_score stages resolved by NAME from the step
+    registry, plan-time schema-validated (each stage's ``plan()``
+    threads ``schema_in -> schema_out`` before any task launches — the
+    ``configurePipeline`` analogue, ``reference
+    src/main/java/io/cdap/plugin/sap/SapODataSource.java:62-85``) and
+    run as actor-pool map_batches stages; ``text_column`` arrives as a
+    ``@Macro``-style late-bound config resolved from runtime args
+    (``SapODataConfig.java:57-92``)."""
+    from sapray.stage import Macro, build_pipeline
+
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out, schema = build_pipeline(
+        ds,
+        [("token_count", {"text_column": Macro("text_col", default="text")}),
+         ("quality_score", {"text_column": Macro("text_col")})],
+        runtime_args={"text_col": "text"},
+    )
+    assert schema.names == [
+        "doc_id", "text", "n_ws_tokens", "n_bpe_tokens",
+        "n_chars_calc", "n_spaces", "stop_hits",
+    ]
+    return out.select_columns(
+        ["doc_id", "n_ws_tokens", "n_bpe_tokens",
+         "n_chars_calc", "n_spaces", "stop_hits"]
+    )
+
+
+STAGE_PIPELINE_DOCS_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+'))   AS n_ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+       length(text)                                        AS n_chars_calc,
+       length(text) - length(replace(text, ' ', ''))       AS n_spaces,
+       (length(text) - length(replace(text, 'the', ''))) // 3 AS stop_hits
+FROM documents
+"""
+
+
 def langid_docs(sf_dir: str):
     """Language-ID over single-language fixture docs: each doc_id gets a
     deterministic text built from one language's trigram profile, so the
@@ -3803,6 +3843,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "fingerprint_docs": {"fn": fingerprint_docs, "sql": FINGERPRINT_DOCS_SQL},
         "token_count_docs": {"fn": token_count_docs, "sql": TOKEN_COUNT_DOCS_SQL},
         "quality_docs": {"fn": quality_docs, "sql": QUALITY_DOCS_SQL},
+        "stage_pipeline_docs": {
+            "fn": stage_pipeline_docs, "sql": STAGE_PIPELINE_DOCS_SQL,
+        },
         "langid_docs": {"fn": langid_docs, "sql": LANGID_DOCS_SQL},
         "pii_redact_docs": {"fn": pii_redact_docs, "sql": PII_REDACT_DOCS_SQL},
         "repetition_docs": {"fn": repetition_docs, "sql": REPETITION_DOCS_SQL},
@@ -3988,6 +4031,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "intersect_all_users",
         "dedup_keep_best_docs",
         "weighted_sample_docs",
+        "stage_pipeline_docs",
         "cdc_replay_flagship",
         "cdc_replay_delta",
         "cdc_point_lookup",

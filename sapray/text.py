@@ -15,6 +15,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from sapray.stage import Stage, is_stringy, register_stage
+
 # deterministic mini n-gram profiles per language (public-knowledge
 # character trigram heuristics; good enough for a ranking heuristic)
 _LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -26,7 +28,8 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
-class LangId:
+@register_stage
+class LangId(Stage):
     """Character n-gram language-ID heuristic (actor-pool stage).
 
     Scores each language by profile-trigram hit count normalized by text
@@ -45,6 +48,15 @@ class LangId:
             for lang, grams in _LANG_PROFILES.items()
         }
 
+    name = "langid"
+    description = "character n-gram language identification"
+
+    def required_input(self):
+        return {self.text_column: is_stringy}
+
+    def added_columns(self, schema_in):
+        return {self.out_column: pa.string()}
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         lowered = pc.utf8_lower(batch.column(self.text_column))
         scores = np.zeros((len(batch), len(self.langs)))
@@ -60,7 +72,8 @@ class LangId:
         return batch.append_column(self.out_column, pa.array(pred, pa.string()))
 
 
-class QualityScore:
+@register_stage
+class QualityScore(Stage):
     """Document quality signals: lengths, whitespace, stopword hits.
 
     Emits integer-valued signals so downstream checks are hash-exact.
@@ -68,6 +81,16 @@ class QualityScore:
 
     def __init__(self, text_column: str = "text"):
         self.text_column = text_column
+
+    name = "quality_score"
+    description = "integer document quality signals (lengths, stopword hits)"
+
+    def required_input(self):
+        return {self.text_column: is_stringy}
+
+    def added_columns(self, schema_in):
+        return {"n_chars_calc": pa.int64(), "n_spaces": pa.int64(),
+                "stop_hits": pa.int64()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column(self.text_column)
@@ -86,7 +109,8 @@ class QualityScore:
         )
 
 
-class TokenCount:
+@register_stage
+class TokenCount(Stage):
     """Whitespace + BPE-ish token counting (compiled once per actor).
 
     Tokenization is Arrow/RE2, whose ``\\w`` is ASCII-only — unlike
@@ -105,6 +129,15 @@ class TokenCount:
         # regexp_extract_all, and no pandas round trip (VERDICT r2 #7)
         self.bpe = r"\w+|[^\w\s]"
 
+    name = "token_count"
+    description = "whitespace + BPE-ish token counts"
+
+    def required_input(self):
+        return {self.text_column: is_stringy}
+
+    def added_columns(self, schema_in):
+        return {"n_ws_tokens": pa.int64(), "n_bpe_tokens": pa.int64()}
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column(self.text_column)
         trimmed = pc.utf8_trim_whitespace(text)
@@ -117,7 +150,8 @@ class TokenCount:
         )
 
 
-class Fingerprint:
+@register_stage
+class Fingerprint(Stage):
     """Rolling-hash document fingerprint (polynomial Rabin-style over
     bytes, window-min sampled) — deterministic across runs."""
 
@@ -126,6 +160,15 @@ class Fingerprint:
         self.window = window
         base = np.uint64(1099511628211)
         self.pows = np.power(base, np.arange(window, dtype=np.uint64))
+
+    name = "fingerprint"
+    description = "rolling-hash window-min document fingerprint"
+
+    def required_input(self):
+        return {self.text_column: is_stringy}
+
+    def added_columns(self, schema_in):
+        return {"fingerprint": pa.int64()}
 
     def _fp(self, s: str) -> int:
         """Reference single-doc kernel (kept for tests/documentation of
@@ -190,7 +233,8 @@ class Fingerprint:
         )
 
 
-class PiiRedact:
+@register_stage
+class PiiRedact(Stage):
     """PII scrubbing for training corpora (actor-pool stage).
 
     Replaces emails / IPv4 addresses / phone-shaped numbers with typed
@@ -217,6 +261,18 @@ class PiiRedact:
             ("n_phones", self.PHONE, "<PHONE>"),
         )
 
+    name = "pii_redact"
+    description = "email/IP/phone redaction with per-doc match counts"
+
+    def required_input(self):
+        return {self.text_column: is_stringy}
+
+    def added_columns(self, schema_in):
+        # redacted column keeps the input's string width
+        return {"n_emails": pa.int64(), "n_ips": pa.int64(),
+                "n_phones": pa.int64(),
+                self.out_column: schema_in.field(self.text_column).type}
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         s = batch.column(self.text_column)
         for count_name, pattern, token in self.rules:
@@ -226,7 +282,8 @@ class PiiRedact:
         return batch.append_column(self.out_column, s)
 
 
-class RepetitionStats:
+@register_stage
+class RepetitionStats(Stage):
     """Gopher-style repetition signals per document (actor-pool stage).
 
     Emits integer word-level counts — total words, distinct words, and
@@ -239,6 +296,16 @@ class RepetitionStats:
     def __init__(self, text_column: str = "text", sep: str = " "):
         self.text_column = text_column
         self.sep = sep
+
+    name = "repetition_stats"
+    description = "Gopher-style word repetition signals"
+
+    def required_input(self):
+        return {self.text_column: is_stringy}
+
+    def added_columns(self, schema_in):
+        return {"n_words": pa.int64(), "n_distinct_words": pa.int64(),
+                "max_word_repeat": pa.int64()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -263,7 +330,8 @@ class RepetitionStats:
         )
 
 
-class ChunkDocs:
+@register_stage
+class ChunkDocs(Stage):
     """Fixed-size overlapping document chunking (rows out > rows in).
 
     The standard training-data prep step: split each document into
@@ -287,6 +355,21 @@ class ChunkDocs:
         self.id_column = id_column
         self.size = size
         self.step = size - overlap
+
+    name = "chunk_docs"
+    description = "fixed-size overlapping chunk explode (schema-replacing)"
+    evolves = False  # output REPLACES the schema (rows out > rows in)
+
+    def required_input(self):
+        return {self.text_column: is_stringy,
+                self.id_column: lambda t: True}
+
+    def output_schema(self, schema_in):
+        return pa.schema([
+            (self.id_column, schema_in.field(self.id_column).type),
+            ("chunk_idx", pa.int64()),
+            ("chunk_text", pa.string()),
+        ])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = pc.utf8_length(batch.column(self.text_column)).to_numpy().astype(np.int64)
@@ -373,7 +456,8 @@ def doc_term_counts(
     )
 
 
-class Decontaminate:
+@register_stage
+class Decontaminate(Stage):
     """Train/eval overlap detection (actor-pool stage).
 
     Flags training documents that share any word ``n``-gram with a
@@ -387,6 +471,15 @@ class Decontaminate:
 
     The reference has no analog (SURVEY.md §2.4); engine-added operator.
     """
+
+    name = "decontaminate"
+    description = "train/eval n-gram overlap hit counts"
+
+    def required_input(self):
+        return {self.text_column: is_stringy}
+
+    def added_columns(self, schema_in):
+        return {"n_hits": pa.int64()}
 
     def __init__(self, eval_grams_ref, text_column: str = "text", n: int = 8):
         self.text_column = text_column
