@@ -3104,6 +3104,33 @@ FROM c
 """
 
 
+def skip_events(sf_dir: str):
+    """OFFSET/$skip analogue (the reference's ``$top=2&$skip=2`` query
+    shape, ``reference SapODataConfigTest.java:59``): rows 501-600 of
+    the exact global (cents, event_id) total order via ops.skip — one
+    range exchange, streaming rank filter, no driver collect (offset
+    sized inside the smallest sf fixture's 1000 events)."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["event_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "cents": _cents(batch.column("value")),
+        })
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return ops.skip(ds, "cents", "event_id", offset=500, limit=100)
+
+
+SKIP_EVENTS_SQL = """
+WITH c AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT event_id, cents FROM c
+ORDER BY cents, event_id LIMIT 100 OFFSET 500
+"""
+
+
 JSON_NESTED_EVENTS_SQL = """
 WITH m AS (
   SELECT event_id,
@@ -3846,6 +3873,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "stage_pipeline_docs": {
             "fn": stage_pipeline_docs, "sql": STAGE_PIPELINE_DOCS_SQL,
         },
+        "skip_events": {"fn": skip_events, "sql": SKIP_EVENTS_SQL},
         "langid_docs": {"fn": langid_docs, "sql": LANGID_DOCS_SQL},
         "pii_redact_docs": {"fn": pii_redact_docs, "sql": PII_REDACT_DOCS_SQL},
         "repetition_docs": {"fn": repetition_docs, "sql": REPETITION_DOCS_SQL},
@@ -4032,6 +4060,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "dedup_keep_best_docs",
         "weighted_sample_docs",
         "stage_pipeline_docs",
+        "skip_events",
         "cdc_replay_flagship",
         "cdc_replay_delta",
         "cdc_point_lookup",
