@@ -291,17 +291,138 @@ def build_ivf_index(
 
     from sapray import ops
 
+    def _stamp_epoch(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "epoch", pa.array(np.zeros(batch.num_rows, np.int64))
+        )
+
     tagged = ds.map_batches(
         _Assign, batch_format="pyarrow", concurrency=ops.actor_pool()
-    )
+    ).map_batches(_stamp_epoch, batch_format="pyarrow", zero_copy_batch=True)
+    # a rebuild REPLACES the index: clear vector/update data from any
+    # prior build (write_parquet appends uuid-named files, it never
+    # overwrites) so stale copies don't accumulate
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "vectors"), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "updates"), ignore_errors=True)
     tagged.write_parquet(
         os.path.join(index_dir, "vectors"), partition_cols=["bucket"]
     )
     meta = {"n_cells": int(n_cells), "n_buckets": int(n_buckets),
-            "id_column": id_column, "vec_column": vec_column}
+            "id_column": id_column, "vec_column": vec_column, "epoch": 0}
     with open(os.path.join(index_dir, "manifest.json"), "w") as f:
         json.dump(meta, f)
     return meta
+
+
+def update_ivf_index(
+    index_dir: str,
+    upserts=None,
+    delete_ids=None,
+    op_column: str | None = None,
+) -> dict:
+    """Incrementally maintain a persisted IVF index from a change feed —
+    no full rebuild (VERDICT r3 stretch #8: the 100 TB ANN story needs
+    upserted vectors to re-bucket incrementally).
+
+    ``upserts`` is a Dataset or Table of (id, vector) rows; with
+    ``op_column`` set it is a CDC change feed whose ``'D'`` rows are
+    deletions (``pipeline.CDCEngine.change_feed`` shape) and everything
+    else an upsert. Mechanics:
+
+    * the PERSISTED centroids assign each upserted vector its cell, so
+      new vectors land in exactly the bucket directories a search will
+      probe for them (centroids are fixed between rebuilds — standard
+      IVF maintenance; re-training is a rebuild);
+    * delta vector files append into the existing hive buckets stamped
+      with a bumped ``epoch``;
+    * an ``updates/`` log records (id, epoch, deleted) so a search can
+      LWW-drop stale copies of an upserted id (whose old vector may sit
+      in a DIFFERENT bucket) and tombstoned ids — the log is delta-sized
+      and broadcast, never a scan.
+
+    Searching after N updates equals searching a fresh rebuild over the
+    post-update corpus at the same probe set (test_similarity coverage).
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        meta = json.load(f)
+    id_column, vec_column = meta["id_column"], meta["vec_column"]
+    epoch = int(meta.get("epoch", 0)) + 1
+    n_buckets = meta["n_buckets"]
+    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cents = _to_matrix(ct.column("centroid"))
+
+    if upserts is not None and not isinstance(upserts, pa.Table):
+        upserts = pa.concat_tables(
+            [ray.get(r) for r in upserts.to_arrow_refs()],
+            promote_options="default",
+        )
+    del_ids = list(delete_ids) if delete_ids is not None else []
+    if upserts is not None and op_column is not None:
+        ops_col = upserts.column(op_column)
+        dmask = pa.compute.equal(ops_col, "D")
+        del_ids += upserts.filter(dmask).column(id_column).to_pylist()
+        upserts = upserts.filter(pa.compute.invert(dmask))
+    up_ids: list = []
+    if upserts is not None and upserts.num_rows:
+        v = _normalize(_to_matrix(upserts.column(vec_column)))
+        cells = np.argmax(v @ cents.T, axis=1).astype(np.int64)
+        up_ids = upserts.column(id_column).to_pylist()
+        delta = pa.table({
+            id_column: upserts.column(id_column),
+            vec_column: upserts.column(vec_column),
+            "cell": pa.array(cells),
+            "epoch": pa.array(np.full(len(cells), epoch, np.int64)),
+        })
+        for b in np.unique(cells % n_buckets):
+            bdir = os.path.join(index_dir, "vectors", f"bucket={int(b)}")
+            os.makedirs(bdir, exist_ok=True)
+            part = delta.filter(pa.array((cells % n_buckets) == b))
+            pq.write_table(part, os.path.join(bdir, f"delta-{epoch}.parquet"))
+    log_ids = up_ids + del_ids
+    if log_ids:
+        os.makedirs(os.path.join(index_dir, "updates"), exist_ok=True)
+        pq.write_table(
+            pa.table({
+                id_column: pa.array(log_ids, pa.int64()),
+                "epoch": pa.array(np.full(len(log_ids), epoch, np.int64)),
+                "deleted": pa.array(
+                    [False] * len(up_ids) + [True] * len(del_ids)
+                ),
+            }),
+            os.path.join(index_dir, "updates", f"epoch-{epoch}.parquet"),
+        )
+    meta["epoch"] = epoch
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _load_update_state(index_dir: str):
+    """(sorted ids, latest epoch per id, deleted flag per id) from the
+    updates log — delta-sized, or None when the index has no updates."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    paths = sorted(_glob.glob(os.path.join(index_dir, "updates", "*.parquet")))
+    if not paths:
+        return None
+    t = pa.concat_tables([pq.read_table(p) for p in paths])
+    ids = t.column(0).to_numpy(zero_copy_only=False)
+    ep = t.column("epoch").to_numpy(zero_copy_only=False)
+    dele = t.column("deleted").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ep, ids))
+    ids, ep, dele = ids[order], ep[order], dele[order]
+    last = np.concatenate([np.nonzero(np.diff(ids))[0], [len(ids) - 1]])
+    return ids[last], ep[last], dele[last]
 
 
 def ivf_index_topk(
@@ -338,18 +459,36 @@ def ivf_index_topk(
         paths.extend(sorted(_glob.glob(
             os.path.join(index_dir, "vectors", f"bucket={int(b)}", "*.parquet")
         )))
-    ds = ray.data.read_parquet(paths, columns=[id_column, vec_column, "cell"])
+    ds = ray.data.read_parquet(
+        paths, columns=[id_column, vec_column, "cell", "epoch"]
+    )
     qref = ray.put(qm)
     pref = ray.put(probe)
     cellref = ray.put(probed_cells)
+    # delta-sized LWW state from incremental updates (None when the
+    # index was never updated): stale copies of upserted ids and
+    # tombstoned ids are dropped per batch via one searchsorted
+    uref = ray.put(_load_update_state(index_dir))
 
     class _Scorer:
         def __init__(self):
             self.q = ray.get(qref)
             self.probe = ray.get(pref)
             self.probed = ray.get(cellref)
+            self.upd = ray.get(uref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.upd is not None and batch.num_rows:
+                u_ids, u_ep, u_del = self.upd
+                row_ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+                ep = batch.column("epoch").to_numpy(zero_copy_only=False)
+                pos = np.clip(np.searchsorted(u_ids, row_ids), 0, len(u_ids) - 1)
+                hit = u_ids[pos] == row_ids
+                # latest log entry wins: older copies of an upserted id
+                # (possibly in another bucket) and deleted ids drop
+                drop = hit & ((ep < u_ep[pos]) | u_del[pos])
+                if drop.any():
+                    batch = batch.filter(pa.array(~drop))
             cells = batch.column("cell").to_numpy(zero_copy_only=False)
             keep = np.isin(cells, self.probed)
             if not keep.any():

@@ -1,0 +1,119 @@
+"""Incremental IVF index maintenance: search after update_ivf_index
+equals a fresh rebuild over the post-update corpus (VERDICT r3 #8)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sapray.similarity import build_ivf_index, ivf_index_topk, update_ivf_index
+
+DIM = 8
+N = 60
+
+
+def _base_table() -> pa.Table:
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((N, DIM))
+    return pa.table({
+        "vec_id": pa.array(np.arange(N, dtype=np.int64)),
+        "embedding": pa.array(list(v), pa.list_(pa.float64())),
+    })
+
+
+def _rows(ds):
+    return sorted(
+        ((r["query_id"], r["rank"], r["neighbor_id"]) for r in ds.take_all())
+    )
+
+
+@pytest.fixture()
+def corpus(ray_session):
+    return _base_table()
+
+
+def _queries(vecs: np.ndarray, ids) -> pa.Table:
+    return pa.table({
+        "vec_id": pa.array(np.asarray(ids, np.int64)),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+    })
+
+
+def test_incremental_update_equals_rebuild(corpus, tmp_path, ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    new5 = rng.standard_normal(DIM)
+    new100 = rng.standard_normal(DIM)
+    feed = pa.table({
+        "vec_id": pa.array([5, 100, 7], pa.int64()),
+        "embedding": pa.array(
+            [new5, new100, np.zeros(DIM)], pa.list_(pa.float64())
+        ),
+        "op": pa.array(["U", "U", "D"]),
+    })
+
+    inc_dir = str(tmp_path / "inc")
+    build_ivf_index(
+        ray.data.from_arrow(corpus), inc_dir, n_cells=8, sample_size=N
+    )
+    meta = update_ivf_index(inc_dir, feed, op_column="op")
+    assert meta["epoch"] == 1
+
+    # fresh rebuild over the post-update corpus
+    base = corpus.to_pandas().set_index("vec_id")
+    base.loc[5, "embedding"] = new5
+    base = base.drop(index=7)
+    base.loc[100] = [new100]
+    post = pa.table({
+        "vec_id": pa.array(base.index.to_numpy(np.int64)),
+        "embedding": pa.array(list(base["embedding"]), pa.list_(pa.float64())),
+    })
+    full_dir = str(tmp_path / "full")
+    build_ivf_index(
+        ray.data.from_arrow(post), full_dir, n_cells=8, sample_size=N
+    )
+
+    # probe EVERY cell so both indexes score the same candidate set and
+    # the comparison isolates the LWW/tombstone logic from centroid drift
+    old5 = corpus.column("embedding")[5].as_py()
+    qs = _queries(
+        np.stack([new5, new100, np.asarray(old5)]), [900, 901, 902]
+    )
+    got = _rows(ivf_index_topk(inc_dir, qs, k=5, nprobe=8))
+    want = _rows(ivf_index_topk(full_dir, qs, k=5, nprobe=8))
+    assert got == want
+
+    neighbors = {n for (_, _, n) in got}
+    assert 7 not in neighbors          # tombstoned id never surfaces
+    assert (900, 1, 5) in got         # upserted vector found at rank 1
+    assert (901, 1, 100) in got       # brand-new id found at rank 1
+
+
+def test_second_update_lww(corpus, tmp_path, ray_session):
+    """An id upserted twice resolves to the LATEST epoch's vector."""
+    import ray.data
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(ray.data.from_arrow(corpus), idx, n_cells=8, sample_size=N)
+    rng = np.random.default_rng(3)
+    v1, v2 = rng.standard_normal((2, DIM))
+    update_ivf_index(idx, _queries(v1[None, :], [5]))
+    meta = update_ivf_index(idx, _queries(v2[None, :], [5]))
+    assert meta["epoch"] == 2
+
+    got = _rows(ivf_index_topk(idx, _queries(np.stack([v2, v1]), [900, 901]),
+                               k=3, nprobe=8))
+    assert (900, 1, 5) in got          # latest vector wins...
+    v1_top = [n for (q, r, n) in got if q == 901 and r == 1]
+    assert v1_top != [5] or np.allclose(v1, v2)  # ...the overwritten one lost
+
+
+def test_delete_only_update(corpus, tmp_path, ray_session):
+    import ray.data
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(ray.data.from_arrow(corpus), idx, n_cells=8, sample_size=N)
+    update_ivf_index(idx, delete_ids=[0, 1, 2])
+    q = _queries(np.stack([corpus.column("embedding")[0].as_py()]), [900])
+    got = _rows(ivf_index_topk(idx, q, k=5, nprobe=8))
+    assert got and all(n not in (0, 1, 2) for (_, _, n) in got)
