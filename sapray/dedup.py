@@ -984,7 +984,9 @@ def embedding_neardup_pairs(
                  "bucket": pa.array([], pa.int64()),
                  id_column: pa.array([], pa.int64())}
             )
-        v = np.stack(batch.column(vec_column).to_pandas().to_numpy()).astype(np.float64)
+        from sapray.similarity import _to_matrix
+
+        v = _to_matrix(batch.column(vec_column))
         ids = batch.column(id_column).to_numpy(zero_copy_only=False)
         # seeded rng -> identical plane tables in every batch/task
         rng = np.random.default_rng(seed)
@@ -1037,8 +1039,10 @@ def verify_pairs_cosine(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                  "cosine": pa.array([], pa.float64())}
             )
-        va = np.stack(batch.column("val_a").to_pandas().to_numpy()).astype(np.float64)
-        vb = np.stack(batch.column("val_b").to_pandas().to_numpy()).astype(np.float64)
+        from sapray.similarity import _to_matrix
+
+        va = _to_matrix(batch.column("val_a"))
+        vb = _to_matrix(batch.column("val_b"))
         na = np.linalg.norm(va, axis=1)
         nb = np.linalg.norm(vb, axis=1)
         na[na == 0] = 1.0

@@ -21,7 +21,25 @@ import ray.data
 
 
 def _to_matrix(col) -> np.ndarray:
-    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+    """(n, d) float64 matrix from a list<float> column.
+
+    Fast path: null-free fixed-length list arrays flatten + reshape with
+    no per-row boxing (the generic ``to_pandas`` + ``np.stack`` route
+    builds one Python object per vector — measurable in the ANN scorer
+    hot loop). Ragged/null-bearing inputs and plain sequences fall back
+    to the generic stack."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array) and len(col) and col.null_count == 0:
+        import pyarrow.compute as _pc
+
+        vl = _pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        if len(vl) and (vl == vl[0]).all() and vl[0] > 0:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(col), int(vl[0])).astype(
+                np.float64, copy=False
+            )
+    if isinstance(col, pa.Array):
         col = col.to_pandas()
     return np.stack(np.asarray(col.to_numpy() if hasattr(col, "to_numpy") else col)).astype(np.float64)
 
