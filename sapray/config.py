@@ -42,6 +42,40 @@ def parse_select(query: str) -> list[str]:
     return []
 
 
+def parse_top_skip(query: str) -> tuple[int | None, int | None]:
+    """Extract ``$top``/``$skip`` limits from a sanitized query string —
+    the reference treats ``$top=2&$skip=2`` as a first-class query shape
+    (``reference src/test/java/io/cdap/plugin/sap/SapODataConfigTest.java:59``).
+    Returns (top, skip), each None when absent; malformed or negative
+    values are accumulated into one ConfigError (FailureCollector
+    pattern). Execution maps (top, skip) onto ``ops.topk`` / ``ops.skip``.
+    """
+    q = sanitize_query(query)
+    top: int | None = None
+    skip: int | None = None
+    errors: list[str] = []
+    for part in q.split("&"):
+        for name in ("$top", "$skip"):
+            if part.startswith(name + "="):
+                raw = part[len(name) + 1 :]
+                try:
+                    val = int(raw)
+                    if val < 0:
+                        raise ValueError
+                except ValueError:
+                    errors.append(
+                        f"'{name}' must be a non-negative integer, got {raw!r}"
+                    )
+                    continue
+                if name == "$top":
+                    top = val
+                else:
+                    skip = val
+    if errors:
+        raise ConfigError(errors)
+    return top, skip
+
+
 @dataclass
 class CDCConfig:
     """Configuration for a CDC apply run.

@@ -3104,6 +3104,40 @@ FROM c
 """
 
 
+def odata_pushdown_events(sf_dir: str):
+    """The reference's OData query options exercised END TO END through
+    the engine's pushdown surface (M16-M18 + $skip): a user query string
+    is sanitized and parsed (``config.sanitize_query`` / ``parse_select``
+    / ``parse_top_skip`` — the ``$top=2&$skip=2`` shape of ``reference
+    SapODataConfigTest.java:59``), ``$select`` prunes the parquet read,
+    and ($top, $skip) execute as ``ops.skip`` over the exact
+    (cents, event_id) total order."""
+    from sapray.config import parse_select, parse_top_skip
+
+    query = "?$select=event_id,value&$top=150&$skip=300"
+    cols = parse_select(query)
+    top, sk = parse_top_skip(query)
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=cols)
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "cents": _cents(batch.column("value")),
+        })
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return ops.skip(ds, "cents", "event_id", offset=sk, limit=top)
+
+
+ODATA_PUSHDOWN_EVENTS_SQL = """
+WITH c AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT event_id, cents FROM c
+ORDER BY cents, event_id LIMIT 150 OFFSET 300
+"""
+
+
 def skip_events(sf_dir: str):
     """OFFSET/$skip analogue (the reference's ``$top=2&$skip=2`` query
     shape, ``reference SapODataConfigTest.java:59``): rows 501-600 of
@@ -3874,6 +3908,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "fn": stage_pipeline_docs, "sql": STAGE_PIPELINE_DOCS_SQL,
         },
         "skip_events": {"fn": skip_events, "sql": SKIP_EVENTS_SQL},
+        "odata_pushdown_events": {
+            "fn": odata_pushdown_events, "sql": ODATA_PUSHDOWN_EVENTS_SQL,
+        },
         "langid_docs": {"fn": langid_docs, "sql": LANGID_DOCS_SQL},
         "pii_redact_docs": {"fn": pii_redact_docs, "sql": PII_REDACT_DOCS_SQL},
         "repetition_docs": {"fn": repetition_docs, "sql": REPETITION_DOCS_SQL},
@@ -4061,6 +4098,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "weighted_sample_docs",
         "stage_pipeline_docs",
         "skip_events",
+        "odata_pushdown_events",
         "cdc_replay_flagship",
         "cdc_replay_delta",
         "cdc_point_lookup",

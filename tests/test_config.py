@@ -49,3 +49,19 @@ def test_bad_threshold_and_salts():
         CDCConfig(hot_key_threshold=0.0).validate()
     with pytest.raises(ConfigError):
         CDCConfig(num_salts=0).validate()
+
+
+def test_parse_top_skip():
+    """$top=2&$skip=2 is a first-class query shape in the reference
+    (SapODataConfigTest.java:59)."""
+    from sapray.config import ConfigError, parse_top_skip
+
+    assert parse_top_skip("?$top=2&$skip=2") == (2, 2)
+    assert parse_top_skip("$select=a,b&$top=10") == (10, None)
+    assert parse_top_skip("$skip=0") == (None, 0)
+    assert parse_top_skip("") == (None, None)
+    import pytest
+
+    with pytest.raises(ConfigError) as e:
+        parse_top_skip("$top=x&$skip=-3")
+    assert len(e.value.errors) == 2
