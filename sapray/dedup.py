@@ -425,17 +425,23 @@ def _explode_postings(
     candidate generators)."""
 
     def explode(batch: pa.Table) -> pa.Table:
+        # one concatenated-buffer window pass for the whole batch, then
+        # per-doc DISTINCT shingles via a (doc, hash) lexsort +
+        # adjacent-dup drop — the batched MinHash/SimHash recipe; the
+        # prior per-row _shingle_hashes loop paid a to_pylist string
+        # copy + Python dispatch per document on the widest stage of
+        # both candidate generators
         ids = batch.column(id_column).to_numpy(zero_copy_only=False)
-        texts = batch.column(text_column).to_pylist()
-        sh = [_shingle_hashes(t or "", shingle_k) for t in texts]
-        counts = np.array([len(s) for s in sh], dtype=np.int64)
+        hashes, offs = _batch_shingle_hashes(batch.column(text_column), shingle_k)
+        doc = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(offs))
+        order = np.lexsort((hashes, doc))
+        h_s, d_s = hashes[order], doc[order]
+        keep = np.ones(len(h_s), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
         return pa.table(
             {
-                "shingle": pa.array(
-                    np.concatenate(sh).astype(np.int64)
-                    if sh else np.array([], np.int64)
-                ),
-                id_column: pa.array(np.repeat(ids, counts)),
+                "shingle": pa.array(h_s[keep].astype(np.int64)),
+                id_column: pa.array(ids[d_s[keep]]),
             }
         )
 
