@@ -138,6 +138,22 @@ def _batch_shingle_hashes(
     return hashes, offsets
 
 
+def _unique_per_doc(
+    hashes: np.ndarray, offs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (doc, shingle-hash) pairs from a :func:`_batch_shingle_hashes`
+    result: one (doc, hash) lexsort + adjacent-dup drop. Returns
+    ``(unique_hashes, doc_index)`` with doc_index nondecreasing (shared by
+    the SimHash votes and the posting explode)."""
+    n = len(offs) - 1
+    doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    order = np.lexsort((hashes, doc))
+    h_s, d_s = hashes[order], doc[order]
+    keep = np.ones(len(h_s), dtype=bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    return h_s[keep], d_s[keep]
+
+
 class MinHasher:
     """Per-actor state: the (a, b) hash-family coefficients (seeded)."""
 
@@ -433,15 +449,11 @@ def _explode_postings(
         # both candidate generators
         ids = batch.column(id_column).to_numpy(zero_copy_only=False)
         hashes, offs = _batch_shingle_hashes(batch.column(text_column), shingle_k)
-        doc = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(offs))
-        order = np.lexsort((hashes, doc))
-        h_s, d_s = hashes[order], doc[order]
-        keep = np.ones(len(h_s), dtype=bool)
-        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        h_u, d_u = _unique_per_doc(hashes, offs)
         return pa.table(
             {
-                "shingle": pa.array(h_s[keep].astype(np.int64)),
-                id_column: pa.array(ids[d_s[keep]]),
+                "shingle": pa.array(h_u.astype(np.int64)),
+                id_column: pa.array(ids[d_u]),
             }
         )
 
@@ -485,6 +497,8 @@ def prefix_filtered_candidates(
     """
     from sapray.window import partitioned_apply, _run_starts
 
+    if num_partitions is None:
+        num_partitions = exchange_partitions(ds)
     postings = _explode_postings(ds, id_column, text_column, shingle_k)
 
     def annotate_df(g: pa.Table) -> pa.Table:
@@ -937,12 +951,7 @@ class SimHasher:
         if n == 0:
             return batch.append_column("simhash", pa.array([], pa.int64()))
         hashes, offs = _batch_shingle_hashes(batch.column(self.text_column), self.k)
-        doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
-        order = np.lexsort((hashes, doc))
-        h_s, d_s = hashes[order], doc[order]
-        keep = np.ones(len(h_s), dtype=bool)
-        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
-        h_u, d_u = h_s[keep], d_s[keep]
+        h_u, d_u = _unique_per_doc(hashes, offs)
         cnt = np.bincount(d_u, minlength=n)  # >= 1 per doc (>=1 window)
         starts = np.zeros(n, dtype=np.int64)
         np.cumsum(cnt[:-1], out=starts[1:])

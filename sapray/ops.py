@@ -1412,8 +1412,18 @@ def global_rank(
         v, nulls = _values_nullsafe(batch.column(value_column))
         # nearest-interpolation splitters cast back exactly for integral
         # columns (any rounding drift in the SAMPLE stage only shifts a
-        # boundary; route comparisons stay exact int64 vs int64)
-        sp = splitters.astype(v.dtype) if v.dtype.kind in "iu" else splitters
+        # boundary; route comparisons stay exact int64 vs int64). Clip
+        # first: a sample value near the dtype's max round-trips through
+        # float64 ABOVE it, and a bare astype would wrap to the minimum,
+        # un-sorting the splitters and misrouting every partition.
+        if v.dtype.kind in "iu":
+            info = np.iinfo(v.dtype)
+            sp = np.unique(
+                np.clip(splitters, float(info.min), float(info.max))
+                .astype(v.dtype)
+            )
+        else:
+            sp = splitters
         part = np.searchsorted(sp, v, side="left").astype(np.int32)
         # float NaN searchsorts to the end, which is NULLS LAST already;
         # masked NULLs route there explicitly
@@ -1471,7 +1481,7 @@ def skip(
     ds: ray.data.Dataset,
     value_column: str,
     id_column: str,
-    offset: int,
+    offset: int | None,
     limit: int | None = None,
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
@@ -1488,6 +1498,11 @@ def skip(
     exchange — but the cost is one exchange regardless of offset depth,
     never a driver-side collect. Returns (id, value) rows.
     """
+    # a query with $top but no $skip parses to offset=None (and vice
+    # versa) — normalize instead of letting a null scalar poison the mask
+    offset = 0 if offset is None else int(offset)
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
     ranked = global_rank(
         ds, value_column, id_column,
         num_partitions=num_partitions, out_name="__rk",

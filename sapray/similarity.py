@@ -123,30 +123,47 @@ def brute_force_topk(
 
 
 
+def _dataset_num_rows(ds: ray.data.Dataset) -> int:
+    """Row count from read metadata when statically inferable (free for
+    a parquet read); otherwise one counting pass."""
+    try:
+        n = ds._logical_plan.dag.infer_metadata().num_rows
+    except Exception:
+        n = None
+    return int(n) if n is not None else ds.count()
+
+
 def _train_sample(
     ds: ray.data.Dataset, vec_column: str, sample_size: int
 ) -> np.ndarray:
-    """Uniform strided training sample across the WHOLE corpus.
+    """Uniform training sample across the WHOLE corpus.
 
     ``ds.limit(sample_size)`` takes the FIRST rows, so a sorted or
     clustered corpus trains skewed centroids and unbalanced cells
     (ADVICE r3 — search stays correct because build and search share the
-    centroids, but partition pruning degrades). Every read task instead
-    keeps an evenly strided slice of its batch, spreading the sample
-    over all input files; ``count()`` is footer-metadata-cheap on the
-    parquet read this receives. Deterministic (no RNG)."""
-    n_total = ds.count()
-    stride = max(1, n_total // max(sample_size, 1))
+    centroids, but partition pruning degrades). Every batch instead
+    contributes a PROPORTIONAL evenly-spaced slice (at least one row),
+    so the sample spans every input file regardless of batch size; any
+    per-batch-minimum overshoot is trimmed by a uniform stride over the
+    collected sample, which stays corpus-spanning. Deterministic (no
+    RNG). The row count comes free from read metadata; a non-read input
+    (union/map chains) pays one counting pass — the price of a uniform
+    sample over an unknown-size stream."""
+    n_total = _dataset_num_rows(ds)
+    frac = min(1.0, sample_size / max(n_total, 1))
 
     def strided(b: pa.Table) -> pa.Table:
-        idx = np.arange(0, b.num_rows, stride, dtype=np.int64)
+        take = max(1, int(round(b.num_rows * frac)))
+        idx = np.linspace(0, b.num_rows - 1, take).astype(np.int64)
         return b.select([vec_column]).take(pa.array(idx))
 
-    return _to_matrix(
+    m = _to_matrix(
         ds.map_batches(strided, batch_format="pyarrow", zero_copy_batch=True)
-        .limit(sample_size)
         .to_pandas()[vec_column]
     )
+    if len(m) > sample_size:
+        m = m[np.linspace(0, len(m) - 1, sample_size).astype(np.int64)]
+    return m
 
 
 def train_centroids(sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 42) -> np.ndarray:
@@ -286,12 +303,17 @@ def build_ivf_index(
     n_cells = len(cents)
     n_buckets = min(n_buckets, n_cells)
     os.makedirs(index_dir, exist_ok=True)
+    # STAGE the rebuild: centroids and vectors land in temp paths and
+    # replace the live index only after the full write succeeds — a
+    # rebuild that dies mid-write must not leave a manifest advertising
+    # an empty/partial vectors tree (review finding)
+    cent_tmp = os.path.join(index_dir, "centroids.parquet.building")
     pq.write_table(
         pa.table({
             "cell": pa.array(np.arange(n_cells, dtype=np.int64)),
             "centroid": pa.array(list(cents), pa.list_(pa.float64())),
         }),
-        os.path.join(index_dir, "centroids.parquet"),
+        cent_tmp,
     )
     cref = ray.put(cents)
 
@@ -317,16 +339,19 @@ def build_ivf_index(
     tagged = ds.map_batches(
         _Assign, batch_format="pyarrow", concurrency=ops.actor_pool()
     ).map_batches(_stamp_epoch, batch_format="pyarrow", zero_copy_batch=True)
-    # a rebuild REPLACES the index: clear vector/update data from any
-    # prior build (write_parquet appends uuid-named files, it never
-    # overwrites) so stale copies don't accumulate
     import shutil
 
-    shutil.rmtree(os.path.join(index_dir, "vectors"), ignore_errors=True)
+    vec_dir = os.path.join(index_dir, "vectors")
+    vec_tmp = vec_dir + ".building"
+    shutil.rmtree(vec_tmp, ignore_errors=True)
+    tagged.write_parquet(vec_tmp, partition_cols=["bucket"])
+    # COMMIT: the old tree (a rebuild REPLACES the index — write_parquet
+    # appends uuid-named files, so stale copies would otherwise
+    # accumulate) is swapped out only now that the new one is complete
+    shutil.rmtree(vec_dir, ignore_errors=True)
     shutil.rmtree(os.path.join(index_dir, "updates"), ignore_errors=True)
-    tagged.write_parquet(
-        os.path.join(index_dir, "vectors"), partition_cols=["bucket"]
-    )
+    os.rename(vec_tmp, vec_dir)
+    os.replace(cent_tmp, os.path.join(index_dir, "centroids.parquet"))
     meta = {"n_cells": int(n_cells), "n_buckets": int(n_buckets),
             "id_column": id_column, "vec_column": vec_column, "epoch": 0}
     with open(os.path.join(index_dir, "manifest.json"), "w") as f:
@@ -381,7 +406,18 @@ def update_ivf_index(
             [ray.get(r) for r in upserts.to_arrow_refs()],
             promote_options="default",
         )
-    del_ids = list(delete_ids) if delete_ids is not None else []
+    if upserts is not None and upserts.num_rows:
+        # an id appearing several times in ONE feed resolves to its LAST
+        # row in feed order (a delete-then-re-insert feed must resurrect
+        # the id; a double upsert must keep only the newest vector) —
+        # without this, the equal-epoch log entries would tie-break by
+        # log layout, not feed order (review finding)
+        fids = upserts.column(id_column).to_numpy(zero_copy_only=False)
+        _, first_rev = np.unique(fids[::-1], return_index=True)
+        last_rows = np.sort(len(fids) - 1 - first_rev)
+        if len(last_rows) < len(fids):
+            upserts = upserts.take(pa.array(last_rows))
+    del_ids = list(dict.fromkeys(delete_ids)) if delete_ids is not None else []
     if upserts is not None and op_column is not None:
         ops_col = upserts.column(op_column)
         dmask = pa.compute.equal(ops_col, "D")

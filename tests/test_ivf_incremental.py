@@ -117,3 +117,51 @@ def test_delete_only_update(corpus, tmp_path, ray_session):
     q = _queries(np.stack([corpus.column("embedding")[0].as_py()]), [900])
     got = _rows(ivf_index_topk(idx, q, k=5, nprobe=8))
     assert got and all(n not in (0, 1, 2) for (_, _, n) in got)
+
+
+def test_same_feed_delete_then_reinsert_resurrects(corpus, tmp_path, ray_session):
+    """An id with [D, U] rows in ONE feed must resolve by feed order
+    (last row wins): the re-inserted vector stays searchable."""
+    import ray.data
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(ray.data.from_arrow(corpus), idx, n_cells=8, sample_size=N)
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(DIM)
+    feed = pa.table({
+        "vec_id": pa.array([9, 9], pa.int64()),
+        "embedding": pa.array([np.zeros(DIM), v], pa.list_(pa.float64())),
+        "op": pa.array(["D", "U"]),
+    })
+    update_ivf_index(idx, feed, op_column="op")
+    got = _rows(ivf_index_topk(idx, _queries(v[None, :], [900]), k=3, nprobe=8))
+    assert (900, 1, 9) in got
+    # and the dual: [U, D] tombstones
+    idx2 = str(tmp_path / "idx2")
+    build_ivf_index(ray.data.from_arrow(corpus), idx2, n_cells=8, sample_size=N)
+    feed2 = pa.table({
+        "vec_id": pa.array([9, 9], pa.int64()),
+        "embedding": pa.array([v, np.zeros(DIM)], pa.list_(pa.float64())),
+        "op": pa.array(["U", "D"]),
+    })
+    update_ivf_index(idx2, feed2, op_column="op")
+    got2 = _rows(ivf_index_topk(idx2, _queries(v[None, :], [900]), k=3, nprobe=8))
+    assert all(n != 9 for (_, _, n) in got2)
+
+
+def test_train_sample_spans_corpus(ray_session):
+    """The training sample must include vectors from the corpus TAIL
+    even when the input is a multi-block non-read dataset (the
+    first-rows / prefix-truncation regressions)."""
+    import ray.data
+
+    from sapray.similarity import _train_sample
+
+    head = pa.table({"embedding": pa.array(
+        [[0.0, float(i)] for i in range(4000)], pa.list_(pa.float64()))})
+    tail = pa.table({"embedding": pa.array(
+        [[1.0, float(i)] for i in range(4000)], pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(head).union(ray.data.from_arrow(tail))
+    m = _train_sample(ds, "embedding", 100)
+    assert len(m) <= 100
+    assert (m[:, 0] == 0.0).any() and (m[:, 0] == 1.0).any()

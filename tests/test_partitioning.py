@@ -94,3 +94,52 @@ def test_global_rank_int64_above_2_53_with_nulls(ray_session):
     # exact ascending value order: base, +1, +2, +3, then NULLs by id
     assert got == [4, 1, 3, 0, 2, 5]
     assert [r["rk"] for r in rows] == [1, 2, 3, 4, 5, 6]
+
+
+def test_skip_none_offset_and_limit(ray_session):
+    """parse_top_skip returns None for absent options — ops.skip must
+    treat offset=None as 0 and limit=None as unbounded."""
+    import ray.data
+
+    from sapray.ops import skip
+
+    t = pa.table({"v": pa.array(range(20), pa.int64()),
+                  "id": pa.array(range(20), pa.int64())})
+    out = skip(ray.data.from_arrow(t), "v", "id", offset=None, limit=5)
+    assert sorted(r["id"] for r in out.take_all()) == [0, 1, 2, 3, 4]
+    out2 = skip(ray.data.from_arrow(t), "v", "id", offset=15, limit=None)
+    assert sorted(r["id"] for r in out2.take_all()) == [15, 16, 17, 18, 19]
+
+
+def test_global_rank_int64_near_max(ray_session):
+    """Values near int64 max must not wrap through the float64 splitter
+    cast (a wrapped splitter un-sorts the array and misroutes rows)."""
+    import ray.data
+
+    from sapray.ops import global_rank
+
+    hi = np.iinfo(np.int64).max
+    vals = [hi, hi - 1, hi - 2, None, 0, hi - 3]
+    t = pa.table({"v": pa.array(vals, pa.int64()),
+                  "id": pa.array(range(len(vals)), pa.int64())})
+    out = global_rank(ray.data.from_arrow(t), "v", "id", num_partitions=3)
+    rows = sorted(out.take_all(), key=lambda r: r["rk"])
+    assert [r["id"] for r in rows] == [4, 5, 2, 1, 0, 3]
+
+
+def test_prefix_filtered_default_partitions(ray_session):
+    """prefix_filtered_candidates with the default num_partitions=None
+    must resolve via exchange_partitions, not crash in the route
+    closure (round-4 review finding)."""
+    import ray.data
+
+    from sapray.dedup import prefix_filtered_candidates
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the quick brown fox jumps", "the quick brown fox jumped",
+                          "utterly unrelated content here"], pa.large_string()),
+    })
+    pairs = prefix_filtered_candidates(ray.data.from_arrow(t))
+    got = {(r["id_a"], r["id_b"]) for r in pairs.take_all()}
+    assert (1, 2) in got
