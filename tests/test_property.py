@@ -672,3 +672,61 @@ def test_funnel_composition_fuzz_vs_duckdb(ray_session):
             GROUP BY e.user_id
         """).fetch_df()
         assert got == dict(zip(exp["user_id"], exp["n"])), trial
+
+
+def test_global_rank_nulls_fuzz_vs_duckdb(ray_session):
+    """Randomized differential test with NULL-bearing int64 values: the
+    validity-mask path (round-4: no float64 round-trip) must reproduce
+    ROW_NUMBER() OVER (ORDER BY v NULLS LAST, id) exactly."""
+    import duckdb
+
+    from sapray import ops
+
+    rng = np.random.default_rng(53)
+    for trial in range(3):
+        n = int(rng.integers(50, 300))
+        v = rng.integers(0, 9, n).astype(object)
+        null_at = rng.random(n) < 0.25
+        v[null_at] = None
+        ids = rng.permutation(n)
+        t = pa.table({"id": pa.array(ids, pa.int64()),
+                      "v": pa.array(list(v), pa.int64())})
+        got = ops.global_rank(
+            ray.data.from_arrow(t).repartition(3), "v", "id",
+            num_partitions=int(rng.integers(2, 7)),
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute(
+            "SELECT id, row_number() OVER (ORDER BY v NULLS LAST, id) AS rk "
+            "FROM t ORDER BY id"
+        ).fetch_df()
+        assert list(got["rk"]) == list(exp["rk"]), trial
+
+
+def test_skip_fuzz_vs_duckdb(ray_session):
+    """Randomized differential test: ops.skip equals ORDER BY v, id
+    LIMIT ... OFFSET ... (including offsets past the end)."""
+    import duckdb
+
+    from sapray import ops
+
+    rng = np.random.default_rng(59)
+    for trial in range(3):
+        n = int(rng.integers(40, 200))
+        v = rng.integers(0, 11, n)
+        ids = rng.permutation(n)
+        t = pa.table({"id": pa.array(ids, pa.int64()),
+                      "v": pa.array(v, pa.int64())})
+        offset = int(rng.integers(0, n + 20))
+        limit = int(rng.integers(1, 50))
+        got = ops.skip(
+            ray.data.from_arrow(t).repartition(3), "v", "id",
+            offset=offset, limit=limit,
+        ).to_pandas().sort_values(["v", "id"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute(
+            f"SELECT id, v FROM t ORDER BY v, id LIMIT {limit} OFFSET {offset}"
+        ).fetch_df()
+        assert list(got["id"]) == list(exp["id"]), trial
