@@ -131,6 +131,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "json_nested_events",
         "percentile_cont_events",
         "funnel_events",
+        # round-4 operators tracked for regressions
+        "skip_events",
+        "stage_pipeline_docs",
+        "minhash_dedup_docs",
     ]
     reg = Q.registry(os.path.basename(os.path.normpath(sf_dir)))
     out: dict[str, float] = {}
