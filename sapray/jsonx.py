@@ -78,7 +78,12 @@ def parse_json_column(
             else pa.table({})
         )
     parse_options = (
-        pj.ParseOptions(explicit_schema=schema) if schema is not None else None
+        # "ignore": extra JSON keys must NOT add columns, or batches with
+        # an unexpected field diverge from the pinned layout the schema=
+        # contract promises (review finding; the default is "infer")
+        pj.ParseOptions(explicit_schema=schema, unexpected_field_behavior="ignore")
+        if schema is not None
+        else None
     )
     out = pj.read_json(pa.BufferReader(buf), parse_options=parse_options)
     if out.num_rows != len(col):

@@ -67,7 +67,14 @@ def pack_by_token_budget(
 
     def sweep(part: pa.Table) -> pa.Table:
         ids = part.column(id_column).to_numpy(zero_copy_only=False)
-        toks = part.column(token_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        # NULL token counts pack as 0 (matching pass 1's null-skipping
+        # sum) — a raw astype would turn the NaN into INT64_MIN and
+        # poison every later prefix in the partition (review finding;
+        # same class as window.rows_window_sum's documented fix)
+        tok_col = part.column(token_column)
+        if tok_col.null_count:
+            tok_col = pa.compute.fill_null(tok_col, 0)
+        toks = tok_col.to_numpy(zero_copy_only=False).astype(np.int64)
         bucket = ids // bucket_width
         order = np.lexsort((ids, bucket))
         part = part.take(pa.array(order))

@@ -67,6 +67,26 @@ class SessionBucketActor:
         )
 
 
+# reserved NULL-key stand-ins: actor state dicts and np.lexsort cannot
+# handle None (object comparison raises) or NaN (NaN != NaN splinters
+# sessions, dict.get(nan) misses) — fill nulls with one sentinel per
+# type BEFORE feeding, matching the batch twin window._key_codes'
+# "all NULL keys are ONE key" semantics, and map it back to a null
+# output slot at flush
+_NULL_STR = "\x00\x00sapray.null\x00"
+_NULL_INT = np.iinfo(np.int64).min  # documented: a real INT64_MIN key collides
+
+
+def _null_sentinel(t: pa.DataType):
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return _NULL_STR
+    if pa.types.is_integer(t):
+        return _NULL_INT
+    raise TypeError(
+        f"streaming_sessionize supports int/string keys, got {t}"
+    )
+
+
 def streaming_sessionize(
     ds: ray.data.Dataset,
     key: str,
@@ -77,15 +97,25 @@ def streaming_sessionize(
 ) -> pa.Table:
     """Run the incremental sessionizer over a time-ordered tail of ``ds``.
 
-    Returns (key, n_sessions) as an Arrow table. The driver never holds
-    more than one micro-batch; actors hold per-key scalars only.
+    Returns (key, n_sessions) as an Arrow table (key type preserved, one
+    row per key, NULL keys grouped as ONE key like SQL GROUP BY / the
+    batch twin). The driver never holds more than one micro-batch;
+    actors hold per-key scalars only.
     """
+    import pyarrow.compute as pc
+
     gap_us = int(gap.astype("timedelta64[us]").astype(np.int64))
     actors = [SessionBucketActor.remote(gap_us) for _ in range(num_buckets)]
     ordered = ds.sort(ts_column)
+    from sapray.stage import _dataset_schema
+
+    key_type = _dataset_schema(ordered).field(key).type
+    sentinel = _null_sentinel(key_type)
     pending: list = []
     for batch in ordered.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
-        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        keys = pc.fill_null(batch.column(key), sentinel).to_numpy(
+            zero_copy_only=False
+        )
         tsi = (
             batch.column(ts_column)
             .to_numpy(zero_copy_only=False)
@@ -98,18 +128,26 @@ def streaming_sessionize(
         # per-actor arrival order (the operator's one ordering invariant)
         if pending:
             ray.get(pending)
-        pending = [
-            actors[b].feed.remote(keys[bucket == b], tsi[bucket == b])
-            for b in range(num_buckets)
-            if (bucket == b).any()
-        ]
+        pending = []
+        for b in range(num_buckets):
+            m = bucket == b
+            if m.any():
+                pending.append(actors[b].feed.remote(keys[m], tsi[m]))
     if pending:
         ray.get(pending)
     frames = ray.get([a.flush.remote() for a in actors])
     out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    key_vals = out["key"].to_numpy() if len(out) else np.array([], object)
+    # typed output even when empty; the sentinel becomes a NULL slot
+    key_arr = pa.array(key_vals, type=key_type)
+    null_mask = pc.equal(key_arr, pa.scalar(sentinel, key_type))
+    key_arr = pc.if_else(null_mask, pa.scalar(None, key_type), key_arr)
     return pa.table(
         {
-            key: pa.array(out["key"].to_numpy()),
-            "n_sessions": pa.array(out["n_sessions"].to_numpy(np.int64)),
+            key: key_arr,
+            "n_sessions": pa.array(
+                out["n_sessions"].to_numpy(np.int64)
+                if len(out) else np.array([], np.int64)
+            ),
         }
     )

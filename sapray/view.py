@@ -64,8 +64,10 @@ def _decompose(spec: AggSpec) -> AggSpec:
         elif kind == "sum":
             out[name] = (col, "sum")
         elif kind == "mean":
+            # the divisor is the unconditional __n row-count partial
+            # below — a separate __cnt would duplicate it bit-for-bit
+            # through every exchange and merge (review finding)
             out[f"__sum_{name}"] = (col, "sum")
-            out.setdefault("__cnt", (None, "count"))
         else:
             raise ValueError(
                 f"aggregate {kind!r} is not incrementally maintainable "
@@ -87,7 +89,7 @@ def _finalize(
         elif kind == "sum":
             cols[name] = df[name]
         else:  # mean
-            cols[name] = df[f"__sum_{name}"] / df["__cnt"]
+            cols[name] = df[f"__sum_{name}"] / df["__n"]
     for name in (minmax or {}):
         cols[name] = df[f"__mm__{name}"]
     return pa.Table.from_pydict({k: pa.array(v) for k, v in cols.items()})
@@ -192,6 +194,20 @@ def incremental_group_view(
             raise ValueError(f"minmax entry {name!r} must be min or max")
     mm_cols = [f"__mm__{n}" for n in mm]
 
+    def check_mm_partials(bp: pd.DataFrame) -> None:
+        missing = [c for c in mm_cols if c not in bp.columns]
+        if missing:
+            raise ValueError(
+                "incremental_group_view: base_partials is missing min/max "
+                f"partial columns {missing} — it was produced by a refresh "
+                "without minmax=; recompute the base partials with the same "
+                "minmax spec (a contract error, not a pandas KeyError)"
+            )
+
+    if mm and base_partials is not None:
+        # validate on EVERY path, including the empty-feed early return
+        check_mm_partials(base_partials)
+
     def agg_df(ds: ray.data.Dataset, with_mm: bool = False) -> pd.DataFrame:
         if prepare is not None:
             ds = prepare(ds)
@@ -235,21 +251,23 @@ def incremental_group_view(
 
     merged = base_partials.set_index(group)
     if mm:
-        missing = [c for c in mm_cols if c not in merged.columns]
-        if missing:
-            raise ValueError(
-                "incremental_group_view: base_partials is missing min/max "
-                f"partial columns {missing} — it was produced by a refresh "
-                "without minmax=; recompute the base partials with the same "
-                "minmax spec (a contract error, not a pandas KeyError)"
-            )
+        check_mm_partials(base_partials)  # covers the single-pass path too
     base_mm = merged[mm_cols] if mm else None
     merged = merged[list(partials)]
     numeric = list(merged.columns)
+    orig_dtypes = {c: merged[c].dtype for c in numeric}
     if add_df is not None and len(add_df):
         merged = merged.add(add_df.set_index(group)[numeric], fill_value=0)
     if len(ret_df):
         merged = merged.sub(ret_df.set_index(group)[numeric], fill_value=0)
+    # pandas .add/.sub with fill_value float-ifies int64 partials when
+    # group indexes differ — restore integral dtypes so a CHAINED refresh
+    # returns the same Arrow schema as a cold one (review finding; values
+    # above 2^53 remain bounded by the float64 intermediate, inherent to
+    # the pandas merge path)
+    for c in numeric:
+        if pd.api.types.is_integer_dtype(orig_dtypes[c]) and merged[c].dtype != orig_dtypes[c]:
+            merged[c] = merged[c].round().astype(orig_dtypes[c])
     out = merged.reset_index()
     out = out[out["__n"] > 0].reset_index(drop=True)
 

@@ -143,3 +143,58 @@ def test_prefix_filtered_default_partitions(ray_session):
     pairs = prefix_filtered_candidates(ray.data.from_arrow(t))
     got = {(r["id_a"], r["id_b"]) for r in pairs.take_all()}
     assert (1, 2) in got
+
+
+def test_streaming_sessionize_null_keys(ray_session):
+    """NULL keys must group as ONE key (matching the batch twin) instead
+    of crashing the bucket actor (string) or splintering (numeric)."""
+    import ray.data
+
+    from sapray.streaming import streaming_sessionize
+    from sapray.window import session_counts
+
+    ts = [np.datetime64("2026-01-01T00:00:00") + np.timedelta64(i * 10, "m")
+          for i in range(12)]
+    t = pa.table({
+        "k": pa.array([None, "a", None, "a", None, "b"] * 2, pa.string()),
+        "ts": pa.array([x.astype("datetime64[us]").item() for x in ts],
+                       pa.timestamp("us")),
+    })
+    gap = np.timedelta64(25, "m")
+    got = streaming_sessionize(ray.data.from_arrow(t), "k", "ts", gap)
+    batch = session_counts(ray.data.from_arrow(t), "k", "ts", gap)
+    g = {(r["k"], r["n_sessions"]) for r in got.to_pylist()}
+    b = {(r["k"], r["n_sessions"])
+         for r in batch.take_all()}
+    assert g == b
+    assert sum(1 for k, _ in g if k is None) == 1
+
+
+def test_pack_null_token_counts(ray_session):
+    """A NULL token count packs as 0 instead of poisoning the prefix sum
+    with INT64_MIN."""
+    import ray.data
+
+    from sapray.pack import pack_by_token_budget
+
+    t = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "n_tokens": pa.array([10, None, 10, 10, None, 10], pa.int64()),
+    })
+    out = pack_by_token_budget(
+        ray.data.from_arrow(t), "doc_id", "n_tokens", budget=25
+    )
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    assert [r["tok_before"] for r in rows] == [0, 10, 10, 20, 30, 30]
+    assert all(r["tok_before"] >= 0 for r in rows)
+
+
+def test_json_schema_pins_layout():
+    """Extra JSON keys must not add columns when a schema is pinned."""
+    from sapray.jsonx import parse_json_column
+
+    schema = pa.schema([("a", pa.int64())])
+    col = pa.array(['{"a": 1}', '{"a": 2, "extra": 9}'], pa.large_string())
+    out = parse_json_column(col, schema=schema)
+    assert out.schema.names == ["a"]
+    assert out.column("a").to_pylist() == [1, 2]
