@@ -89,6 +89,12 @@ def extract_geospatial(value: dict | str | None) -> dict | None:
         return None
     if isinstance(value, str):
         value = json.loads(value)
+        if value is None:
+            return None  # JSON text 'null' == missing geometry
+    if not isinstance(value, dict):
+        raise ValueError(
+            f"Field is of unsupported geospatial type '{type(value).__name__}'."
+        )
     dimension = value.get("dimension", _DEFAULT_DIMENSION)
     shape = value.get("type")
     coords = value.get("coordinates", [])
@@ -105,7 +111,7 @@ def extract_geospatial(value: dict | str | None) -> dict | None:
     if shape == "MultiPolygon":
         return _multipolygon(coords, dimension)
     if shape in ("GeometryCollection", "GeographyCollection"):
-        return _collection(value, dimension)
+        return _collection(value, dimension, type_name=shape)
     raise ValueError(f"Field is of unsupported geospatial type '{shape}'.")
 
 
@@ -119,12 +125,16 @@ _COLLECTION_BUCKETS = {
 }
 
 
-def _collection(value: dict, dimension: str) -> dict:
+def _collection(
+    value: dict, dimension: str, type_name: str = "GeometryCollection"
+) -> dict:
     """Bucketize collection members by shape
     (``…Transformer.java:199-239``); nested collections are skipped like
-    the reference's switch without a collection case."""
+    the reference's switch without a collection case. ``type_name``
+    preserves the INPUT shape name (a GeographyCollection must not be
+    re-labelled GeometryCollection — review finding)."""
     out = {
-        "type": "GeometryCollection",
+        "type": type_name,
         "dimension": dimension,
         "points": [],
         "lineStrings": [],

@@ -23,7 +23,7 @@ import pyarrow as pa
 
 import ray.data
 
-from sapray.window import partitioned_apply, _run_starts
+from sapray.window import _key_codes, _run_starts, partitioned_apply
 
 
 def chain_edges(
@@ -42,18 +42,16 @@ def chain_edges(
     rationale as ``dedup._bucket_pairs``). One keyed exchange."""
 
     def kernel(t: pa.Table) -> pa.Table:
-        ids = t.column(id_column).to_numpy(zero_copy_only=False)
-        keys = t.column(key).combine_chunks()
-        enc = keys.dictionary_encode()
-        idx = enc.indices
-        if idx.null_count:
-            # NULL keys form ONE group (SQL PARTITION BY semantics): raw
-            # indices give NaN codes and NaN != NaN, so null-keyed rows
-            # would emit no edges (ADVICE r2; window._key_codes pattern).
-            import pyarrow.compute as pc
+        import pyarrow.compute as pc
 
-            idx = pc.fill_null(idx, len(enc.dictionary))
-        codes = idx.to_numpy(zero_copy_only=False)
+        # a NULL id cannot join the graph — drop the row instead of
+        # letting NaN poison the int64 edge arrays (review finding)
+        if t.column(id_column).null_count:
+            t = t.filter(pc.is_valid(t.column(id_column)))
+        ids = t.column(id_column).to_numpy(zero_copy_only=False)
+        # NULL keys form ONE group (SQL PARTITION BY semantics) —
+        # _key_codes owns that invariant (ADVICE r2)
+        codes = _key_codes(t, key)
         order = np.lexsort((ids, codes))
         ids, codes = ids[order], codes[order]
         same = codes[1:] == codes[:-1] if len(codes) else np.empty(0, bool)
@@ -77,13 +75,24 @@ def connected_components(
     """Label every node with its component's minimum node id.
 
     Returns a Dataset with columns ``(node, cluster_id)``. Runs
-    hash-to-min rounds until the state's (count, sum-v, sum-u) signature
+    hash-to-min rounds until the state's (count, multiset-hash) signature
     is unchanged — the algorithm's fixpoint leaves the state literally
-    identical, so the signature is stable exactly there (``max_rounds``
-    guards the astronomically unlikely early collision).
+    identical, so the signature is stable exactly there. The multiset
+    hash is an order-independent sum of a 64-bit mix of each (v, u) pair
+    (plain sum-of-ids was blind to min-swaps that conserve the total —
+    review finding); a collision would need two distinct states agreeing
+    on count and both 32-bit hash-sum halves. Edges with a NULL endpoint
+    are dropped (a NULL id cannot join the graph; the float64 round-trip
+    would otherwise turn it into INT64_MIN and elect it cluster minimum).
     """
+    import pyarrow.compute as pc
 
     def init(t: pa.Table) -> pa.Table:
+        valid = pc.and_(
+            pc.is_valid(t.column(node_a)), pc.is_valid(t.column(node_b))
+        )
+        if not pc.min(valid).as_py():
+            t = t.filter(valid)
         a = t.column(node_a).to_numpy(zero_copy_only=False).astype(np.int64)
         b = t.column(node_b).to_numpy(zero_copy_only=False).astype(np.int64)
         v = np.concatenate([a, b, a, b])
@@ -126,8 +135,33 @@ def connected_components(
                     }
                 )
             )
-        agg = state.sum(["v", "u"])
-        new_sig = (cnt, agg["sum(v)"], agg["sum(u)"])
+        def sig_parts(t: pa.Table) -> pa.Table:
+            # per-batch partial sums of the pair-mix hash in four 16-bit
+            # chunks: each partial is exact in int64 (rows x 2^16), the
+            # driver recombines mod 2^64 — so the fold is batching-
+            # independent (a masked per-batch sum would change with the
+            # block layout and stall convergence detection)
+            from sapray.ops import _bloom_mix
+
+            v = t.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+            u = t.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                hp = _bloom_mix(v * np.uint64(0x9E3779B97F4A7C15) ^ _bloom_mix(u))
+            cols = {}
+            for j in range(4):
+                chunk = (hp >> np.uint64(16 * j)) & np.uint64(0xFFFF)
+                cols[f"s{j}"] = pa.array(
+                    [int(chunk.sum(dtype=np.uint64))], pa.int64()
+                )
+            return pa.table(cols)
+
+        agg = state.map_batches(sig_parts, batch_format="pyarrow").sum(
+            ["s0", "s1", "s2", "s3"]
+        )
+        h64 = sum(
+            (agg[f"sum(s{j})"] or 0) << (16 * j) for j in range(4)
+        ) % (1 << 64)
+        new_sig = (cnt, h64)
         if new_sig == sig:
             break
         sig = new_sig

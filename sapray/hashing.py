@@ -27,15 +27,30 @@ def composite_key(table: pa.Table, key_columns: tuple[str, ...]) -> pa.Array:
     canonical string form first, so any column mix can key a shuffle.
     """
     cols = []
+    widths = set()
     for c in key_columns:
         col = table.column(c)
         if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
             col = pc.cast(col, pa.string())
+        widths.add(pa.types.is_large_string(col.type))
         cols.append(col)
     if len(cols) == 1:
         arr = cols[0]
     else:
-        arr = pc.binary_join_element_wise(*cols, "\x00")
+        # the join kernel needs ONE string width across inputs AND the
+        # separator — an all-large_string key set would otherwise fail
+        # kernel dispatch (string kernels must accept both widths,
+        # CLAUDE.md invariant)
+        if True in widths:
+            cols = [
+                pc.cast(c, pa.large_string())
+                if not pa.types.is_large_string(c.type) else c
+                for c in cols
+            ]
+            sep = pa.scalar("\x00", pa.large_string())
+        else:
+            sep = "\x00"
+        arr = pc.binary_join_element_wise(*cols, sep)
     return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
 
@@ -140,15 +155,19 @@ def table_state_sha(table: pa.Table, key_columns: tuple[str, ...]) -> str:
     """Order-insensitive sha256 over the rows of a final-state table.
 
     Used for the manifest ``state_sha`` (O-CDC6) and test assertions:
-    hash per-row ``key -> content_sha256``, xor-fold so row order doesn't
-    matter.
+    hash per-row ``key -> content_sha256``, ADD-folded mod 2^256 (the
+    AdHash multiset construction). An xor fold was multiplicity-blind —
+    a row duplicated an even number of times cancelled to nothing, so a
+    double-emit bug hashed identically to the correct state, which is
+    exactly the regression class this check exists to catch (review
+    finding). Addition keeps order independence but counts copies.
     """
     if table.num_rows == 0:
         return hashlib.sha256(b"").hexdigest()
     keys = composite_key(table, key_columns)
     shas = table.column("content_sha256") if "content_sha256" in table.column_names else sha256_hex_column(table.column("content"))
-    acc = np.zeros(32, dtype=np.uint8)
+    acc = 0
     for k, s in zip(keys.to_pylist(), shas.to_pylist()):
         h = hashlib.sha256(f"{k}\x00{s}".encode()).digest()
-        acc ^= np.frombuffer(h, dtype=np.uint8)
-    return hashlib.sha256(acc.tobytes()).hexdigest()
+        acc = (acc + int.from_bytes(h, "little")) % (1 << 256)
+    return hashlib.sha256(acc.to_bytes(32, "little")).hexdigest()

@@ -146,6 +146,13 @@ class MediaFeatureExtractor:
         rows = {k: [] for k in ("media_id", "content_type", "n_bytes", "width",
                                 "height", "sample_rate", "n_samples", "feature")}
         for mid, ct, p in zip(ids, ctypes, payloads):
+            if p is None:
+                # MEDIA_SCHEMA declares payload nullable; fail with the
+                # decode contract's message instead of a TypeError deep
+                # inside a typed parser (review finding)
+                raise NotImplementedError(
+                    f"media decode requires a payload (media_id={mid})"
+                )
             d = self.decode(p, ct)
             rows["media_id"].append(mid)
             rows["content_type"].append(ct)
@@ -176,16 +183,20 @@ def extract_media_features(
     ds: ray.data.Dataset,
     decode_fn: Callable | None = None,
     batch_size: int = 256,
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> ray.data.Dataset:
     """Media feature pipeline: small batches (payloads are wide), actor
-    pool sized explicitly, Arrow in/out."""
+    pool cluster-scaled by default (CLAUDE.md: never a literal),
+    Arrow in/out."""
+    from sapray.ops import actor_pool
+
+    pool = (1, concurrency) if concurrency is not None else actor_pool()
     return ds.map_batches(
         MediaFeatureExtractor,
         fn_constructor_kwargs={"decode_fn": decode_fn},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=pool,
     )
 
 
@@ -257,10 +268,17 @@ def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
         raise ValueError("not a BMP payload (missing 'BM' magic)")
     pixel_offset = struct.unpack_from("<I", payload, 10)[0]
     width, height = struct.unpack_from("<ii", payload, 18)
+    # a negative BITMAPINFOHEADER height means TOP-DOWN row order; the
+    # output header below declares bottom-up, so flip such rows into
+    # bottom-up order instead of re-labelling them (review finding: the
+    # old abs() silently inverted top-down images)
+    top_down = height < 0
     height = abs(height)
     row = ((3 * width + 3) // 4) * 4
     body = np.frombuffer(payload, dtype=np.uint8, offset=pixel_offset,
                          count=row * height).reshape(height, row)
+    if top_down:
+        body = body[::-1]
     pix = body[:, : 3 * width].reshape(height, width, 3)
     ys = np.minimum((np.arange(out_h) * height) // out_h, height - 1)
     xs = np.minimum((np.arange(out_w) * width) // out_w, width - 1)

@@ -198,3 +198,99 @@ def test_json_schema_pins_layout():
     out = parse_json_column(col, schema=schema)
     assert out.schema.names == ["a"]
     assert out.column("a").to_pylist() == [1, 2]
+
+
+def test_connected_components_null_edges(ray_session):
+    """NULL edge endpoints are dropped — not astype'd to INT64_MIN and
+    elected cluster minimum."""
+    import ray.data
+
+    from sapray.graph import connected_components
+
+    t = pa.table({
+        "a": pa.array([1, 3, None, 5], pa.int64()),
+        "b": pa.array([2, 4, 1, None], pa.int64()),
+    })
+    out = connected_components(ray.data.from_arrow(t), num_partitions=2)
+    labels = {r["node"]: r["cluster_id"] for r in out.take_all()}
+    assert labels == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_chain_edges_null_ids(ray_session):
+    import ray.data
+
+    from sapray.graph import chain_edges
+
+    t = pa.table({
+        "k": pa.array(["x", "x", "x", "y"], pa.string()),
+        "doc_id": pa.array([1, None, 2, 9], pa.int64()),
+    })
+    out = chain_edges(ray.data.from_arrow(t), "k", "doc_id", num_partitions=2)
+    assert {(r["a"], r["b"]) for r in out.take_all()} == {(1, 2)}
+
+
+def test_state_sha_counts_multiplicity():
+    """A row duplicated an even number of times must CHANGE the state
+    sha (the old xor fold cancelled it to nothing)."""
+    from sapray.hashing import table_state_sha
+
+    one = pa.table({
+        "repo": pa.array(["r"], pa.large_string()),
+        "path": pa.array(["p"], pa.large_string()),
+        "content_sha256": pa.array(["aa"], pa.string()),
+    })
+    tripled = pa.concat_tables([one, one, one])
+    assert table_state_sha(one, ("repo", "path")) != table_state_sha(
+        tripled, ("repo", "path")
+    )
+    # order independence preserved
+    two = pa.table({
+        "repo": pa.array(["r", "s"], pa.large_string()),
+        "path": pa.array(["p", "q"], pa.large_string()),
+        "content_sha256": pa.array(["aa", "bb"], pa.string()),
+    })
+    rev = two.take(pa.array([1, 0]))
+    assert table_state_sha(two, ("repo", "path")) == table_state_sha(
+        rev, ("repo", "path")
+    )
+
+
+def test_resize_bmp_top_down():
+    """A negative-height (top-down) BMP must keep its orientation
+    through resize, not flip."""
+    import struct
+
+    import numpy as np
+
+    from sapray.multimodal import resize_bmp
+
+    w, h = 4, 4
+    row = ((3 * w + 3) // 4) * 4
+    # distinct row colors, stored TOP-DOWN: row 0 = brightest
+    body = np.zeros((h, row), np.uint8)
+    for y in range(h):
+        body[y, : 3 * w] = 250 - 60 * y
+    data = body.tobytes()
+    td = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+          + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(data),
+                        2835, 2835, 0, 0) + data)
+    # bottom-up twin with the same VISUAL content (rows reversed)
+    bu = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+          + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                        2835, 2835, 0, 0) + body[::-1].tobytes())
+    assert resize_bmp(td, 2, 2) == resize_bmp(bu, 2, 2)
+
+
+def test_geo_null_json_and_geography_collection():
+    from sapray.geo import extract_geospatial
+
+    assert extract_geospatial("null") is None
+    got = extract_geospatial({
+        "type": "GeographyCollection", "dimension": "GEOGRAPHY",
+        "geometries": [{"type": "Point", "coordinates": [1.0, 2.0]}],
+    })
+    assert got["type"] == "GeographyCollection"
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported geospatial"):
+        extract_geospatial("[1, 2]")
