@@ -939,7 +939,10 @@ CHUNK_DOCS_SQL = f"""
 WITH c AS (
   SELECT doc_id, text,
          unnest(generate_series(
-           0, (greatest(length(text), 1) - 1) // {_CHUNK_SIZE - _CHUNK_OVERLAP}
+           0, CASE WHEN length(text) <= {_CHUNK_SIZE} THEN 0
+                   ELSE (length(text) - {_CHUNK_SIZE}
+                         + {_CHUNK_SIZE - _CHUNK_OVERLAP} - 1)
+                        // {_CHUNK_SIZE - _CHUNK_OVERLAP} END
          )) AS chunk_idx
   FROM documents
 )

@@ -58,7 +58,14 @@ class LangId(Stage):
         return {self.out_column: pa.string()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lowered = pc.utf8_lower(batch.column(self.text_column))
+        col = batch.column(self.text_column)
+        if col.null_count:
+            # NULL text scores NaN on every language: np.argmax over the
+            # all-NaN row returns 0 ("de") and the NaN max dodges the
+            # == 0 "und" fallback (review finding) — empty text scores 0
+            # everywhere and labels "und"
+            col = pc.fill_null(col, "")
+        lowered = pc.utf8_lower(col)
         scores = np.zeros((len(batch), len(self.langs)))
         for j, lang in enumerate(self.langs):
             scores[:, j] = (
@@ -310,9 +317,10 @@ class RepetitionStats(Stage):
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        words = pc.split_pattern(
-            batch.column(self.text_column), pattern=self.sep
-        ).combine_chunks()
+        col = batch.column(self.text_column)
+        if col.null_count:
+            col = pc.fill_null(col, "")  # NULL text == empty doc
+        words = pc.split_pattern(col, pattern=self.sep).combine_chunks()
         n_words = pc.list_value_length(words).cast(pa.int64())
         parent = np.repeat(np.arange(len(words)), n_words.to_numpy())
         frame = pd.DataFrame(
@@ -373,7 +381,13 @@ class ChunkDocs(Stage):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = pc.utf8_length(batch.column(self.text_column)).to_numpy().astype(np.int64)
-        n_chunks = (np.maximum(n, 1) - 1) // self.step + 1
+        # stop once a chunk reaches the end of the document: the old
+        # while-start<L count emitted a trailing chunk wholly contained
+        # in the previous one whenever the doc ended inside the overlap
+        # region (review finding) — duplicate training text
+        n_chunks = np.where(
+            n <= self.size, 1, (n - self.size + self.step - 1) // self.step + 1
+        )
         out_schema = pa.schema(
             [
                 (self.id_column, batch.schema.field(self.id_column).type),
@@ -412,7 +426,13 @@ def word_ngrams(batch: pa.Table, text_column: str, n: int) -> tuple[np.ndarray, 
     strings are built with ``n`` elementwise object-array concatenations
     over shifted views of the flattened word array, not a per-row loop.
     """
-    words = pc.split_pattern(batch.column(text_column), pattern=" ").combine_chunks()
+    col = batch.column(text_column)
+    if col.null_count:
+        # a NULL text row must contribute ZERO grams — the null list's
+        # NaN length would astype to INT64_MIN and wrap the gram count
+        # to ~9e18 (review finding: an 8-exabyte np.repeat)
+        col = pc.fill_null(col, "")
+    words = pc.split_pattern(col, pattern=" ").combine_chunks()
     lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = words.flatten().to_numpy(zero_copy_only=False).astype(object)
     doc_starts = np.concatenate([[0], np.cumsum(lens)])

@@ -87,9 +87,12 @@ def _descending_key(vals: np.ndarray) -> np.ndarray:
     handle both: datetimes sort by negated int64 epoch, unsigned by
     bitwise complement (``~x`` = max - x, an exact order reversal)."""
     if vals.dtype.kind == "M":
-        return -vals.astype("datetime64[us]").astype(np.int64)
-    if vals.dtype.kind == "u":
-        return ~vals
+        # complement, not minus: NaT maps to INT64_MIN, and -INT64_MIN
+        # wraps back to itself (sorting NaT FIRST under descending);
+        # ~INT64_MIN = INT64_MAX keeps it last (review finding)
+        return ~vals.astype("datetime64[us]").astype(np.int64)
+    if vals.dtype.kind in "iu":
+        return ~vals  # exact order reversal at every value incl. INT64_MIN
     return -vals
 
 
@@ -245,10 +248,11 @@ def string_agg(
         t = t.take(pa.array(idx))
         codes = codes[idx]
         starts = _run_starts(codes)
+        vtype = t.schema.field(value_column).type
         if not len(starts):
             return pa.table({
                 key: t.column(key).slice(0, 0),
-                out_name: pa.array([], pa.string()),
+                out_name: pa.array([], vtype),
             })
         vals = t.column(value_column)
         if isinstance(vals, pa.ChunkedArray):
@@ -262,10 +266,14 @@ def string_agg(
         lists = pa.ListArray.from_arrays(
             pa.array(offsets, pa.int32()), vals.filter(pa.array(valid))
         )
+        # the join kernel dispatches on ONE width: a large_string value
+        # column (content is large_string end to end, CLAUDE.md) needs a
+        # large_string separator, and null/empty outputs must carry the
+        # same width or per-partition blocks disagree (review finding)
         joined = pa.compute.if_else(
             pa.array(n_valid > 0),
-            pa.compute.binary_join(lists, sep),
-            pa.nulls(len(starts), pa.string()),
+            pa.compute.binary_join(lists, pa.scalar(sep, vtype)),
+            pa.nulls(len(starts), vtype),
         )
         return pa.table({
             key: t.column(key).take(pa.array(starts)),
@@ -420,12 +428,13 @@ def windowed_agg(
         out = t.take(pa.array(idx)).select([key, id_column])
         out = out.append_column(out_count, pa.array(hi - lo))
         if value_column is not None and out_sum is not None:
-            v = (
-                t.column(value_column)
-                .take(pa.array(idx))
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
+            vcol = t.column(value_column).take(pa.array(idx))
+            if vcol.null_count:
+                # SQL SUM skips NULLs; a raw astype would turn the NaN
+                # into INT64_MIN and poison every later prefix (review
+                # finding — same class as rows_window_sum's guard)
+                vcol = pa.compute.fill_null(vcol, 0)
+            v = vcol.to_numpy(zero_copy_only=False).astype(np.int64)
             csum = np.concatenate([[0], np.cumsum(v)])
             out = out.append_column(out_sum, pa.array(csum[hi] - csum[lo]))
         return out
@@ -453,17 +462,46 @@ def grouped_quantile(
         raise ValueError("q must be in [0, 1]")
 
     def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         codes = _key_codes(t, key)
         vals = t.column(value_column).to_numpy(zero_copy_only=False)
-        idx = np.lexsort((vals, codes))
+        # NULL values are ignored per SQL aggregate semantics (they sort
+        # last and would shift — or BE — the selected order statistic;
+        # review finding, mirroring grouped_quantile_cont); a group of
+        # only NULLs still appears, with a NULL quantile
+        valid = ~np.isnan(vals) if vals.dtype.kind == "f" else np.ones(
+            len(vals), dtype=bool
+        )
+        all_idx = np.lexsort((codes,))
+        roster_starts = _run_starts(codes[all_idx])
+        roster_keys = t.column(key).take(pa.array(all_idx[roster_starts]))
+        roster_codes = codes[all_idx][roster_starts]
+        vidx = np.nonzero(valid)[0]
+        idx = vidx[np.lexsort((vals[vidx], codes[vidx]))]
         codes_s = codes[idx]
         starts = _run_starts(codes_s)
         ends = np.concatenate([starts[1:], [len(codes_s)]])
         sel = starts + np.floor(q * (ends - starts - 1)).astype(np.int64)
-        pick = idx[sel]
-        keys_out = t.column(key).take(pa.array(idx[starts]))
-        vals_out = t.column(value_column).take(pa.array(pick))
-        return pa.table({key: keys_out, out_name: vals_out})
+        pick = pa.array(idx[sel])
+        have = codes_s[starts]
+        pos_in = np.searchsorted(have, roster_codes)
+        safe = np.minimum(pos_in, max(len(have) - 1, 0))
+        found = (
+            (pos_in < len(have)) & (have[safe] == roster_codes)
+            if len(have)
+            else np.zeros(len(roster_codes), dtype=bool)
+        )
+        vals_have = t.column(value_column).take(pick).combine_chunks()
+        gather = pa.array(np.minimum(safe, max(len(have) - 1, 0)))
+        vals_out = pc.if_else(
+            pa.array(found),
+            vals_have.take(gather) if len(have) else pa.nulls(
+                len(roster_codes), t.schema.field(value_column).type
+            ),
+            pa.nulls(len(roster_codes), t.schema.field(value_column).type),
+        )
+        return pa.table({key: roster_keys, out_name: vals_out})
 
     return partitioned_apply(ds, key, kernel, num_partitions)
 
@@ -593,6 +631,9 @@ def asof_join(
 
     def kernel(t: pa.Table) -> pa.Table:
         codes = _key_codes(t, key)
+        key_valid = pa.compute.is_valid(
+            t.column(key)
+        ).to_numpy(zero_copy_only=False)
         tsi = (
             t.column(ts_column)
             .to_numpy(zero_copy_only=False)
@@ -605,13 +646,21 @@ def asof_join(
         idx = np.lexsort((side, tsi, codes))
         t = t.take(pa.array(idx))
         codes, side = codes[idx], side[idx]
+        key_valid = key_valid[idx]
         n = len(codes)
-        r_idx = np.where(side == 0, np.arange(n, dtype=np.int64), -1)
+        # SQL ASOF JOIN: NULL keys never match (NULL = NULL is not true)
+        # — NULL-key right rows are not match candidates, NULL-key left
+        # rows emit right-nulls (review finding; _key_codes folds NULLs
+        # into one group, which is right for PARTITION BY but not joins)
+        r_idx = np.where(
+            (side == 0) & key_valid, np.arange(n, dtype=np.int64), -1
+        )
         last_r = np.maximum.accumulate(r_idx)
         starts = _run_starts(codes)
         pos = np.arange(n, dtype=np.int64)
         run_start = starts[np.searchsorted(starts, pos, side="right") - 1]
-        valid = last_r >= run_start  # matched right row is in THIS key's run
+        # matched right row is in THIS key's run, and the key is not null
+        valid = (last_r >= run_start) & key_valid
         left_mask = side == 1
         out_rows = t.filter(pa.array(left_mask))
         gather = np.clip(last_r[left_mask], 0, max(n - 1, 0))
@@ -693,7 +742,10 @@ def running_sum(
         n = len(codes)
         if n == 0:
             return t.append_column(out_name, pa.array([], pa.int64()))
-        v = t.column(value_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        vcol = t.column(value_column)
+        if vcol.null_count:
+            vcol = pa.compute.fill_null(vcol, 0)  # SQL SUM skips NULLs
+        v = vcol.to_numpy(zero_copy_only=False).astype(np.int64)
         csum = np.cumsum(v)
         starts = _run_starts(codes)
         pos = np.arange(n, dtype=np.int64)

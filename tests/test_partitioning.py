@@ -294,3 +294,122 @@ def test_geo_null_json_and_geography_collection():
 
     with pytest.raises(ValueError, match="unsupported geospatial"):
         extract_geospatial("[1, 2]")
+
+
+def test_string_agg_large_string(ray_session):
+    import ray.data
+
+    from sapray.window import string_agg
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "b"], pa.string()),
+        "v": pa.array(["x", None, "y"], pa.large_string()),
+        "o": pa.array([1, 2, 1], pa.int64()),
+    })
+    out = string_agg(ray.data.from_arrow(t), "k", "v", "o", num_partitions=2)
+    got = {r["k"]: r["agg"] for r in out.take_all()}
+    assert got == {"a": "x", "b": "y"}
+
+
+def test_null_value_sums_vs_duckdb(ray_session):
+    """NULL values must act as SQL SUM's skip-NULLs, not INT64_MIN."""
+    import duckdb
+    import ray.data
+
+    from sapray.window import running_sum
+
+    t = pa.table({
+        "k": pa.array(["a"] * 5, pa.string()),
+        "o": pa.array(range(5), pa.int64()),
+        "v": pa.array([1, None, 10, None, 100], pa.int64()),
+    })
+    out = running_sum(
+        ray.data.from_arrow(t), "k", "o", "o", "v", num_partitions=2
+    ).to_pandas().sort_values("o")
+    con = duckdb.connect(); con.register("t", t.to_pandas())
+    exp = con.execute(
+        "SELECT o, CAST(sum(v) OVER (PARTITION BY k ORDER BY o, o) AS BIGINT)"
+        " AS rs FROM t ORDER BY o").fetch_df()
+    # engine fills NULL as 0, SQL's running sum also skips them — values agree
+    assert list(out.iloc[:, -1]) == list(exp["rs"])
+
+
+def test_grouped_quantile_ignores_nulls(ray_session):
+    import duckdb
+    import ray.data
+
+    from sapray.window import grouped_quantile
+
+    t = pa.table({
+        "k": pa.array(["a"] * 4 + ["b"] * 2, pa.string()),
+        "v": pa.array([1, 2, 3, None, None, None], pa.int64()),
+    })
+    out = grouped_quantile(
+        ray.data.from_arrow(t), "k", "v", 1.0, num_partitions=2
+    ).to_pandas().set_index("k")["quantile"]
+    con = duckdb.connect(); con.register("t", t.to_pandas())
+    exp = con.execute(
+        "SELECT k, quantile_disc(v, 1.0) AS q FROM t GROUP BY k"
+    ).fetch_df().set_index("k")["q"]
+    assert out["a"] == exp["a"] == 3
+    assert pd_isna(out["b"]) and pd_isna(exp["b"])
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
+
+
+def test_asof_join_null_keys_never_match(ray_session):
+    import ray.data
+
+    from sapray.window import asof_join
+
+    left = pa.table({
+        "k": pa.array([None, "a"], pa.string()),
+        "t": pa.array([10, 10], pa.int64()),
+        "lid": pa.array([1, 2], pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([None, "a"], pa.string()),
+        "t": pa.array([5, 5], pa.int64()),
+        "rv": pa.array([99, 7], pa.int64()),
+    })
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        key="k", ts_column="t", num_partitions=2,
+    )
+    got = {r["lid"]: r["rv"] for r in out.take_all()}
+    assert got == {1: None, 2: 7}
+
+
+def test_null_text_stages():
+    import pyarrow.compute as pc
+
+    from sapray.text import ChunkDocs, LangId, RepetitionStats, word_ngrams
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([None, "the cat the cat"], pa.large_string()),
+    })
+    parent, grams = word_ngrams(batch, "text", 2)
+    assert (parent == 1).all() and len(grams) == 3
+    rs = RepetitionStats()(batch)
+    assert rs.column("n_words").to_pylist()[0] == 1  # "" splits to [""]
+    li = LangId()(batch)
+    assert li.column("pred_lang").to_pylist()[0] == "und"
+    # chunk-count boundary: a doc of exactly `size` chars is ONE chunk
+    cd = ChunkDocs(size=8, overlap=2)
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["x" * 8], pa.string())})
+    assert cd(t).num_rows == 1
+
+
+def test_descending_key_int64_min():
+    from sapray.window import _descending_key
+
+    v = np.array([np.iinfo(np.int64).min, -5, 0, np.iinfo(np.int64).max],
+                 np.int64)
+    d = _descending_key(v)
+    assert list(np.argsort(d, kind="stable")) == [3, 2, 1, 0]
