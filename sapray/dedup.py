@@ -229,6 +229,12 @@ def minhash_lsh_candidates(
     False when feeding :func:`verify_pairs_jaccard`, whose reunite step
     deduplicates pairs structurally, saving this extra all-to-all).
     """
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}); "
+            "trailing permutations would be computed but never hashed "
+            "into any band"
+        )
     rows_per_band = num_perm // bands
 
     ds = ds.map_batches(
@@ -842,15 +848,27 @@ def verify_pairs_jaccard(
             )
         ia = batch.column("id_a").to_numpy(zero_copy_only=False)
         ib = batch.column("id_b").to_numpy(zero_copy_only=False)
-        va = batch.column("val_a").to_pylist()
-        vb = batch.column("val_b").to_pylist()
         # a doc in k candidate pairs would shingle k times — shingle each
-        # distinct id ONCE per batch (unique sorted uint64 arrays)
-        arrs: dict = {}
-        for ids, vals in ((ia, va), (ib, vb)):
-            for i, v in zip(ids.tolist(), vals):
-                if i not in arrs:
-                    arrs[i] = _shingle_hashes(v or "", shingle_k)
+        # distinct id ONCE per batch, and shingle ALL distinct docs in
+        # one concatenated-buffer pass (_batch_shingle_hashes +
+        # _unique_per_doc) instead of a to_pylist + per-doc Python loop
+        # (review finding; the same recipe as the signature kernels)
+        all_ids = np.concatenate([ia, ib])
+        uids, first = np.unique(all_ids, return_index=True)
+        va_col = batch.column("val_a").combine_chunks()
+        vb_col = batch.column("val_b").combine_chunks()
+        texts = pa.concat_arrays(
+            [va_col.cast(pa.large_string()), vb_col.cast(pa.large_string())]
+        ).take(pa.array(first))
+        hashes, offs = _batch_shingle_hashes(texts, shingle_k)
+        h_u, d_u = _unique_per_doc(hashes, offs)
+        cnts = np.bincount(d_u, minlength=len(uids))
+        bounds = np.zeros(len(uids) + 1, dtype=np.int64)
+        np.cumsum(cnts, out=bounds[1:])
+        arrs: dict = {
+            int(uid): h_u[bounds[j] : bounds[j + 1]]
+            for j, uid in enumerate(uids)
+        }
         sh_a = [arrs[i] for i in ia.tolist()]
         sh_b = [arrs[i] for i in ib.tolist()]
         na = np.array([s.size for s in sh_a], dtype=np.int64)

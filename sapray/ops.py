@@ -47,14 +47,39 @@ def actor_pool(frac: float = 0.5, lo: int = 2) -> tuple[int, int]:
 
 
 def read_projected(
-    path: str, columns: list[str] | None = None, filter_expr=None
+    path: str,
+    columns: list[str] | None = None,
+    filter_expr=None,
+    override_num_blocks: int | None = None,
 ) -> ray.data.Dataset:
-    """Column-pruned, row-group-filtered Parquet read (prune at the read)."""
+    """Column-pruned, row-group-filtered Parquet read (prune at the read).
+
+    For SMALL single-file inputs the block count defaults to the cluster
+    CPU count: Ray's own sizing has a 200-minimum-block floor that
+    fragments a megabyte-scale scan into hundreds of ms-scale tasks
+    (CLAUDE.md reads invariant; the CDC engine sizes its scans the same
+    way via ``_n_blocks``). Large inputs keep Ray's byte-based sizing.
+    """
     kwargs = {}
     if columns:
         kwargs["columns"] = columns
     if filter_expr is not None:
         kwargs["filter"] = filter_expr
+    if override_num_blocks is None and isinstance(path, str):
+        import os
+
+        try:
+            if os.path.isfile(path):
+                ncpu = (
+                    int(ray.cluster_resources().get("CPU", 8))
+                    if ray.is_initialized() else 8
+                )
+                if os.path.getsize(path) < ncpu * (64 << 20):
+                    override_num_blocks = max(2, ncpu)
+        except OSError:
+            pass
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
     return ray.data.read_parquet(path, **kwargs)
 
 
@@ -100,8 +125,11 @@ def grouped_aggregate(
     finalizers: list[tuple[str, str, str]] = []  # (out, kind, basis)
     for out, (col, kind) in spec.items():
         if kind == "mean":
+            # SQL AVG divides by the column's NON-NULL count, not
+            # COUNT(*) — a shared row-count divisor silently deflated
+            # means over nullable columns (review finding)
             partial_cols[f"__sum_{out}"] = (col, "sum")
-            partial_cols.setdefault("__cnt", (None, "count"))
+            partial_cols[f"__vcnt_{out}"] = (col, "count_valid")
             finalizers.append((out, "mean", f"__sum_{out}"))
         elif kind == "count":
             partial_cols.setdefault("__cnt", (None, "count"))
@@ -118,11 +146,21 @@ def grouped_aggregate(
             by_agg.setdefault((col, kind), []).append(name)
         aggs = []
         for (col, kind) in by_agg:
-            aggs.append(([], "count_all") if kind == "count" else (col, kind))
+            if kind == "count":
+                aggs.append(([], "count_all"))
+            elif kind == "count_valid":
+                aggs.append((col, "count"))  # Arrow count = non-null
+            else:
+                aggs.append((col, kind))
         res = batch.group_by(keys, use_threads=False).aggregate(aggs)
         cols: dict[str, pa.ChunkedArray] = {k: res.column(k) for k in keys}
         for (col, kind), names in by_agg.items():
-            src = "count_all" if kind == "count" else f"{col}_{kind}"
+            if kind == "count":
+                src = "count_all"
+            elif kind == "count_valid":
+                src = f"{col}_count"
+            else:
+                src = f"{col}_{kind}"
             for name in names:
                 cols[name] = res.column(src)
         return pa.table(cols)
@@ -131,7 +169,7 @@ def grouped_aggregate(
 
     aggs = []
     for name, (col, kind) in partial_cols.items():
-        if kind in ("count", "sum"):
+        if kind in ("count", "count_valid", "sum"):
             aggs.append(Sum(name, alias_name=name))
         elif kind == "min":
             aggs.append(Min(name, alias_name=name))
@@ -143,9 +181,16 @@ def grouped_aggregate(
         cols: dict[str, pa.Array] = {k: batch.column(k) for k in keys}
         for out, kind, basis in finalizers:
             if kind == "mean":
-                cols[out] = pa.compute.divide(
+                vcnt = batch.column(f"__vcnt_{out}")
+                mean = pa.compute.divide(
                     pa.compute.cast(batch.column(basis), pa.float64()),
-                    pa.compute.cast(batch.column("__cnt"), pa.float64()),
+                    pa.compute.cast(vcnt, pa.float64()),
+                )
+                # AVG over only NULLs is NULL, not 0/0 (Arrow x/0 = inf
+                # but DuckDB = NULL — CLAUDE.md float-gate invariant)
+                cols[out] = pa.compute.if_else(
+                    pa.compute.greater(vcnt, 0), mean,
+                    pa.nulls(batch.num_rows, pa.float64()),
                 )
             else:
                 cols[out] = batch.column(basis)
@@ -244,7 +289,13 @@ def semi_join_filter(
     ds: ray.data.Dataset, keys, column: str, anti: bool = False
 ) -> ray.data.Dataset:
     """Semi (or anti) join: broadcast the key set, filter inside
-    map_batches with Arrow's zero-copy ``pc.is_in`` membership kernel."""
+    map_batches with Arrow's zero-copy ``pc.is_in`` membership kernel.
+
+    ``anti=True`` implements NOT EXISTS semantics: a NULL-key probe row
+    is KEPT (it matches nothing). SQL ``NOT IN`` instead drops NULL
+    probes (three-valued logic) — write the oracle as NOT EXISTS / an
+    anti join, or pre-filter nulls, when the probe column is nullable.
+    """
     if isinstance(keys, (pa.Array, pa.ChunkedArray)):
         value_set = keys
     else:
@@ -285,17 +336,25 @@ def latest_by_key(
         num_partitions = exchange_partitions(ds)
 
     def combine(batch: pa.Table) -> pa.Table:
+        # SQL arg_max ignores NULL sequence values: a NULL seq casts to
+        # NaN in lww_reduce's lexsort and would sort LAST — winning over
+        # every real value (review finding)
+        seq = batch.column(seq_column)
+        if seq.null_count:
+            batch = batch.filter(pa.compute.is_valid(seq))
         batch = lww_reduce(batch, key_columns, seq_column)
         kh = hash_key(batch, key_columns)
         part = (kh % np.uint64(num_partitions)).astype(np.int32)
-        return batch.append_column("part", pa.array(part))
+        # "__part" scratch name: the CDC lake carries a real "part"
+        # column (hive layout), which a bare "part" would collide with
+        return batch.append_column("__part", pa.array(part))
 
     ds = ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
 
     def final(group: pa.Table) -> pa.Table:
-        return lww_reduce(group, key_columns, seq_column).drop_columns(["part"])
+        return lww_reduce(group, key_columns, seq_column).drop_columns(["__part"])
 
-    return ds.groupby("part").map_groups(final, batch_format="pyarrow")
+    return ds.groupby("__part").map_groups(final, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -435,12 +494,22 @@ def grouped_hll_distinct(
     m = 1 << b
 
     def partial(batch: pa.Table) -> pa.Table:
+        # roster sentinels (reg=-1, rho=0) keep every group present even
+        # when ALL its values are NULL — SQL COUNT(DISTINCT) returns 0
+        # for such a group, but dropping its rows entirely erased the
+        # group from the output (review finding)
+        roster = batch.select([group_key]).group_by(
+            [group_key], use_threads=False
+        ).aggregate([])
+        sent = pa.table({
+            group_key: roster.column(group_key),
+            "reg": pa.array(np.full(roster.num_rows, -1, np.int64)),
+            "rho": pa.array(np.zeros(roster.num_rows, np.int64)),
+        })
         # COUNT(DISTINCT) null exclusion, as in hll_distinct_count
         batch = drop_null_keys(batch, tuple(value_columns))
         if batch.num_rows == 0:
-            return pa.table({group_key: batch.column(group_key),
-                             "reg": pa.array([], pa.int64()),
-                             "rho": pa.array([], pa.int64())})
+            return sent
         h = hash_key(batch, tuple(value_columns))
         reg = (h >> np.uint64(64 - b)).astype(np.int64)
         rest = (h << np.uint64(b)) | np.uint64((1 << b) - 1)
@@ -455,9 +524,10 @@ def grouped_hll_distinct(
         res = t.group_by([group_key, "reg"], use_threads=False).aggregate(
             [("rho", "max")]
         )
-        return pa.table({group_key: res.column(group_key),
-                         "reg": res.column("reg"),
-                         "rho": res.column("rho_max")})
+        out = pa.table({group_key: res.column(group_key),
+                        "reg": res.column("reg"),
+                        "rho": res.column("rho_max")})
+        return pa.concat_tables([out, sent])
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
@@ -476,10 +546,14 @@ def grouped_hll_distinct(
         idx_s, rho_s = idx[order], rho[order]
         starts = _run_starts(idx_s)
         n_groups = len(starts)
-        pow2 = np.exp2(-rho_s.astype(np.float64))
+        # rho == 0 marks roster sentinels, never a real register
+        # (rho = 64 - msb + 1 >= 1 for every hashed value)
+        valid = rho_s > 0
+        pow2 = np.where(valid, np.exp2(-rho_s.astype(np.float64)), 0.0)
         csum = np.concatenate([[0.0], np.cumsum(pow2)])
         ends = np.concatenate([starts[1:], [len(idx_s)]])
-        n_regs = ends - starts
+        vsum = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+        n_regs = vsum[ends] - vsum[starts]
         s = csum[ends] - csum[starts] + (m - n_regs)  # absent regs are 2^0
         est = alpha * m * m / s
         zeros = (m - n_regs).astype(np.float64)
@@ -1432,7 +1506,12 @@ def global_rank(
         part[nulls] = len(splitters)
         return batch.append_column("__part", pa.array(part))
 
-    tagged = ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize: the routed dataset is consumed TWICE (counts pass,
+    # then the rank pass) — without this the whole scan+route re-executes
+    # (review finding; heavy_hitters materializes its reuse the same way)
+    tagged = ds.map_batches(
+        route, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     # per-range counts -> offsets (P ints per batch; merged driver-side)
     def counts(batch: pa.Table) -> pa.Table:
@@ -1705,6 +1784,10 @@ def write_partitioned(
     import os
     import shutil
 
+    if mode not in ("overwrite", "error"):
+        # an unknown mode must not silently APPEND into a non-empty
+        # target and mix two runs' partitions (review finding)
+        raise ValueError(f"mode must be 'overwrite' or 'error', got {mode!r}")
     if os.path.isdir(path) and os.listdir(path):
         if mode == "error":
             raise FileExistsError(f"output path {path} is not empty")

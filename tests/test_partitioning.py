@@ -413,3 +413,81 @@ def test_descending_key_int64_min():
                  np.int64)
     d = _descending_key(v)
     assert list(np.argsort(d, kind="stable")) == [3, 2, 1, 0]
+
+
+def test_mean_with_nulls_vs_duckdb(ray_session):
+    """AVG divides by the non-null count; all-NULL groups yield NULL."""
+    import duckdb
+    import ray.data
+
+    from sapray.ops import grouped_aggregate
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "b"], pa.string()),
+        "x": pa.array([10, None, 20, None], pa.int64()),
+    })
+    out = grouped_aggregate(
+        ray.data.from_arrow(t), ["k"], {"avg_x": ("x", "mean")}
+    ).to_pandas().set_index("k")["avg_x"]
+    con = duckdb.connect(); con.register("t", t.to_pandas())
+    exp = con.execute(
+        "SELECT k, avg(x) AS avg_x FROM t GROUP BY k"
+    ).fetch_df().set_index("k")["avg_x"]
+    assert out["a"] == exp["a"] == 15.0
+    assert pd_isna(out["b"]) and pd_isna(exp["b"])
+
+
+def test_latest_by_key_part_column_and_null_seq(ray_session):
+    import ray.data
+
+    from sapray.ops import latest_by_key
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a"], pa.string()),
+        "seq": pa.array([1, None, 2], pa.int64()),
+        "part": pa.array([7, 7, 7], pa.int64()),  # caller's own column
+    })
+    out = latest_by_key(ray.data.from_arrow(t), ("k",), "seq",
+                        num_partitions=2).take_all()
+    assert len(out) == 1
+    assert out[0]["seq"] == 2  # the NULL-seq row never wins
+    assert out[0]["part"] == 7  # caller's column survives
+
+
+def test_grouped_hll_all_null_group(ray_session):
+    import ray.data
+
+    from sapray.ops import grouped_hll_distinct
+
+    t = pa.table({
+        "g": pa.array(["a"] * 3 + ["b"] * 2, pa.string()),
+        "v": pa.array([1, 2, 2, None, None], pa.int64()),
+    })
+    out = grouped_hll_distinct(
+        ray.data.from_arrow(t), "g", ["v"], num_partitions=2
+    ).to_pandas().set_index("g")["approx_distinct"]
+    assert round(out["a"]) == 2
+    assert out["b"] == 0.0  # group persists with COUNT(DISTINCT)=0
+
+
+def test_minhash_band_divisibility(ray_session):
+    import pytest
+    import ray.data
+
+    from sapray.dedup import minhash_lsh_candidates
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["hello"], pa.large_string())})
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_candidates(ray.data.from_arrow(t), num_perm=64, bands=12)
+
+
+def test_write_partitioned_rejects_unknown_mode(ray_session, tmp_path):
+    import pytest
+    import ray.data
+
+    from sapray.ops import write_partitioned
+
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([1])}))
+    with pytest.raises(ValueError, match="mode"):
+        write_partitioned(ds, str(tmp_path / "o"), mode="append")
