@@ -3529,6 +3529,11 @@ def cdc_replay_flagship(sf_dir: str):
     generate_changelog(sf_dir, cl_dir, n_updates=3000)
     lake = os.path.join(ORACLE_TMP, name, "lake")
     shutil.rmtree(lake, ignore_errors=True)
+    # num_partitions here is the LAKE LAYOUT bucket count — a durable
+    # property recorded in every manifest (resume fails fast on mismatch),
+    # deliberately explicit rather than cluster-scaled; exchange widths
+    # elsewhere auto-size via partition.exchange_partitions(). bench.py
+    # uses 128 at its scale; 16 fits the sf<=0.01 oracle corpora.
     eng = CDCEngine(CDCConfig(lake_dir=lake, num_partitions=16))
     eng.apply(cl_dir)
     state = eng.state_table()
