@@ -151,6 +151,14 @@ def sha256_hex_column(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
+# manifest tag for the state_sha construction. "adhash-add-v1" is the
+# current ADD-fold; the earlier (unreleased) xor fold had no tag, so a
+# manifest missing `state_sha_algo` or carrying an older value is an
+# OLD HASH FORMAT, not state corruption (advisory finding) — verifiers
+# must compare the tag before comparing the digest.
+STATE_SHA_ALGO = "adhash-add-v1"
+
+
 def table_state_sha(table: pa.Table, key_columns: tuple[str, ...]) -> str:
     """Order-insensitive sha256 over the rows of a final-state table.
 

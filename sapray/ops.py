@@ -1492,10 +1492,16 @@ def global_rank(
         # un-sorting the splitters and misrouting every partition.
         if v.dtype.kind in "iu":
             info = np.iinfo(v.dtype)
-            sp = np.unique(
-                np.clip(splitters, float(info.min), float(info.max))
-                .astype(v.dtype)
-            )
+            # clip in INTEGER space: float(info.max) rounds UP to 2^63
+            # for int64, and astype of that overflows back to INT64_MIN
+            # (advisory finding). int(s) truncates toward zero exactly
+            # like the former astype for in-range values; the min/max
+            # clamp is exact at the dtype boundary. The splitter list is
+            # num_partitions-sized, so the Python loop is not hot.
+            sp = np.unique(np.array(
+                [min(max(int(s), info.min), info.max) for s in splitters],
+                dtype=v.dtype,
+            ))
         else:
             sp = splitters
         part = np.searchsorted(sp, v, side="left").astype(np.int32)

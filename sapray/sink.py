@@ -36,6 +36,14 @@ import pyarrow.parquet as pq
 MANIFEST_DIR = "_manifests"
 
 
+def _state_sha_algo() -> str:
+    # deferred import: sink must stay importable without pulling the
+    # hashing module's pandas dependency at module load
+    from sapray.hashing import STATE_SHA_ALGO
+
+    return STATE_SHA_ALGO
+
+
 def _part_dir(lake_dir: str, part: int) -> str:
     return os.path.join(lake_dir, f"part={part:05d}")
 
@@ -313,6 +321,7 @@ def commit_partition(
         "files": [fname],
         "row_count": state.num_rows,
         "state_sha": state_sha,
+        "state_sha_algo": _state_sha_algo(),
         **({"stats": {fname: _column_stats(state, stats_columns)}}
            if stats_columns else {}),
         **(extra or {}),
@@ -373,6 +382,7 @@ def commit_partition_delta(
         "files": files,
         "row_count": -1,  # unknown until compaction/read merge
         "state_sha": delta_sha,
+        "state_sha_algo": _state_sha_algo(),
         "mode": "delta",
         **({"stats": {f: s for f, s in stats.items() if f in files}}
            if stats else {}),

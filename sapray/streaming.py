@@ -72,16 +72,21 @@ class SessionBucketActor:
 # sessions, dict.get(nan) misses) — fill nulls with one sentinel per
 # type BEFORE feeding, matching the batch twin window._key_codes'
 # "all NULL keys are ONE key" semantics, and map it back to a null
-# output slot at flush
+# output slot at flush. The integer sentinel is derived from the key
+# column's CONCRETE width (int64's min raises inside fill_null on an
+# int32/int16 key — advisory finding), and the feed loop raises loudly
+# if the sentinel value actually occurs as a real key.
 _NULL_STR = "\x00\x00sapray.null\x00"
-_NULL_INT = np.iinfo(np.int64).min  # documented: a real INT64_MIN key collides
 
 
 def _null_sentinel(t: pa.DataType):
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return _NULL_STR
     if pa.types.is_integer(t):
-        return _NULL_INT
+        info = np.iinfo(np.dtype(t.to_pandas_dtype()))
+        # signed: the most negative value; unsigned: the max (0 is far
+        # too common a real key to reserve)
+        return int(info.min) if info.min < 0 else int(info.max)
     raise TypeError(
         f"streaming_sessionize supports int/string keys, got {t}"
     )
@@ -113,9 +118,14 @@ def streaming_sessionize(
     sentinel = _null_sentinel(key_type)
     pending: list = []
     for batch in ordered.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
-        keys = pc.fill_null(batch.column(key), sentinel).to_numpy(
-            zero_copy_only=False
-        )
+        col = batch.column(key)
+        if pc.any(pc.equal(col, pa.scalar(sentinel, key_type))).as_py():
+            raise ValueError(
+                f"streaming_sessionize: key column {key!r} contains the "
+                f"reserved NULL sentinel value {sentinel!r} — it would "
+                "silently merge with the NULL group; recode the key"
+            )
+        keys = pc.fill_null(col, sentinel).to_numpy(zero_copy_only=False)
         tsi = (
             batch.column(ts_column)
             .to_numpy(zero_copy_only=False)

@@ -62,12 +62,18 @@ def _decompose(spec: AggSpec) -> AggSpec:
         if kind == "count":
             out[name] = (None, "count")
         elif kind == "sum":
+            # SQL SUM over zero non-null values is NULL, not 0 — the
+            # valid count decides at finalize; in the merge arithmetic a
+            # null partial is a 0 contribution (fillna below)
             out[name] = (col, "sum")
+            out[f"__vcnt_{name}"] = (col, "count_valid")
         elif kind == "mean":
-            # the divisor is the unconditional __n row-count partial
-            # below — a separate __cnt would duplicate it bit-for-bit
-            # through every exchange and merge (review finding)
+            # SQL AVG divides by the value column's NON-NULL count, not
+            # the row count — carry a per-column valid-count partial
+            # (mirrors ops.grouped_aggregate's count_valid fix; a shared
+            # __n divisor silently deflated means over nullable columns)
             out[f"__sum_{name}"] = (col, "sum")
+            out[f"__vcnt_{name}"] = (col, "count_valid")
         else:
             raise ValueError(
                 f"aggregate {kind!r} is not incrementally maintainable "
@@ -87,9 +93,16 @@ def _finalize(
         if kind == "count":
             cols[name] = df[name].astype("int64")
         elif kind == "sum":
-            cols[name] = df[name]
-        else:  # mean
-            cols[name] = df[f"__sum_{name}"] / df["__n"]
+            vcnt = df[f"__vcnt_{name}"]
+            s = df[name]
+            if (vcnt <= 0).any():
+                # only floatify (NaN -> Arrow null) when an all-null
+                # group exists, so the common case keeps its int dtype
+                s = s.astype("float64").where(vcnt > 0)
+            cols[name] = s
+        else:  # mean — NULL (not 0/0) when the group has no non-null value
+            vcnt = df[f"__vcnt_{name}"].astype("float64").replace(0.0, np.nan)
+            cols[name] = df[f"__sum_{name}"] / vcnt
     for name in (minmax or {}):
         cols[name] = df[f"__mm__{name}"]
     return pa.Table.from_pydict({k: pa.array(v) for k, v in cols.items()})
@@ -126,11 +139,14 @@ def _base_and_retractions(
         ks = _cached_broadcast(ref, lambda k: k)
         in_feed = pc.is_in(composite_key(batch, key_cols), value_set=ks)
         for name, (col, kind) in partials.items():
-            row = (
-                pa.array(np.ones(batch.num_rows, dtype=np.int64))
-                if kind == "count"
-                else batch.column(col).combine_chunks()
-            )
+            if kind == "count":
+                row = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+            elif kind == "count_valid":
+                row = pc.cast(
+                    pc.is_valid(batch.column(col).combine_chunks()), pa.int64()
+                )
+            else:
+                row = batch.column(col).combine_chunks()
             batch = batch.append_column(f"__row_{name}", row)
             batch = batch.append_column(
                 f"__ret_row_{name}",
@@ -256,10 +272,19 @@ def incremental_group_view(
     merged = merged[list(partials)]
     numeric = list(merged.columns)
     orig_dtypes = {c: merged[c].dtype for c in numeric}
+    # an all-null sum partial arrives as NaN (Arrow sum of no non-null
+    # values is null); it contributes 0 to the arithmetic — the carried
+    # __vcnt partial restores NULL at finalize when the count is 0
+    def _fill0(df: pd.DataFrame) -> pd.DataFrame:
+        # infer_objects: an all-null Arrow sum arrives as object dtype;
+        # silence pandas' downcast FutureWarning by converting explicitly
+        return df.fillna(0).infer_objects(copy=False)
+
+    merged = _fill0(merged)
     if add_df is not None and len(add_df):
-        merged = merged.add(add_df.set_index(group)[numeric], fill_value=0)
+        merged = merged.add(_fill0(add_df.set_index(group)[numeric]), fill_value=0)
     if len(ret_df):
-        merged = merged.sub(ret_df.set_index(group)[numeric], fill_value=0)
+        merged = merged.sub(_fill0(ret_df.set_index(group)[numeric]), fill_value=0)
     # pandas .add/.sub with fill_value float-ifies int64 partials when
     # group indexes differ — restore integral dtypes so a CHAINED refresh
     # returns the same Arrow schema as a cold one (review finding; values

@@ -149,6 +149,91 @@ def test_same_feed_delete_then_reinsert_resurrects(corpus, tmp_path, ray_session
     assert all(n != 9 for (_, _, n) in got2)
 
 
+def test_compact_folds_deltas_and_log(corpus, tmp_path, ray_session):
+    """After update -> compact: search is unchanged, the updates/ log is
+    gone, and every bucket holds exactly ONE file (VERDICT r4 finding:
+    unbounded delta/log growth)."""
+    import glob
+    import os
+
+    import ray.data
+
+    from sapray.similarity import compact_ivf_index
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(ray.data.from_arrow(corpus), idx, n_cells=8, sample_size=N)
+    rng = np.random.default_rng(13)
+    v5, v100 = rng.standard_normal((2, DIM))
+    feed = pa.table({
+        "vec_id": pa.array([5, 100, 7], pa.int64()),
+        "embedding": pa.array(
+            [v5, v100, np.zeros(DIM)], pa.list_(pa.float64())
+        ),
+        "op": pa.array(["U", "U", "D"]),
+    })
+    update_ivf_index(idx, feed, op_column="op")
+    qs = _queries(np.stack([v5, v100]), [900, 901])
+    before = _rows(ivf_index_topk(idx, qs, k=5, nprobe=8))
+
+    compact_ivf_index(idx)
+    assert not os.path.exists(os.path.join(idx, "updates"))
+    for bdir in glob.glob(os.path.join(idx, "vectors", "bucket=*")):
+        assert len(glob.glob(os.path.join(bdir, "*.parquet"))) == 1
+    after = _rows(ivf_index_topk(idx, qs, k=5, nprobe=8))
+    assert after == before
+    assert all(n != 7 for (_, _, n) in after)  # tombstone stays dropped
+
+    # a further incremental update on the compacted index still works
+    v6 = rng.standard_normal(DIM)
+    update_ivf_index(idx, _queries(v6[None, :], [6]))
+    got = _rows(ivf_index_topk(idx, _queries(v6[None, :], [902]), k=3, nprobe=8))
+    assert (902, 1, 6) in got
+
+
+def test_crashed_update_is_invisible_and_retry_commits(
+    corpus, tmp_path, ray_session, monkeypatch
+):
+    """The manifest epoch bump is the commit point (advisory finding): a
+    crash after the delta/log writes but before the manifest replace must
+    leave search showing the OLD state exactly — no duplicate copies, no
+    un-tombstoned deletes — and a retry of the same feed commits
+    idempotently over the partial files."""
+    import ray.data
+
+    import sapray.similarity as sim
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(ray.data.from_arrow(corpus), idx, n_cells=8, sample_size=N)
+    rng = np.random.default_rng(17)
+    v5 = rng.standard_normal(DIM)
+    old5 = np.asarray(corpus.column("embedding")[5].as_py())
+    feed = pa.table({
+        "vec_id": pa.array([5, 7], pa.int64()),
+        "embedding": pa.array([v5, np.zeros(DIM)], pa.list_(pa.float64())),
+        "op": pa.array(["U", "D"]),
+    })
+    qs = _queries(np.stack([v5, old5]), [900, 901])
+    before = _rows(ivf_index_topk(idx, qs, k=5, nprobe=8))
+
+    real_write = sim._write_manifest
+
+    def crash(*a, **kw):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(sim, "_write_manifest", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        update_ivf_index(idx, feed, op_column="op")
+    # uncommitted delta + log rows are invisible: old state exactly
+    assert _rows(ivf_index_topk(idx, qs, k=5, nprobe=8)) == before
+
+    monkeypatch.setattr(sim, "_write_manifest", real_write)
+    meta = update_ivf_index(idx, feed, op_column="op")
+    assert meta["epoch"] == 1  # retry recomputed the SAME epoch
+    got = _rows(ivf_index_topk(idx, qs, k=5, nprobe=8))
+    assert (900, 1, 5) in got
+    assert all(n != 7 for (_, _, n) in got)
+
+
 def test_train_sample_spans_corpus(ray_session):
     """The training sample must include vectors from the corpus TAIL
     even when the input is a multi-block non-read dataset (the

@@ -170,6 +170,39 @@ def test_streaming_sessionize_null_keys(ray_session):
     assert sum(1 for k, _ in g if k is None) == 1
 
 
+def test_streaming_sessionize_narrow_int_key(ray_session):
+    """An int32 key column must work (the int64 sentinel used to raise
+    inside fill_null — advisory finding), and a REAL key equal to the
+    width-derived sentinel must raise loudly, not merge with NULLs."""
+    import ray.data
+
+    from sapray.streaming import streaming_sessionize
+    from sapray.window import session_counts
+
+    ts = [np.datetime64("2026-01-01T00:00:00") + np.timedelta64(i * 10, "m")
+          for i in range(12)]
+    tsa = pa.array([x.astype("datetime64[us]").item() for x in ts],
+                   pa.timestamp("us"))
+    t = pa.table({
+        "k": pa.array([None, 1, None, 1, None, 2] * 2, pa.int32()),
+        "ts": tsa,
+    })
+    gap = np.timedelta64(25, "m")
+    got = streaming_sessionize(ray.data.from_arrow(t), "k", "ts", gap)
+    batch = session_counts(ray.data.from_arrow(t), "k", "ts", gap)
+    g = {(r["k"], r["n_sessions"]) for r in got.to_pylist()}
+    b = {(r["k"], r["n_sessions"]) for r in batch.take_all()}
+    assert g == b
+    assert sum(1 for k, _ in g if k is None) == 1
+
+    bad = pa.table({
+        "k": pa.array([np.iinfo(np.int32).min, 1] * 6, pa.int32()),
+        "ts": tsa,
+    })
+    with pytest.raises(ValueError, match="reserved NULL sentinel"):
+        streaming_sessionize(ray.data.from_arrow(bad), "k", "ts", gap)
+
+
 def test_pack_null_token_counts(ray_session):
     """A NULL token count packs as 0 instead of poisoning the prefix sum
     with INT64_MIN."""

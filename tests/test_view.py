@@ -301,6 +301,61 @@ class _StubEng:
         return ray.data.from_arrow(self._old if as_of is not None else self._new)
 
 
+def test_mean_sum_over_nullable_column(ray_session):
+    """SQL AVG divides by the value column's NON-NULL count, and SUM over
+    zero non-null values is NULL — a shared __n divisor silently deflated
+    means over nullable columns (advisory finding), and an all-null sum
+    partial (NaN) must not poison the merge arithmetic."""
+    old = pa.table({
+        "path": pa.array(["a", "b", "d"]),
+        "g": pa.array(["x", "x", "y"]),
+        "v": pa.array([10, None, None], pa.int64()),
+    })
+    # feed inserts path c into group x with a NULL value
+    feed1 = pa.table({
+        "path": pa.array(["c"]),
+        "g": pa.array(["x"]),
+        "v": pa.array([None], pa.int64()),
+        "seq": pa.array([5], pa.int64()),
+        "change_op": pa.array(["U"]),
+    })
+    new1 = pa.table({
+        "path": pa.array(["a", "b", "d", "c"]),
+        "g": pa.array(["x", "x", "y", "x"]),
+        "v": pa.array([10, None, None, None], pa.int64()),
+    })
+    spec = {"n": (None, "count"), "sum_v": ("v", "sum"), "avg_v": ("v", "mean")}
+    view1, partials = incremental_group_view(
+        _StubEng(old, new1, feed1), "g", spec, since=1
+    )
+    got1 = {
+        r["g"]: (r["n"], r["sum_v"], r["avg_v"]) for r in view1.to_pylist()
+    }
+    # x: 3 rows but ONE non-null value -> avg 10.0 (not 10/3); y all-null
+    assert got1 == {"x": (3, 10, 10.0), "y": (1, None, None)}
+
+    # chained refresh: the only non-null value in x is retracted to NULL
+    feed2 = pa.table({
+        "path": pa.array(["a"]),
+        "g": pa.array(["x"]),
+        "v": pa.array([None], pa.int64()),
+        "seq": pa.array([6], pa.int64()),
+        "change_op": pa.array(["U"]),
+    })
+    new2 = pa.table({
+        "path": pa.array(["a", "b", "d", "c"]),
+        "g": pa.array(["x", "x", "y", "x"]),
+        "v": pa.array([None, None, None, None], pa.int64()),
+    })
+    view2, _ = incremental_group_view(
+        _StubEng(new1, new2, feed2), "g", spec, since=2, base_partials=partials
+    )
+    got2 = {
+        r["g"]: (r["n"], r["sum_v"], r["avg_v"]) for r in view2.to_pylist()
+    }
+    assert got2 == {"x": (3, None, None), "y": (1, None, None)}
+
+
 def test_minmax_view_null_group_key(ray_session):
     """A NULL group key must neither crash the affected-set broadcast
     (sorted() over None raises) nor keep a stale extreme — the null
