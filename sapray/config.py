@@ -76,6 +76,238 @@ def parse_top_skip(query: str) -> tuple[int | None, int | None]:
     return top, skip
 
 
+def _decode(value: str) -> str:
+    """URL-decode an option value (the reference's canonical query uses
+    ``%27``-encoded quotes: ``$filter=BuyerName eq %27TECUM%27``,
+    ``reference SapODataConfigTest.java:59``). ``unquote`` (not
+    ``unquote_plus``): OData encodes spaces as %20, a literal ``+`` is
+    data."""
+    from urllib.parse import unquote
+
+    return unquote(value)
+
+
+def _query_option(query: str, name: str) -> str | None:
+    q = sanitize_query(query)
+    for part in q.split("&"):
+        if part.startswith(name + "="):
+            return _decode(part[len(name) + 1 :])
+    return None
+
+
+def parse_orderby(query: str) -> list[tuple[str, bool]]:
+    """Compile the ``$orderby`` option (``$orderby=Field1 asc,Field2
+    desc`` — passes through end to end per ``reference
+    docs/SapEcc-batchsource.md:30-33``) into ``[(column, descending)]``,
+    default ascending. Malformed items accumulate into one ConfigError
+    (FailureCollector pattern)."""
+    body = _query_option(query, "$orderby")
+    if body is None:
+        return []
+    out: list[tuple[str, bool]] = []
+    errors: list[str] = []
+    for item in body.split(","):
+        toks = item.strip().split()
+        if not toks:
+            continue
+        if not _ID_RE.match(toks[0]):
+            errors.append(f"'$orderby' has an invalid column name {toks[0]!r}")
+        elif len(toks) == 1:
+            out.append((toks[0], False))
+        elif len(toks) == 2 and toks[1].lower() in ("asc", "desc"):
+            out.append((toks[0], toks[1].lower() == "desc"))
+        else:
+            errors.append(f"'$orderby' item {item.strip()!r} is malformed "
+                          "(expected '<column> [asc|desc]')")
+    if errors:
+        raise ConfigError(errors)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# $filter compiler: OData v2 comparison grammar -> pyarrow expression
+# ---------------------------------------------------------------------------
+
+_FILTER_TOKEN_RE = re.compile(
+    r"\s*(?:"
+    r"(?P<lparen>\()"
+    r"|(?P<rparen>\))"
+    r"|(?P<datetime>datetime'(?:[^']|'')*')"
+    r"|(?P<string>'(?:[^']|'')*')"
+    r"|(?P<number>-?\d+(?:\.\d+)?)"
+    r"|(?P<word>[A-Za-z_][A-Za-z0-9_.]*)"
+    r")"
+)
+
+_CMP_OPS = ("eq", "ne", "gt", "ge", "lt", "le")
+# field-on-the-right comparisons flip the operator: 5 lt x == x gt 5
+_CMP_FLIP = {"eq": "eq", "ne": "ne", "gt": "lt", "ge": "le", "lt": "gt", "le": "ge"}
+_KEYWORDS = set(_CMP_OPS) | {"and", "or", "not", "null", "true", "false"}
+
+
+def _tokenize_filter(text: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        if text[i].isspace():
+            i += 1
+            continue
+        m = _FILTER_TOKEN_RE.match(text, i)
+        if m is None:
+            raise ConfigError([
+                f"'$filter' has an unexpected character at ...{text[i:i+20]!r}"
+            ])
+        out.append((m.lastgroup, m.group(m.lastgroup)))
+        i = m.end()
+    return out
+
+
+class _FilterParser:
+    """Recursive-descent compiler for the reference's ``$filter`` grammar
+    (the ``BuyerName eq 'TECUM'`` shape of ``reference
+    SapODataConfigTest.java:59``; full OData v2 comparison subset:
+    ``eq ne gt ge lt le``, ``and/or/not``, parentheses, single-quoted
+    strings with ``''`` escapes, integer/decimal literals,
+    ``datetime'...'``, ``null``/``true``/``false``) into a
+    ``pyarrow.compute`` expression that pushes into a Parquet read
+    (``ops.read_projected(filter_expr=...)`` -> row-group pruning).
+    SQL three-valued logic comes for free: a NULL comparison is NULL and
+    the scan drops it, matching the DuckDB oracle's WHERE."""
+
+    def __init__(self, text: str):
+        self.toks = _tokenize_filter(text)
+        self.i = 0
+
+    def _peek(self) -> tuple[str | None, str | None]:
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def _peek_word(self) -> str | None:
+        kind, val = self._peek()
+        return val.lower() if kind == "word" else None
+
+    def _next(self) -> tuple[str | None, str | None]:
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def parse(self):
+        expr = self._or_expr()
+        if self.i != len(self.toks):
+            raise ConfigError([
+                f"'$filter' has trailing tokens starting at "
+                f"{self.toks[self.i][1]!r}"
+            ])
+        return expr
+
+    def _or_expr(self):
+        expr = self._and_expr()
+        while self._peek_word() == "or":
+            self._next()
+            expr = expr | self._and_expr()
+        return expr
+
+    def _and_expr(self):
+        expr = self._unary()
+        while self._peek_word() == "and":
+            self._next()
+            expr = expr & self._unary()
+        return expr
+
+    def _unary(self):
+        if self._peek_word() == "not":
+            self._next()
+            return ~self._unary()
+        if self._peek()[0] == "lparen":
+            self._next()
+            expr = self._or_expr()
+            if self._next()[0] != "rparen":
+                raise ConfigError(["'$filter' has an unclosed '('"])
+            return expr
+        return self._comparison()
+
+    def _comparison(self):
+        import pyarrow.compute as pc
+
+        l_field, l_val = self._operand()
+        kind, opname = self._next()
+        if kind != "word" or opname.lower() not in _CMP_OPS:
+            raise ConfigError([
+                f"'$filter' expected a comparison operator "
+                f"({'/'.join(_CMP_OPS)}), got {opname!r}"
+            ])
+        op = opname.lower()
+        r_field, r_val = self._operand()
+        if not l_field and not r_field:
+            raise ConfigError([
+                "'$filter' comparison needs a field on at least one side"
+            ])
+        if not l_field:  # literal-on-the-left: flip
+            l_field, l_val, r_field, r_val = r_field, r_val, l_field, l_val
+            op = _CMP_FLIP[op]
+        left = pc.field(l_val)
+        right = pc.field(r_val) if r_field else r_val
+        # `field eq null` is SQL `IS NULL` (OData semantics), not the
+        # always-NULL `= NULL`
+        if not r_field and r_val is None:
+            if op == "eq":
+                return left.is_null()
+            if op == "ne":
+                return ~left.is_null()
+            raise ConfigError([f"'$filter' cannot order against null ({op})"])
+        import operator as _op
+
+        return {
+            "eq": _op.eq, "ne": _op.ne, "gt": _op.gt,
+            "ge": _op.ge, "lt": _op.lt, "le": _op.le,
+        }[op](left, right)
+
+    def _operand(self) -> tuple[bool, object]:
+        """-> (is_field, column name | literal value)."""
+        kind, val = self._next()
+        if kind == "string":
+            return False, val[1:-1].replace("''", "'")
+        if kind == "datetime":
+            from datetime import datetime
+
+            return False, datetime.fromisoformat(
+                val[len("datetime'") : -1].replace("''", "'")
+            )
+        if kind == "number":
+            return False, float(val) if "." in val else int(val)
+        if kind == "word":
+            w = val.lower()
+            if w == "null":
+                return False, None
+            if w == "true":
+                return False, True
+            if w == "false":
+                return False, False
+            if w in _KEYWORDS:
+                raise ConfigError([
+                    f"'$filter' has a misplaced keyword {val!r}"
+                ])
+            return True, val
+        raise ConfigError([
+            f"'$filter' expected a field or literal, got {val!r}"
+        ])
+
+
+def filter_to_expression(text: str):
+    """Compile a ``$filter`` expression string into a pyarrow compute
+    expression suitable for Parquet read pushdown."""
+    if not text.strip():
+        return None
+    return _FilterParser(text).parse()
+
+
+def parse_filter(query: str):
+    """Extract and compile the ``$filter`` option of a query string
+    (None when absent)."""
+    body = _query_option(query, "$filter")
+    return None if body is None else filter_to_expression(body)
+
+
 @dataclass
 class CDCConfig:
     """Configuration for a CDC apply run.

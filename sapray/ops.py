@@ -1569,12 +1569,14 @@ def skip(
     offset: int | None,
     limit: int | None = None,
     num_partitions: int | None = None,
+    descending: bool = False,
 ) -> ray.data.Dataset:
-    """``ORDER BY value, id [LIMIT limit] OFFSET offset`` — the
+    """``ORDER BY value [DESC], id [LIMIT limit] OFFSET offset`` — the
     reference's ``$skip`` pushdown analogue (``$top=2&$skip=2`` is a
     first-class query shape in ``reference
     src/test/java/io/cdap/plugin/sap/SapODataConfigTest.java:59``;
-    VERDICT r3 missing #4).
+    VERDICT r3 missing #4), and the execution target for a compiled
+    ``$orderby`` (``config.parse_orderby``).
 
     Built on the :func:`global_rank` skeleton: ONE range exchange assigns
     exact global ranks (NULLS LAST, id tiebreak), then a streaming filter
@@ -1582,12 +1584,26 @@ def skip(
     anti-pattern at scale — every skipped row still pays the rank
     exchange — but the cost is one exchange regardless of offset depth,
     never a driver-side collect. Returns (id, value) rows.
+
+    ``descending`` ranks by ``ORDER BY value DESC, id`` via checked
+    negation (exact for IEEE floats; ``negate_checked`` raises loudly on
+    INT64_MIN instead of wrapping); NULLs stay LAST either way (the null
+    mask, not the value, is the primary sort key — DuckDB's default null
+    order for both directions).
     """
     # a query with $top but no $skip parses to offset=None (and vice
     # versa) — normalize instead of letting a null scalar poison the mask
     offset = 0 if offset is None else int(offset)
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
+    if descending:
+        def _neg(b: pa.Table) -> pa.Table:
+            i = b.schema.get_field_index(value_column)
+            return b.set_column(
+                i, value_column, pc.negate_checked(b.column(value_column))
+            )
+
+        ds = ds.map_batches(_neg, batch_format="pyarrow", zero_copy_batch=True)
     ranked = global_rank(
         ds, value_column, id_column,
         num_partitions=num_partitions, out_name="__rk",
@@ -1599,7 +1615,13 @@ def skip(
         mask = pc.greater(b.column("__rk"), lo)
         if hi is not None:
             mask = pc.and_(mask, pc.less_equal(b.column("__rk"), hi))
-        return b.filter(mask).drop_columns(["__rk"])
+        b = b.filter(mask).drop_columns(["__rk"])
+        if descending:  # restore the caller's values
+            i = b.schema.get_field_index(value_column)
+            b = b.set_column(
+                i, value_column, pc.negate_checked(b.column(value_column))
+            )
+        return b
 
     return ranked.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 

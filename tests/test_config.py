@@ -51,6 +51,69 @@ def test_bad_threshold_and_salts():
         CDCConfig(num_salts=0).validate()
 
 
+def test_parse_filter_reference_shape():
+    """The reference's canonical query string compiles end to end
+    (SapODataConfigTest.java:59 — %27-encoded quotes, field eq string)."""
+    import pyarrow.dataset  # noqa: F401 (expression backend)
+
+    from sapray.config import parse_filter
+
+    e = parse_filter(
+        "?$top=2&$skip=2&$select=BuyerName&$filter=BuyerName eq %27TECUM%27"
+    )
+    assert e is not None and "BuyerName" in str(e) and "TECUM" in str(e)
+    assert parse_filter("?$top=2") is None
+
+
+def test_filter_grammar_compiles():
+    import pyarrow as pa
+
+    from sapray.config import filter_to_expression
+
+    t = pa.table({
+        "a": pa.array([1, 2, 3, None], pa.int64()),
+        "s": pa.array(["x", "it's", "y", "x"]),
+        "f": pa.array([1.5, 2.5, None, 0.0], pa.float64()),
+        "b": pa.array([True, False, True, None]),
+    })
+    cases = [
+        ("a eq 2", [2]),
+        ("a ne 2", [1, 3]),                      # SQL 3VL: NULL drops
+        ("a ge 2 and f lt 3.0", [2]),
+        ("a eq 1 or s eq 'y'", [1, 3]),
+        ("not a eq 2 and a le 3", [1, 3]),
+        ("(a eq 1 or a eq 3) and f gt 1.0", [1]),
+        ("s eq 'it''s'", [2]),                   # '' escape
+        ("a eq null", [None]),                   # IS NULL
+        ("a ne null and b eq true", [1, 3]),     # IS NOT NULL
+        ("2 le a", [2, 3]),                      # literal-on-the-left flips
+    ]
+    for text, want in cases:
+        got = t.filter(filter_to_expression(text)).column("a").to_pylist()
+        assert got == want, f"{text}: {got} != {want}"
+
+
+def test_filter_malformed_raises():
+    from sapray.config import ConfigError, filter_to_expression
+
+    for bad in ["a eqq 3", "a eq", "(a eq 1", "a eq 'x", "null eq null",
+                "a eq 1 b", "a and 3", "eq eq eq"]:
+        with pytest.raises(ConfigError):
+            filter_to_expression(bad)
+
+
+def test_parse_orderby():
+    from sapray.config import ConfigError, parse_orderby
+
+    assert parse_orderby("?$orderby=Field1 asc,Field2 desc,Field3") == [
+        ("Field1", False), ("Field2", True), ("Field3", False)
+    ]
+    assert parse_orderby("$top=2") == []
+    with pytest.raises(ConfigError) as e:
+        parse_orderby("$orderby=a upward,b c d")
+    assert len(e.value.errors) == 2
+
+
 def test_parse_top_skip():
     """$top=2&$skip=2 is a first-class query shape in the reference
     (SapODataConfigTest.java:59)."""
