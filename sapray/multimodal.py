@@ -27,6 +27,8 @@ import pyarrow as pa
 
 import ray.data
 
+from sapray.stage import Stage, is_stringy, register_stage
+
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64(), nullable=False),
@@ -128,13 +130,44 @@ def default_decode(payload: bytes, content_type: str) -> dict:
     return _stub_decode(payload, content_type)
 
 
-class MediaFeatureExtractor:
+def _is_binaryish(t: pa.DataType) -> bool:
+    return pa.types.is_binary(t) or pa.types.is_large_binary(t)
+
+
+_MEDIA_INPUT = {
+    "media_id": pa.types.is_integer,
+    "content_type": None,  # filled below (is_stringy, late import)
+    "payload": _is_binaryish,
+}
+
+
+class MediaFeatureExtractor(Stage):
     """Actor-pool decode + feature-extract stage.
 
     ``__init__`` binds the (possibly heavy) decoder once per actor; use
     small ``batch_size`` for large payloads so batch x concurrency fits
-    worker heap (SURVEY.md §7.4 "very wide rows").
-    """
+    worker heap (SURVEY.md §7.4 "very wide rows"). Stage-registered
+    (§2.6): schema-REPLACING, so ``evolves = False`` and the fixed
+    output layout is declared wholesale."""
+
+    name = "media_features"
+    description = "decode media payloads into typed feature rows"
+    evolves = False
+
+    def required_input(self):
+        return {**_MEDIA_INPUT, "content_type": is_stringy}
+
+    def output_schema(self, schema_in: pa.Schema) -> pa.Schema:
+        return pa.schema([
+            ("media_id", pa.int64()),
+            ("content_type", pa.string()),
+            ("n_bytes", pa.int64()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("sample_rate", pa.int32()),
+            ("n_samples", pa.int64()),
+            ("feature", pa.list_(pa.float32())),
+        ])
 
     def __init__(self, decode_fn: Callable[[bytes, str], dict] | None = None):
         self.decode = decode_fn or default_decode
@@ -315,10 +348,26 @@ def sample_frames(payload: bytes, every_k: int) -> list[bytes]:
     return [bytes(body[i * fsz : (i + 1) * fsz]) for i in range(0, n, every_k)]
 
 
-class MediaTransformer:
+class MediaTransformer(Stage):
     """Actor-pool media TRANSFORM stage (vs the feature EXTRACT stage):
     resizes images to a fixed thumbnail and frame-samples videos,
-    emitting one row per output artifact. Unknown types pass through."""
+    emitting one row per output artifact. Unknown types pass through.
+    Stage-registered, schema-replacing (one input row can emit several
+    frame rows)."""
+
+    name = "media_transform"
+    description = "resize images / frame-sample videos into artifacts"
+    evolves = False
+
+    def required_input(self):
+        return {**_MEDIA_INPUT, "content_type": is_stringy}
+
+    def output_schema(self, schema_in: pa.Schema) -> pa.Schema:
+        return pa.schema([
+            ("media_id", pa.int64()),
+            ("kind", pa.string()),
+            ("artifact", pa.binary()),
+        ])
 
     def __init__(self, thumb_w: int = 16, thumb_h: int = 16, every_k: int = 4):
         self.tw, self.th, self.k = thumb_w, thumb_h, every_k
@@ -350,3 +399,7 @@ class MediaTransformer:
                 "artifact": pa.array(out["artifact"], pa.binary()),
             }
         )
+
+
+register_stage(MediaFeatureExtractor)
+register_stage(MediaTransformer)
