@@ -132,6 +132,7 @@ _FILTER_TOKEN_RE = re.compile(
     r"\s*(?:"
     r"(?P<lparen>\()"
     r"|(?P<rparen>\))"
+    r"|(?P<comma>,)"
     r"|(?P<datetime>datetime'(?:[^']|'')*')"
     r"|(?P<string>'(?:[^']|'')*')"
     r"|(?P<number>-?\d+(?:\.\d+)?)"
@@ -143,6 +144,17 @@ _CMP_OPS = ("eq", "ne", "gt", "ge", "lt", "le")
 # field-on-the-right comparisons flip the operator: 5 lt x == x gt 5
 _CMP_FLIP = {"eq": "eq", "ne": "ne", "gt": "lt", "ge": "le", "lt": "gt", "le": "ge"}
 _KEYWORDS = set(_CMP_OPS) | {"and", "or", "not", "null", "true", "false"}
+
+# OData v2 canonical functions (the reference's client passes the raw
+# query through to the service, docs/SapOData-batchsource.md — these are
+# the string/date functions of the v2 URI grammar), compiled to pyarrow
+# kernels. Boolean-valued ones may stand alone as a predicate
+# (`substringof('a', Name)`) or compare against true/false.
+_BOOL_FUNCS = {"substringof", "startswith", "endswith"}
+_FILTER_FUNCS = _BOOL_FUNCS | {
+    "tolower", "toupper", "trim", "length",
+    "year", "month", "day", "hour", "minute", "second",
+}
 
 
 def _tokenize_filter(text: str) -> list[tuple[str, str]]:
@@ -227,29 +239,30 @@ class _FilterParser:
         return self._comparison()
 
     def _comparison(self):
-        import pyarrow.compute as pc
-
-        l_field, l_val = self._operand()
-        kind, opname = self._next()
-        if kind != "word" or opname.lower() not in _CMP_OPS:
+        l_kind, l_val = self._operand()
+        kind, opname = self._peek()
+        if kind != "word" or (opname or "").lower() not in _CMP_OPS:
+            # a boolean function may stand alone as a whole predicate
+            if l_kind == "bexpr":
+                return l_val
             raise ConfigError([
                 f"'$filter' expected a comparison operator "
                 f"({'/'.join(_CMP_OPS)}), got {opname!r}"
             ])
+        self._next()
         op = opname.lower()
-        r_field, r_val = self._operand()
-        if not l_field and not r_field:
+        r_kind, r_val = self._operand()
+        if l_kind == "lit" and r_kind == "lit":
             raise ConfigError([
                 "'$filter' comparison needs a field on at least one side"
             ])
-        if not l_field:  # literal-on-the-left: flip
-            l_field, l_val, r_field, r_val = r_field, r_val, l_field, l_val
+        if l_kind == "lit":  # literal-on-the-left: flip
+            l_kind, l_val, r_kind, r_val = r_kind, r_val, l_kind, l_val
             op = _CMP_FLIP[op]
-        left = pc.field(l_val)
-        right = pc.field(r_val) if r_field else r_val
+        left = l_val  # an expression (field or compiled function)
         # `field eq null` is SQL `IS NULL` (OData semantics), not the
         # always-NULL `= NULL`
-        if not r_field and r_val is None:
+        if r_kind == "lit" and r_val is None:
             if op == "eq":
                 return left.is_null()
             if op == "ne":
@@ -260,34 +273,104 @@ class _FilterParser:
         return {
             "eq": _op.eq, "ne": _op.ne, "gt": _op.gt,
             "ge": _op.ge, "lt": _op.lt, "le": _op.le,
-        }[op](left, right)
+        }[op](left, r_val)
 
-    def _operand(self) -> tuple[bool, object]:
-        """-> (is_field, column name | literal value)."""
+    def _function(self, fname: str):
+        """Compile ``fname(arg, ...)`` (lparen already peeked) into a
+        pyarrow expression; -> ("bexpr"|"expr", expression)."""
+        import pyarrow.compute as pc
+
+        self._next()  # consume '('
+        args: list[tuple[str, object]] = []
+        if self._peek()[0] != "rparen":
+            args.append(self._operand())
+            while self._peek()[0] == "comma":
+                self._next()
+                args.append(self._operand())
+        if self._next()[0] != "rparen":
+            raise ConfigError([
+                f"'$filter' function {fname!r} is missing a closing ')'"
+            ])
+
+        def arity(n: int) -> None:
+            if len(args) != n:
+                raise ConfigError([
+                    f"'$filter' function {fname!r} takes {n} argument(s), "
+                    f"got {len(args)}"
+                ])
+
+        def expr(i: int):
+            k, v = args[i]
+            return pa_scalar_expr(v) if k == "lit" else v
+
+        def lit_str(i: int) -> str:
+            k, v = args[i]
+            if k != "lit" or not isinstance(v, str):
+                raise ConfigError([
+                    f"'$filter' function {fname!r} argument {i + 1} must "
+                    "be a string literal"
+                ])
+            return v
+
+        def pa_scalar_expr(v):
+            import pyarrow as _pa
+
+            return pc.scalar(v) if v is not None else pc.scalar(_pa.NA)
+
+        if fname == "substringof":  # substringof(needle, haystack)
+            arity(2)
+            return "bexpr", pc.match_substring(expr(1), pattern=lit_str(0))
+        if fname in ("startswith", "endswith"):
+            arity(2)
+            kernel = pc.starts_with if fname == "startswith" else pc.ends_with
+            return "bexpr", kernel(expr(0), pattern=lit_str(1))
+        arity(1)
+        kernel = {
+            "tolower": pc.utf8_lower, "toupper": pc.utf8_upper,
+            "trim": pc.utf8_trim_whitespace, "length": pc.utf8_length,
+            "year": pc.year, "month": pc.month, "day": pc.day,
+            "hour": pc.hour, "minute": pc.minute, "second": pc.second,
+        }[fname]
+        return "expr", kernel(expr(0))
+
+    def _operand(self) -> tuple[str, object]:
+        """-> (kind, value): ("lit", python value) for literals, or
+        ("expr"/"bexpr", pyarrow expression) for fields and compiled
+        function calls (bexpr = boolean-valued, usable as a bare
+        predicate)."""
+        import pyarrow.compute as pc
+
         kind, val = self._next()
         if kind == "string":
-            return False, val[1:-1].replace("''", "'")
+            return "lit", val[1:-1].replace("''", "'")
         if kind == "datetime":
             from datetime import datetime
 
-            return False, datetime.fromisoformat(
+            return "lit", datetime.fromisoformat(
                 val[len("datetime'") : -1].replace("''", "'")
             )
         if kind == "number":
-            return False, float(val) if "." in val else int(val)
+            return "lit", float(val) if "." in val else int(val)
         if kind == "word":
             w = val.lower()
             if w == "null":
-                return False, None
+                return "lit", None
             if w == "true":
-                return False, True
+                return "lit", True
             if w == "false":
-                return False, False
+                return "lit", False
             if w in _KEYWORDS:
                 raise ConfigError([
                     f"'$filter' has a misplaced keyword {val!r}"
                 ])
-            return True, val
+            if self._peek()[0] == "lparen":
+                if w not in _FILTER_FUNCS:
+                    raise ConfigError([
+                        f"'$filter' has an unsupported function {val!r} "
+                        f"(supported: {'/'.join(sorted(_FILTER_FUNCS))})"
+                    ])
+                return self._function(w)
+            return "expr", pc.field(val)
         raise ConfigError([
             f"'$filter' expected a field or literal, got {val!r}"
         ])

@@ -3229,6 +3229,33 @@ ORDER BY value DESC, event_id LIMIT 120 OFFSET 40
 """
 
 
+def odata_function_filter_docs(sf_dir: str):
+    """OData v2 CANONICAL FUNCTIONS in a textual ``$filter`` —
+    ``substringof`` / ``tolower`` / ``startswith`` / ``length`` compiled
+    to pyarrow kernels (``config._FilterParser._function``) and pushed
+    into the parquet read; ``text`` is referenced by the filter but NOT
+    in the ``$select`` projection (filter-then-project)."""
+    from sapray.config import parse_filter, parse_select
+
+    query = (
+        "?$select=doc_id,source,n_chars"
+        "&$filter=substringof(%27the%27, tolower(text)) and "
+        "startswith(source, %27src1%27) and length(text) ge 50"
+    )
+    return ops.read_projected(
+        _p(sf_dir, "documents"),
+        columns=parse_select(query),
+        filter_expr=parse_filter(query),
+    )
+
+
+ODATA_FUNCTION_FILTER_DOCS_SQL = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE contains(lower(text), 'the') AND starts_with(source, 'src1')
+  AND length(text) >= 50
+"""
+
+
 def skip_events(sf_dir: str):
     """OFFSET/$skip analogue (the reference's ``$top=2&$skip=2`` query
     shape, ``reference SapODataConfigTest.java:59``): rows 501-600 of
@@ -4013,6 +4040,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "multikey_rank_events": {
             "fn": multikey_rank_events, "sql": MULTIKEY_RANK_EVENTS_SQL,
         },
+        "odata_function_filter_docs": {
+            "fn": odata_function_filter_docs,
+            "sql": ODATA_FUNCTION_FILTER_DOCS_SQL,
+        },
         "langid_docs": {"fn": langid_docs, "sql": LANGID_DOCS_SQL},
         "pii_redact_docs": {"fn": pii_redact_docs, "sql": PII_REDACT_DOCS_SQL},
         "repetition_docs": {"fn": repetition_docs, "sql": REPETITION_DOCS_SQL},
@@ -4198,6 +4229,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
     priority = [
         "odata_full_query_events",
         "multikey_rank_events",
+        "odata_function_filter_docs",
         "intersect_all_users",
         "dedup_keep_best_docs",
         "weighted_sample_docs",

@@ -93,6 +93,39 @@ def test_filter_grammar_compiles():
         assert got == want, f"{text}: {got} != {want}"
 
 
+def test_filter_canonical_functions():
+    """OData v2 canonical functions compile to pyarrow kernels and work
+    as comparison operands or bare boolean predicates."""
+    import pyarrow as pa
+
+    from sapray.config import filter_to_expression
+
+    t = pa.table({
+        "name": pa.array(["Alfred", "Bob", " carl ", None, "ALFKI"]),
+        "n": pa.array([1, 22, 3, 4, 5], pa.int64()),
+    })
+
+    def names(text):
+        return t.filter(filter_to_expression(text)).column("name").to_pylist()
+
+    assert names("substringof('lf', name)") == ["Alfred"]
+    assert names("startswith(name, 'A') and n lt 3") == ["Alfred"]
+    assert names("endswith(name, 'b') eq true") == ["Bob"]
+    assert names("tolower(name) eq 'alfki'") == ["ALFKI"]
+    assert names("length(trim(name)) eq 4") == [" carl "]
+    assert names("not substringof('z', name) and n le 3") == ["Alfred", " carl "]
+    assert names("5 eq length(name)") == ["ALFKI"]
+
+
+def test_filter_function_errors():
+    from sapray.config import ConfigError, filter_to_expression
+
+    for bad in ["frobnicate(name)", "substringof('a')",
+                "startswith(name, n)", "length(name", "name eq length()"]:
+        with pytest.raises(ConfigError):
+            filter_to_expression(bad)
+
+
 def test_filter_malformed_raises():
     from sapray.config import ConfigError, filter_to_expression
 
