@@ -464,9 +464,30 @@ class CDCConfig:
             errors.append("sink_mode must be 'snapshot' or 'delta'")
         if self.compact_every < 2:
             errors.append("compact_every must be >= 2")
+        # a malformed query string fails config validation (the
+        # reference validates the query inside SapODataConfig.validate)
+        for parser in (parse_filter, parse_orderby, parse_top_skip):
+            try:
+                parser(self.query)
+            except ConfigError as e:
+                errors.extend(e.errors)
         if errors:
             raise ConfigError(errors)
 
     @property
     def select_columns(self) -> list[str]:
         return parse_select(self.query)
+
+    @property
+    def filter_expression(self):
+        """Compiled ``$filter`` pyarrow expression (None when absent)."""
+        return parse_filter(self.query)
+
+    @property
+    def orderby(self) -> list[tuple[str, bool]]:
+        """Compiled ``$orderby`` as [(column, descending)]."""
+        return parse_orderby(self.query)
+
+    @property
+    def top_skip(self) -> tuple[int | None, int | None]:
+        return parse_top_skip(self.query)

@@ -422,6 +422,19 @@ def update_ivf_index(
     cents = _to_matrix(ct.column("centroid"))
 
     if upserts is not None and not isinstance(upserts, pa.Table):
+        # the change feed between index refreshes is delta-sized by
+        # contract (it is broadcast at search); materializing it on the
+        # driver is therefore bounded — but guard the contract so a
+        # caller passing the whole corpus gets an actionable error
+        # instead of an OOM (a corpus-sized change set means REBUILD)
+        n = upserts.count()
+        limit = 5_000_000
+        if n > limit:
+            raise ValueError(
+                f"update_ivf_index: change feed has {n} rows (> {limit}); "
+                "incremental maintenance is for delta-sized feeds — "
+                "rebuild the index (build_ivf_index) instead"
+            )
         upserts = pa.concat_tables(
             [ray.get(r) for r in upserts.to_arrow_refs()],
             promote_options="default",

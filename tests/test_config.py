@@ -147,6 +147,25 @@ def test_parse_orderby():
     assert len(e.value.errors) == 2
 
 
+def test_config_query_options_properties():
+    """CDCConfig exposes every compiled query option, and a malformed
+    query string fails validate() with accumulated errors (the reference
+    validates the query inside SapODataConfig.validate)."""
+    cfg = CDCConfig(
+        query="?$select=a,b&$top=5&$skip=2&$filter=a gt 3&$orderby=b desc"
+    )
+    cfg.validate()
+    assert cfg.select_columns == ["a", "b"]
+    assert cfg.top_skip == (5, 2)
+    assert cfg.orderby == [("b", True)]
+    assert "a" in str(cfg.filter_expression)
+
+    bad = CDCConfig(query="$filter=a eqq 3&$orderby=b sideways&$top=x")
+    with pytest.raises(ConfigError) as e:
+        bad.validate()
+    assert len(e.value.errors) == 3
+
+
 def test_parse_top_skip():
     """$top=2&$skip=2 is a first-class query shape in the reference
     (SapODataConfigTest.java:59)."""
