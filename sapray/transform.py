@@ -242,16 +242,22 @@ def format_datetimeoffset(
     # format whole seconds from a second-resolution cast, fraction below
     whole = pc.cast(pc.floor_temporal(shifted, unit="second"), pa.timestamp("s"))
     base = pc.strftime(whole, format="%Y-%m-%dT%H:%M:%S")
-    usf = pc.cast(shifted, pa.int64()).to_numpy(zero_copy_only=False)
-    frac = pa.array(
-        [
-            None
-            if u != u  # null timestamp -> NaN after to_numpy
-            else ("" if int(u) % 1_000_000 == 0
-                  else (".%06d" % (int(u) % 1_000_000)).rstrip("0"))
-            for u in usf
-        ],
-        pa.string(),
+    # fractional seconds, fully vectorized: microsecond remainder (numpy
+    # %, non-negative like the former per-row int(u) % 1e6) -> 6-digit
+    # zero-padded string, trailing zeros trimmed, "." only when digits
+    # remain. NULL rows resolve via the final join's emit_null (base is
+    # null there), so the remainder's fill value is irrelevant.
+    import numpy as np
+
+    us = pc.fill_null(pc.cast(shifted, pa.int64()), 0).to_numpy(
+        zero_copy_only=False
+    )
+    digits = pc.utf8_rtrim(
+        pc.utf8_lpad(pc.cast(pa.array(us % 1_000_000), pa.string()), 6, "0"),
+        "0",
+    )
+    frac = pc.if_else(
+        pc.equal(digits, ""), "", pc.binary_join_element_wise(".", digits, "")
     )
     sign = "+" if offset_minutes >= 0 else "-"
     off = abs(offset_minutes)
