@@ -135,6 +135,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "skip_events",
         "stage_pipeline_docs",
         "minhash_dedup_docs",
+        # round-5 operators tracked for regressions
+        "odata_full_query_events",
+        "multikey_rank_events",
+        "odata_function_filter_docs",
+        "geo_shapes_docs",
     ]
     reg = Q.registry(os.path.basename(os.path.normpath(sf_dir)))
     out: dict[str, float] = {}

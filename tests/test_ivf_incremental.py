@@ -234,6 +234,20 @@ def test_crashed_update_is_invisible_and_retry_commits(
     assert all(n != 7 for (_, _, n) in got)
 
 
+def test_update_accepts_dataset_feed(corpus, tmp_path, ray_session):
+    """A Ray Dataset change feed works (delta-size-guarded driver
+    materialization), equal to passing the same rows as a Table."""
+    import ray.data
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(ray.data.from_arrow(corpus), idx, n_cells=8, sample_size=N)
+    rng = np.random.default_rng(23)
+    v = rng.standard_normal(DIM)
+    update_ivf_index(idx, ray.data.from_arrow(_queries(v[None, :], [5])))
+    got = _rows(ivf_index_topk(idx, _queries(v[None, :], [900]), k=3, nprobe=8))
+    assert (900, 1, 5) in got
+
+
 def test_train_sample_spans_corpus(ray_session):
     """The training sample must include vectors from the corpus TAIL
     even when the input is a multi-block non-read dataset (the
