@@ -90,6 +90,12 @@ def topk(
 
     Each batch keeps only its own best k rows, so the final sort runs on
     ~k × num_batches rows instead of the whole dataset.
+
+    Key columns must be NULL-FREE: the final pass is Ray's distributed
+    ``Dataset.sort``, whose null placement under ``descending`` diverges
+    from Arrow/DuckDB NULLS LAST (fuzz-caught) — for nullable keys use
+    :func:`order_by_slice`, which orders exclusively through Arrow
+    kernels. (Every current caller sorts non-null aggregates/ids.)
     """
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -101,6 +107,64 @@ def topk(
 
     ds = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
     return ds.sort(keys, descending=descending).limit(k)
+
+
+def order_by_slice(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    descending: list[bool],
+    offset: int = 0,
+    limit: int | None = None,
+) -> pa.Table:
+    """MULTI-KEY ``ORDER BY k1 [DESC], k2 [DESC], ... LIMIT limit OFFSET
+    offset`` — the execution target for a compiled multi-key ``$orderby``
+    (``config.parse_orderby`` returns a list; ``ops.skip`` covers the
+    single-key unbounded case with a rank exchange).
+
+    Per-batch combiner truncation (each batch keeps its own best
+    ``offset + limit`` rows) -> one-partition re-truncation -> bounded
+    driver slice. EVERY ordering decision runs through Arrow's
+    ``sort_indices`` (NULLS LAST in both directions, matching DuckDB's
+    default) — Ray's distributed ``Dataset.sort`` is deliberately NOT
+    used because its null placement under ``descending`` diverges
+    (caught by the DuckDB fuzz). Returns an Arrow TABLE of at most
+    ``limit`` rows: the textual ``$top``/``$skip`` surface is bounded by
+    definition, so the driver never holds more than ``offset + limit``
+    rows. Include a unique tiebreak column in ``keys`` for deterministic
+    slicing (SQL semantics leave ties unspecified otherwise).
+    """
+    if limit is None or limit < 0:
+        raise ValueError("order_by_slice needs a non-negative limit ($top)")
+    offset = 0 if offset is None else int(offset)
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+    k = offset + limit
+    from sapray.stage import _dataset_schema
+
+    if k == 0:
+        return _dataset_schema(ds).empty_table()
+    order = [
+        (name, "descending" if d else "ascending")
+        for name, d in zip(keys, descending)
+    ]
+
+    def local_cut(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        return batch.take(pa.compute.sort_indices(batch, sort_keys=order)[:k])
+
+    out = (
+        ds.map_batches(local_cut, batch_format="pyarrow", zero_copy_batch=True)
+        # fold the per-batch survivors in ONE worker block (k x n_batches
+        # rows, bounded), then cut to k there — never a full-data sort
+        .repartition(1)
+        .map_batches(local_cut, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.concat_tables(
+        ray.get(out.to_arrow_refs()), promote_options="default"
+    )
+    idx = pa.compute.sort_indices(t, sort_keys=order)
+    return t.take(idx[offset:k])
 
 
 # --------------------------------------------------------------------------

@@ -3256,6 +3256,47 @@ WHERE contains(lower(text), 'the') AND starts_with(source, 'src1')
 """
 
 
+def odata_multikey_orderby_events(sf_dir: str):
+    """MULTI-key ``$orderby`` compiled and executed: ``$orderby=
+    event_type asc,cents desc,event_id asc`` + ``$top``/``$skip`` run as
+    ``ops.order_by_slice`` — topk's per-batch combiner truncation (each
+    batch keeps its best offset+limit rows), one tiny distributed sort,
+    bounded driver slice. Completes the textual surface beyond the
+    single-key ``ops.skip`` plan."""
+    from sapray.config import parse_orderby, parse_select, parse_top_skip
+
+    query = (
+        "?$select=event_id,event_type,value&$top=50&$skip=10"
+        "&$orderby=event_type asc,cents desc,event_id"
+    )
+    cols = parse_select(query)
+    top, sk = parse_top_skip(query)
+    order = parse_orderby(query)
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=cols)
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "event_id": batch.column("event_id"),
+            "cents": _cents(batch.column("value")),
+        })
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return ops.order_by_slice(
+        ds, [c for c, _ in order], [d for _, d in order], offset=sk, limit=top
+    )
+
+
+ODATA_MULTIKEY_ORDERBY_EVENTS_SQL = """
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT event_type, event_id, cents FROM c
+ORDER BY event_type, cents DESC, event_id LIMIT 50 OFFSET 10
+"""
+
+
 def skip_events(sf_dir: str):
     """OFFSET/$skip analogue (the reference's ``$top=2&$skip=2`` query
     shape, ``reference SapODataConfigTest.java:59``): rows 501-600 of
@@ -4044,6 +4085,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "fn": odata_function_filter_docs,
             "sql": ODATA_FUNCTION_FILTER_DOCS_SQL,
         },
+        "odata_multikey_orderby_events": {
+            "fn": odata_multikey_orderby_events,
+            "sql": ODATA_MULTIKEY_ORDERBY_EVENTS_SQL,
+        },
         "langid_docs": {"fn": langid_docs, "sql": LANGID_DOCS_SQL},
         "pii_redact_docs": {"fn": pii_redact_docs, "sql": PII_REDACT_DOCS_SQL},
         "repetition_docs": {"fn": repetition_docs, "sql": REPETITION_DOCS_SQL},
@@ -4230,6 +4275,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "odata_full_query_events",
         "multikey_rank_events",
         "odata_function_filter_docs",
+        "odata_multikey_orderby_events",
         "intersect_all_users",
         "dedup_keep_best_docs",
         "weighted_sample_docs",
