@@ -234,6 +234,42 @@ def test_crashed_update_is_invisible_and_retry_commits(
     assert all(n != 7 for (_, _, n) in got)
 
 
+def test_leftover_compaction_staging_is_invisible(corpus, tmp_path, ray_session):
+    """A crash mid-compaction leaves only the ``vectors.compacting``
+    staging tree: search must be unaffected by it, and the next
+    compaction must pre-clean and succeed."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from sapray.similarity import compact_ivf_index
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(ray.data.from_arrow(corpus), idx, n_cells=8, sample_size=N)
+    rng = np.random.default_rng(29)
+    v = rng.standard_normal(DIM)
+    update_ivf_index(idx, _queries(v[None, :], [5]))
+    qs = _queries(v[None, :], [900])
+    before = _rows(ivf_index_topk(idx, qs, k=3, nprobe=8))
+
+    # simulate a crashed compaction: a partial staging tree with garbage
+    stage = os.path.join(idx, "vectors.compacting", "bucket=0")
+    os.makedirs(stage)
+    pq.write_table(
+        pa.table({"vec_id": pa.array([999999], pa.int64())}),
+        os.path.join(stage, "base-9.parquet"),
+    )
+    assert _rows(ivf_index_topk(idx, qs, k=3, nprobe=8)) == before
+
+    compact_ivf_index(idx)
+    assert not os.path.exists(os.path.join(idx, "vectors.compacting"))
+    assert _rows(ivf_index_topk(idx, qs, k=3, nprobe=8)) == before
+    for bdir in glob.glob(os.path.join(idx, "vectors", "bucket=*")):
+        assert len(glob.glob(os.path.join(bdir, "*.parquet"))) == 1
+
+
 def test_update_accepts_dataset_feed(corpus, tmp_path, ray_session):
     """A Ray Dataset change feed works (delta-size-guarded driver
     materialization), equal to passing the same rows as a Table."""
