@@ -413,10 +413,21 @@ def update_ivf_index(
 
     import pyarrow.parquet as pq
 
+    # roll back a compaction that crashed between its commit renames
+    # (single-maintainer index: update/search/compact never run
+    # concurrently, so recovery at every entry point is race-free)
+    _recover_interrupted_compaction(index_dir)
     with open(os.path.join(index_dir, "manifest.json")) as f:
         meta = json.load(f)
     id_column, vec_column = meta["id_column"], meta["vec_column"]
-    epoch = int(meta.get("epoch", 0)) + 1
+    committed = int(meta.get("epoch", 0))
+    epoch = committed + 1
+    # pre-clean UNCOMMITTED files from a crashed update (epoch beyond
+    # the manifest). Without this, a retry with a DIFFERENT feed window
+    # would commit the same epoch number and legitimize the orphan
+    # delta rows it did not overwrite (review finding) — readers ignore
+    # them until commit, but commit must not adopt them.
+    _drop_uncommitted(index_dir, committed)
     n_buckets = meta["n_buckets"]
     ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
     cents = _to_matrix(ct.column("centroid"))
@@ -426,7 +437,11 @@ def update_ivf_index(
         # contract (it is broadcast at search); materializing it on the
         # driver is therefore bounded — but guard the contract so a
         # caller passing the whole corpus gets an actionable error
-        # instead of an OOM (a corpus-sized change set means REBUILD)
+        # instead of an OOM (a corpus-sized change set means REBUILD).
+        # materialize() first: count() then reads METADATA of the cached
+        # blocks instead of re-executing the feed pipeline twice
+        # (review finding).
+        upserts = upserts.materialize()
         n = upserts.count()
         limit = 5_000_000
         if n > limit:
@@ -490,6 +505,29 @@ def update_ivf_index(
     return meta
 
 
+def _file_epoch(path: str) -> int:
+    """Epoch stamped in a delta/log filename (0 when unstamped)."""
+    import re
+
+    m = re.search(r"(?:delta|epoch)-(\d+)\.parquet$", path)
+    return int(m.group(1)) if m else 0
+
+
+def _drop_uncommitted(index_dir: str, committed_epoch: int) -> None:
+    """Unlink delta/log files stamped beyond the committed manifest
+    epoch — leftovers of an update that crashed before its commit."""
+    import glob as _glob
+    import os
+
+    for pattern in (
+        os.path.join(index_dir, "vectors", "bucket=*", "delta-*.parquet"),
+        os.path.join(index_dir, "updates", "epoch-*.parquet"),
+    ):
+        for p in _glob.glob(pattern):
+            if _file_epoch(p) > committed_epoch:
+                os.unlink(p)
+
+
 def _load_update_state(index_dir: str, committed_epoch: int | None = None):
     """(sorted ids, latest epoch per id, deleted flag per id) from the
     updates log — delta-sized, or None when the index has no updates.
@@ -497,17 +535,12 @@ def _load_update_state(index_dir: str, committed_epoch: int | None = None):
     are ignored by filename, so readers only see committed state."""
     import glob as _glob
     import os
-    import re
 
     import pyarrow.parquet as pq
 
     paths = sorted(_glob.glob(os.path.join(index_dir, "updates", "*.parquet")))
     if committed_epoch is not None:
-        def _ep(p: str) -> int:
-            m = re.search(r"epoch-(\d+)\.parquet$", p)
-            return int(m.group(1)) if m else 0
-
-        paths = [p for p in paths if _ep(p) <= committed_epoch]
+        paths = [p for p in paths if _file_epoch(p) <= committed_epoch]
     if not paths:
         return None
     t = pa.concat_tables([pq.read_table(p) for p in paths])
@@ -553,8 +586,15 @@ def compact_ivf_index(index_dir: str) -> dict:
     broadcast once (``ray.put``) — no cross-bucket shuffle is needed:
     an upserted id's LATEST copy carries the log's epoch while every
     older copy (in any bucket) has a smaller epoch and drops locally.
-    Commit mirrors the rebuild's staged swap: the live tree and the log
-    are replaced only after every bucket has compacted.
+
+    Commit is a RENAME-ASIDE swap (review finding — rmtree-then-rename
+    had a window where a crash plus the retry's staging pre-clean
+    destroyed the only copy): the live tree renames to ``vectors.old``,
+    the staged tree renames in, then ``vectors.old`` and the log are
+    removed. A crash between the two renames leaves the live data intact
+    in ``vectors.old``; the recovery rollback below restores it on the
+    next compaction (or any caller invoking it), so index data is never
+    the only copy inside a staging directory.
     """
     import glob as _glob
     import json
@@ -563,12 +603,13 @@ def compact_ivf_index(index_dir: str) -> dict:
 
     import pyarrow.parquet as pq
 
+    vec_dir = os.path.join(index_dir, "vectors")
+    _recover_interrupted_compaction(index_dir)
     with open(os.path.join(index_dir, "manifest.json")) as f:
         meta = json.load(f)
     id_column = meta["id_column"]
     committed = int(meta.get("epoch", 0))
     upd = _load_update_state(index_dir, committed)
-    vec_dir = os.path.join(index_dir, "vectors")
     tmp = vec_dir + ".compacting"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
@@ -591,10 +632,33 @@ def compact_ivf_index(index_dir: str) -> dict:
         compact_bucket.remote(bdir, os.path.join(tmp, os.path.basename(bdir)))
         for bdir in sorted(_glob.glob(os.path.join(vec_dir, "bucket=*")))
     ])
-    shutil.rmtree(vec_dir)
-    shutil.rmtree(os.path.join(index_dir, "updates"), ignore_errors=True)
+    # rename-aside swap: live data is never deleted before its
+    # replacement is in place (see docstring)
+    old = vec_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(vec_dir, old)
     os.rename(tmp, vec_dir)
+    shutil.rmtree(os.path.join(index_dir, "updates"), ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     return meta
+
+
+def _recover_interrupted_compaction(index_dir: str) -> None:
+    """Roll back a compaction that crashed between its two commit
+    renames: ``vectors`` missing + ``vectors.old`` present means the
+    live tree is sitting in the aside name — restore it. (The staged
+    ``vectors.compacting`` tree is rebuildable and gets pre-cleaned by
+    the retry; the aside tree is the data.)"""
+    import os
+    import shutil
+
+    vec_dir = os.path.join(index_dir, "vectors")
+    old = vec_dir + ".old"
+    if not os.path.exists(vec_dir) and os.path.exists(old):
+        os.rename(old, vec_dir)
+    elif os.path.exists(old):
+        # swap completed but cleanup didn't: the aside tree is stale
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def ivf_index_topk(
@@ -614,6 +678,10 @@ def ivf_index_topk(
 
     import pyarrow.parquet as pq
 
+    # self-heal after a compaction crash (see update_ivf_index): without
+    # this, a search between the crash and the next compaction would
+    # glob an empty ``vectors`` tree and silently return nothing
+    _recover_interrupted_compaction(index_dir)
     with open(os.path.join(index_dir, "manifest.json")) as f:
         meta = json.load(f)
     id_column, vec_column = meta["id_column"], meta["vec_column"]

@@ -270,6 +270,46 @@ def test_leftover_compaction_staging_is_invisible(corpus, tmp_path, ray_session)
         assert len(glob.glob(os.path.join(bdir, "*.parquet"))) == 1
 
 
+def test_compaction_crash_between_renames_self_heals(
+    corpus, tmp_path, ray_session
+):
+    """A compaction crash BETWEEN the two commit renames leaves the live
+    tree under ``vectors.old`` (rename-aside swap) — the next search,
+    update, or compaction must restore it, never losing index data."""
+    import os
+
+    import ray.data
+
+    from sapray.similarity import compact_ivf_index
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(ray.data.from_arrow(corpus), idx, n_cells=8, sample_size=N)
+    rng = np.random.default_rng(31)
+    v = rng.standard_normal(DIM)
+    update_ivf_index(idx, _queries(v[None, :], [5]))
+    qs = _queries(v[None, :], [900])
+    before = _rows(ivf_index_topk(idx, qs, k=3, nprobe=8))
+
+    # simulate the crash window: live tree renamed aside, staged tree gone
+    vec = os.path.join(idx, "vectors")
+    os.rename(vec, vec + ".old")
+    assert not os.path.exists(vec)
+
+    # search self-heals (would otherwise glob an empty tree)
+    assert _rows(ivf_index_topk(idx, qs, k=3, nprobe=8)) == before
+    assert os.path.exists(vec) and not os.path.exists(vec + ".old")
+
+    # same crash again, recovered by update_ivf_index then compaction
+    os.rename(vec, vec + ".old")
+    update_ivf_index(idx, _queries(v[None, :] * 0.5, [6]))
+    assert os.path.exists(vec)
+    os.rename(vec, vec + ".old")
+    compact_ivf_index(idx)
+    assert os.path.exists(vec) and not os.path.exists(vec + ".old")
+    got = _rows(ivf_index_topk(idx, qs, k=3, nprobe=8))
+    assert (900, 1, 5) in got
+
+
 def test_update_accepts_dataset_feed(corpus, tmp_path, ray_session):
     """A Ray Dataset change feed works (delta-size-guarded driver
     materialization), equal to passing the same rows as a Table."""
