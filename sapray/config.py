@@ -346,9 +346,17 @@ class _FilterParser:
         if kind == "datetime":
             from datetime import datetime
 
-            return "lit", datetime.fromisoformat(
-                val[len("datetime'") : -1].replace("''", "'")
-            )
+            raw = val[len("datetime'") : -1].replace("''", "'")
+            try:
+                return "lit", datetime.fromisoformat(raw)
+            except ValueError as e:
+                # keep malformed literals inside the accumulated
+                # ConfigError surface (validate() catches ConfigError
+                # only; a bare stdlib ValueError would abort validation
+                # context-free and drop the other options' errors)
+                raise ConfigError([
+                    f"'$filter' has a malformed datetime literal {raw!r}: {e}"
+                ]) from e
         if kind == "number":
             return "lit", float(val) if "." in val else int(val)
         if kind == "word":

@@ -346,9 +346,15 @@ def _decode_geo_vectorized(col: pa.Array, shape: str) -> pa.Array | None:
     # JSON text 'null' == missing geometry, like the spec path
     trimmed = pc.utf8_trim_whitespace(pc.fill_null(col, "null"))
     null_in = pc.equal(trimmed, "null")
-    parsed = parse_json_column(
-        pc.if_else(null_in, "{}", col), _parse_schema(shape)
-    )
+    try:
+        parsed = parse_json_column(
+            pc.if_else(null_in, "{}", col), _parse_schema(shape)
+        )
+    except (pa.ArrowInvalid, ValueError):
+        # non-object values, truncated JSON, or wrong coordinate nesting:
+        # the per-row spec path decides and raises the reference's
+        # message for genuinely bad values
+        return None
     types = parsed.column("type").combine_chunks()
     ok = pc.or_(pc.fill_null(pc.equal(types, shape), False), null_in)
     if not pc.all(ok).as_py():

@@ -1649,25 +1649,32 @@ def skip(
     exchange — but the cost is one exchange regardless of offset depth,
     never a driver-side collect. Returns (id, value) rows.
 
-    ``descending`` ranks by ``ORDER BY value DESC, id`` via checked
-    negation (exact for IEEE floats; ``negate_checked`` raises loudly on
-    INT64_MIN instead of wrapping); NULLs stay LAST either way (the null
-    mask, not the value, is the primary sort key — DuckDB's default null
-    order for both directions).
+    ``descending`` ranks by ``ORDER BY value DESC, id`` via an
+    order-reversing involution: ``bit_wise_not`` for integer columns
+    (``~x`` is total for every signed/unsigned width — ``-x-1`` resp.
+    ``max-x`` — so INT64_MIN and uint64 values are fine) and checked
+    negation for floats/decimals (exact for IEEE); NULLs stay LAST
+    either way (the null mask, not the value, is the primary sort key —
+    DuckDB's default null order for both directions).
     """
     # a query with $top but no $skip parses to offset=None (and vice
     # versa) — normalize instead of letting a null scalar poison the mask
     offset = 0 if offset is None else int(offset)
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
-    if descending:
-        def _neg(b: pa.Table) -> pa.Table:
-            i = b.schema.get_field_index(value_column)
-            return b.set_column(
-                i, value_column, pc.negate_checked(b.column(value_column))
-            )
 
-        ds = ds.map_batches(_neg, batch_format="pyarrow", zero_copy_batch=True)
+    def _flip(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index(value_column)
+        col = b.column(value_column)
+        rev = (
+            pc.bit_wise_not(col)
+            if pa.types.is_integer(col.type)
+            else pc.negate_checked(col)
+        )
+        return b.set_column(i, value_column, rev)
+
+    if descending:
+        ds = ds.map_batches(_flip, batch_format="pyarrow", zero_copy_batch=True)
     ranked = global_rank(
         ds, value_column, id_column,
         num_partitions=num_partitions, out_name="__rk",
@@ -1680,11 +1687,8 @@ def skip(
         if hi is not None:
             mask = pc.and_(mask, pc.less_equal(b.column("__rk"), hi))
         b = b.filter(mask).drop_columns(["__rk"])
-        if descending:  # restore the caller's values
-            i = b.schema.get_field_index(value_column)
-            b = b.set_column(
-                i, value_column, pc.negate_checked(b.column(value_column))
-            )
+        if descending:  # restore the caller's values (both flips involute)
+            b = _flip(b)
         return b
 
     return ranked.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

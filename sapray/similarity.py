@@ -618,6 +618,11 @@ def compact_ivf_index(index_dir: str) -> dict:
     @ray.remote
     def compact_bucket(bucket_dir: str, out_dir: str) -> None:
         files = sorted(_glob.glob(os.path.join(bucket_dir, "*.parquet")))
+        if not files:
+            # a crashed update can leave an empty bucket dir behind
+            # (_drop_uncommitted unlinks the delta file but not the new
+            # directory); it holds no live rows, so it just disappears
+            return
         t = pa.concat_tables(
             [pq.read_table(p) for p in files], promote_options="default"
         )

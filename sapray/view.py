@@ -96,9 +96,14 @@ def _finalize(
             vcnt = df[f"__vcnt_{name}"]
             s = df[name]
             if (vcnt <= 0).any():
-                # only floatify (NaN -> Arrow null) when an all-null
-                # group exists, so the common case keeps its int dtype
-                s = s.astype("float64").where(vcnt > 0)
+                # an all-null group's SUM is NULL: integer sums null via
+                # pandas nullable Int64 so the Arrow schema stays int64
+                # across refreshes (floatifying would make the same view
+                # return int64 on one refresh and float64 on the next)
+                if pd.api.types.is_integer_dtype(s):
+                    s = s.astype("Int64").where(vcnt > 0)
+                else:
+                    s = s.where(vcnt > 0)
             cols[name] = s
         else:  # mean — NULL (not 0/0) when the group has no non-null value
             vcnt = df[f"__vcnt_{name}"].astype("float64").replace(0.0, np.nan)

@@ -180,3 +180,21 @@ def test_parse_top_skip():
     with pytest.raises(ConfigError) as e:
         parse_top_skip("$top=x&$skip=-3")
     assert len(e.value.errors) == 2
+
+
+def test_filter_malformed_datetime_accumulates():
+    """Review finding: a malformed datetime'...' literal must surface as
+    an accumulated ConfigError (naming '$filter'), not a raw stdlib
+    ValueError that aborts validate() and drops the other options'
+    errors."""
+    from sapray.config import ConfigError, filter_to_expression
+
+    with pytest.raises(ConfigError) as e:
+        filter_to_expression("ts ge datetime'2023-99-99'")
+    assert "$filter" in e.value.errors[0]
+    assert "2023-99-99" in e.value.errors[0]
+
+    bad = CDCConfig(query="$filter=ts ge datetime'2023-99-99'&$orderby=b sideways")
+    with pytest.raises(ConfigError) as e:
+        bad.validate()
+    assert len(e.value.errors) == 2

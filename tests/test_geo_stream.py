@@ -327,3 +327,21 @@ def test_format_datetimeoffset_null_passthrough():
     out = format_datetimeoffset(ts, offset_minutes=0).to_pylist()
     assert out[0] is None
     assert out[1] == "2020-06-01T10:00:00.5+00:00"
+
+
+def test_vectorized_decode_falls_back_on_malformed_json():
+    """Review finding: a malformed value must route the batch to the
+    per-row spec path (which raises the reference's message), not leak a
+    pa.ArrowInvalid from the C++ JSON parse with a different surface."""
+    cases = {
+        "[1.0, 2.0]": "unsupported geospatial type 'list'",
+        "42": "unsupported geospatial type 'int'",
+    }
+    for bad, msg in cases.items():
+        col = pa.array([bad, '{"type": "Point", "coordinates": [1.0, 2.0]}'])
+        assert geo._decode_geo_vectorized(col, "Point") is None
+        with pytest.raises(ValueError, match=msg):
+            geo.decode_geo_column(col, "Point")
+    # truncated JSON also falls back (the spec path's json error applies)
+    col = pa.array(['{"type": "Point"'])
+    assert geo._decode_geo_vectorized(col, "Point") is None

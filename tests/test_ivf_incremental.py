@@ -340,3 +340,29 @@ def test_train_sample_spans_corpus(ray_session):
     m = _train_sample(ds, "embedding", 100)
     assert len(m) <= 100
     assert (m[:, 0] == 0.0).any() and (m[:, 0] == 1.0).any()
+
+
+def test_compact_skips_empty_bucket_dir(corpus, tmp_path, ray_session):
+    """Review finding: a crashed update can leave an EMPTY bucket
+    directory behind (_drop_uncommitted unlinks the uncommitted delta
+    file but not the new directory it created); compaction must skip it
+    — it holds no live rows — rather than crash on concat_tables([])."""
+    import os
+
+    import ray.data
+
+    from sapray.similarity import compact_ivf_index
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(ray.data.from_arrow(corpus), idx, n_cells=8, sample_size=N)
+    rng = np.random.default_rng(31)
+    v = rng.standard_normal(DIM)
+    update_ivf_index(idx, _queries(v[None, :], [5]))
+    qs = _queries(v[None, :], [900])
+    before = _rows(ivf_index_topk(idx, qs, k=3, nprobe=8))
+
+    empty = os.path.join(idx, "vectors", "bucket=999")
+    os.makedirs(empty)
+    compact_ivf_index(idx)  # must not raise
+    assert not os.path.exists(empty)  # empty bucket simply disappears
+    assert _rows(ivf_index_topk(idx, qs, k=3, nprobe=8)) == before

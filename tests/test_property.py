@@ -817,3 +817,37 @@ def test_skip_fuzz_vs_duckdb(ray_session):
             f"SELECT id, v FROM t ORDER BY v, id LIMIT {limit} OFFSET {offset}"
         ).fetch_df()
         assert list(got["id"]) == list(exp["id"]), trial
+
+
+def test_skip_descending_integer_widths(ray_session):
+    """Review finding: DESC ordering must work for every integer width —
+    unsigned columns (where checked negation fails on the first nonzero
+    value) and a legitimate INT64_MIN value (where it raises). The
+    bit_wise_not involution covers both; floats keep exact negation."""
+    import duckdb
+
+    from sapray import ops
+
+    imin = np.iinfo(np.int64).min
+    cases = [
+        pa.array([3, 1, 2**64 - 1, 0, 7], pa.uint64()),
+        pa.array([5, 0, 250, 17, 99], pa.uint32()),
+        pa.array([imin, -1, 42, imin + 1, 0], pa.int64()),
+        pa.array([1.5, -2.25, 0.0, 3.75, -0.5], pa.float64()),
+    ]
+    for v in cases:
+        t = pa.table({"id": pa.array(range(5), pa.int64()), "v": v})
+        got = (
+            ops.skip(
+                ray.data.from_arrow(t).repartition(2), "v", "id",
+                offset=1, limit=3, descending=True,
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute(
+            "SELECT id, v FROM t ORDER BY v DESC, id LIMIT 3 OFFSET 1 "
+        ).fetch_df().sort_values("id").reset_index(drop=True)
+        assert list(got["id"]) == list(exp["id"]), v.type
+        assert list(got["v"]) == list(exp["v"]), v.type

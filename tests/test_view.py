@@ -384,3 +384,29 @@ def test_minmax_view_null_group_key(ray_session):
     )
     got = {r["g"]: (int(r["n"]), int(r["max_sz"])) for r in view.to_pylist()}
     assert got == {None: (1, 2), "py": (1, 3)}
+
+
+def test_finalize_int_sum_schema_stable_with_all_null_group():
+    """Review finding: an all-null group must NOT flip an integer SUM
+    column to float64 for the whole view — the same view would then
+    return int64 on one refresh and float64 on the next (schema drift),
+    and the driver's type-sensitive hash would mismatch DuckDB's
+    SUM(BIGINT)::BIGINT. Nullable Int64 keeps the Arrow schema int64."""
+    import pandas as pd
+
+    from sapray.view import _finalize
+
+    df = pd.DataFrame({
+        "repo": ["a", "b"],
+        "sum_v": [10, 0],
+        "__vcnt_sum_v": [2, 0],  # group b: every input value was NULL
+        "__n": [2, 1],
+    })
+    t = _finalize(df, {"sum_v": ("v", "sum")}, "repo")
+    assert t.schema.field("sum_v").type == pa.int64()
+    assert t.column("sum_v").to_pylist() == [10, None]
+    # float sums keep their dtype and null the all-null group too
+    dff = df.assign(sum_v=[10.5, 0.0])
+    tf = _finalize(dff, {"sum_v": ("v", "sum")}, "repo")
+    assert tf.schema.field("sum_v").type == pa.float64()
+    assert tf.column("sum_v").to_pylist() == [10.5, None]
