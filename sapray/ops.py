@@ -1529,7 +1529,14 @@ def global_rank(
         zero_copy_batch=True,
     ).to_pandas()[value_column].dropna()
     qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
-    splitters = np.unique(samples.quantile(qs, interpolation="nearest"))
+    # an empty/all-null input (e.g. a pushdown filter matching nothing)
+    # has NO samples; quantile would yield NaN splitters that crash the
+    # integer route cast — no splitters routes everything to partition 0
+    splitters = (
+        np.unique(samples.quantile(qs, interpolation="nearest"))
+        if len(samples)
+        else np.array([], dtype=np.float64)
+    )
 
     def _values_nullsafe(col) -> tuple[np.ndarray, np.ndarray]:
         """(values, null_mask) keeping integer columns INTEGRAL: an

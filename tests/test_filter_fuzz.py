@@ -9,8 +9,11 @@ feeds to ``ray.data.read_parquet``) and compared row-for-row against
 the SQL WHERE. Covers eq/ne/gt/ge/lt/le on int/float/string/timestamp
 columns with NULLs (SQL three-valued logic), and/or/not nesting,
 literal-on-the-left flips, IS NULL, and every canonical function the
-compiler supports. No Ray session needed: the pushdown expression is
-evaluated by the Arrow dataset scanner directly.
+compiler supports. The filter-only fuzz needs no Ray session (the
+pushdown expression is evaluated by the Arrow dataset scanner
+directly); the composition fuzz drives the FULL textual surface —
+$select/$filter/$orderby/$top/$skip in one query string — through
+``ops.read_projected`` + ``ops.skip`` end to end.
 """
 
 import numpy as np
@@ -166,3 +169,79 @@ def test_filter_fuzz_vs_duckdb(table_and_path):
     # the generator must actually exercise matching rows, not just
     # vacuous always-false predicates
     assert nonempty > 60
+
+
+def test_full_query_composition_fuzz_vs_duckdb(table_and_path, ray_session):
+    """Randomized end-to-end fuzz of the composed query surface: ONE
+    query string carrying all five options — $select prunes the read,
+    $filter compiles to read pushdown (referencing columns OUTSIDE the
+    projection: filter-then-project), $orderby picks direction, and
+    $top/$skip slice the exact global order via ops.skip — compared
+    against the equivalent DuckDB ORDER BY/LIMIT/OFFSET. Percent-encoded
+    quotes exercise the _decode path (%27, reference
+    SapODataConfigTest.java:59)."""
+    from urllib.parse import quote
+
+    import duckdb
+    import pandas as pd
+    import ray.data  # noqa: F401
+
+    from sapray import ops
+    from sapray.config import (
+        parse_filter,
+        parse_orderby,
+        parse_select,
+        parse_top_skip,
+    )
+
+    t, path = table_and_path
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    rng = np.random.default_rng(431)
+    nonempty = 0
+    for trial in range(15):
+        od, sql = _gen_expr(rng, depth=2)
+        ord_col = ["i", "f"][int(rng.integers(0, 2))]
+        desc = bool(rng.random() < 0.5)
+        top = int(rng.integers(1, 80))
+        sk = int(rng.integers(0, 40))
+        query = (
+            f"?$select=id,{ord_col}&$top={top}&$skip={sk}"
+            f"&$filter={quote(od, safe=' (),')}"
+            f"&$orderby={ord_col}{' desc' if desc else ' asc'}"
+        )
+        cols = parse_select(query)
+        top2, sk2 = parse_top_skip(query)
+        fexpr = parse_filter(query)
+        ((ob_col, ob_desc),) = parse_orderby(query)
+        assert (cols, top2, sk2, ob_col, ob_desc) == (
+            ["id", ord_col], top, sk, ord_col, desc
+        ), f"trial {trial}: query round-trip drifted"
+        ds = ops.read_projected(path, columns=cols, filter_expr=fexpr)
+        gdf = ops.skip(
+            ds, ob_col, "id", offset=sk2, limit=top2, descending=ob_desc
+        ).to_pandas()
+        exp = con.execute(
+            f"SELECT id, {ord_col} FROM t WHERE {sql} "
+            f"ORDER BY {ord_col} {'DESC' if desc else 'ASC'}, id "
+            f"LIMIT {top} OFFSET {sk}"
+        ).fetch_df().sort_values("id").reset_index(drop=True)
+        if gdf.empty or exp.empty:
+            # a filter matching nothing / an offset past the end must be
+            # empty on BOTH sides (the empty-input global_rank path)
+            assert gdf.empty and exp.empty, (
+                f"trial {trial}: {query!r} vs {sql!r}: "
+                f"{len(gdf)} rows != {len(exp)} rows"
+            )
+            continue
+        got = gdf.sort_values("id").reset_index(drop=True)
+        assert list(got["id"]) == list(exp["id"]), (
+            f"trial {trial}: {query!r} vs {sql!r}"
+        )
+        vg = got[ord_col].tolist()
+        ve = exp[ord_col].tolist()
+        assert all(
+            (a == b) or (pd.isna(a) and pd.isna(b)) for a, b in zip(vg, ve)
+        ), f"trial {trial}: values diverged for {query!r}"
+        nonempty += bool(len(got))
+    assert nonempty >= 8  # the slices must actually select rows
