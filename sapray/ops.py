@@ -163,6 +163,11 @@ def order_by_slice(
     t = pa.concat_tables(
         ray.get(out.to_arrow_refs()), promote_options="default"
     )
+    if t.num_rows == 0:
+        # an empty input leaves only ZERO-COLUMN empty blocks after the
+        # repartition (the empty-block schema loss ops.drop_empty_blocks
+        # exists for) — sort_indices would fail to resolve the keys
+        return _dataset_schema(ds).empty_table()
     idx = pa.compute.sort_indices(t, sort_keys=order)
     return t.take(idx[offset:k])
 
@@ -524,7 +529,8 @@ def hll_distinct_count(
         .to_pandas()
     )
     registers = np.zeros(m, dtype=np.int64)
-    registers[merged["reg"].to_numpy()] = merged["max(rho)"].to_numpy()
+    if len(merged):  # an empty input has no register partials at all
+        registers[merged["reg"].to_numpy()] = merged["max(rho)"].to_numpy()
     alpha = 0.7213 / (1 + 1.079 / m)
     est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
     zeros = int((registers == 0).sum())
@@ -660,18 +666,44 @@ def rollup_aggregate(
         if lvl_keys:
             lvl = grouped_aggregate(prev, lvl_keys, respec)
         else:
-            # grand total: single global aggregate over the tiny level-1
-            # output (collected — it is one row per first-key value)
-            t = pa.Table.from_pandas(prev.to_pandas())
+            # grand total: per-block fold of the tiny level-1 output (one
+            # row per block reaches the driver, never the key grid). SQL:
+            # the () grouping set yields one row even on EMPTY input —
+            # counts 0, sum/min/max NULL (same guard as grouping_sets;
+            # empty blocks bypass the map_batches UDF, so an empty level
+            # arrives here as a column-less zero-row frame)
+            aggs = {"sum": pa.compute.sum, "min": pa.compute.min,
+                    "max": pa.compute.max}
+
+            def fold(batch: pa.Table) -> pa.Table:
+                return pa.table({
+                    o: pa.array([aggs[kind](batch.column(o)).as_py()],
+                                batch.column(o).type)
+                    for o, (_, kind) in respec.items()
+                })
+
+            parts = pa.Table.from_pandas(
+                prev.map_batches(fold, batch_format="pyarrow").to_pandas()
+            )
+            psch = prev.schema()
+            ptypes = (
+                dict(zip(psch.names, psch.types)) if psch is not None else {}
+            )
+            raw_types = dict(zip(ds.schema().names, ds.schema().types))
             cols: dict[str, pa.Array] = {}
             for out, (col, kind) in respec.items():
-                c = t.column(out)
-                if kind == "sum":
-                    cols[out] = pa.array([pa.compute.sum(c).as_py()], c.type)
-                elif kind == "min":
-                    cols[out] = pa.array([pa.compute.min(c).as_py()], c.type)
-                elif kind == "max":
-                    cols[out] = pa.array([pa.compute.max(c).as_py()], c.type)
+                if out not in parts.column_names or parts.num_rows == 0:
+                    zero = spec[out][1] == "count"
+                    typ = ptypes.get(out) or (
+                        pa.int64() if zero
+                        else raw_types.get(spec[out][0], pa.int64())
+                    )
+                    cols[out] = pa.array([0 if zero else None], typ)
+                    continue
+                c = parts.column(out).cast(
+                    ptypes.get(out, parts.column(out).type)
+                )
+                cols[out] = pa.array([aggs[kind](c).as_py()], c.type)
             lvl = ray.data.from_arrow(pa.table(cols))
         levels.append(lvl)
         prev = lvl
@@ -781,15 +813,20 @@ def grouping_sets_aggregate(
             ftypes = (
                 dict(zip(fsch.names, fsch.types)) if fsch is not None else {}
             )
+            raw_types = dict(zip(ds.schema().names, ds.schema().types))
             cols: dict[str, pa.Array] = {}
             for o, (_, kind) in respec.items():
                 if o not in parts.column_names or parts.num_rows == 0:
                     # empty input: SQL's () grouping set still yields one
-                    # row — count-derived sums are 0, min/max are NULL
+                    # row — count-derived sums are 0, min/max are NULL,
+                    # typed from the raw input schema when the empty
+                    # finest level carries none
                     zero = spec[o][1] == "count"
-                    cols[o] = pa.array(
-                        [0 if zero else None], ftypes.get(o, pa.int64())
+                    typ = ftypes.get(o) or (
+                        pa.int64() if zero
+                        else raw_types.get(spec[o][0], pa.int64())
                     )
+                    cols[o] = pa.array([0 if zero else None], typ)
                     continue
                 c = parts.column(o).cast(ftypes[o])
                 cols[o] = pa.array([aggs[kind](c).as_py()], c.type)
@@ -1252,7 +1289,9 @@ def exact_global_quantiles(
         raise ValueError("q must be in [0, 1]")
     lo, hi, n = _min_max_count(ds, column)
     if n == 0:
-        raise ValueError(f"column '{column}' has no non-null values")
+        # SQL: a quantile over zero non-null values is NULL — a pushdown
+        # filter matching nothing must not crash the pipeline
+        return [None] * len(qs)
     ranks = [int(np.floor(q * (n - 1))) for q in qs]
     return _exact_select_ranks(
         ds, column, ranks, lo, hi, n, num_buckets, collect_cap
@@ -1281,6 +1320,10 @@ def _min_max_count(ds: ray.data.Dataset, column: str) -> tuple[float, float, int
         )
 
     parts = ds.map_batches(mm, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if len(parts) == 0:
+        # an empty input has no partials at all (empty blocks bypass the
+        # UDF, so the frame is column-less too — no 'mn' to index)
+        return float("nan"), float("nan"), 0
     return float(parts["mn"].min()), float(parts["mx"].max()), int(parts["n"].sum())
 
 
@@ -1392,7 +1435,8 @@ def quantile_cont(
     """
     lo_v, hi_v, n = _min_max_count(ds, column)
     if n == 0:
-        raise ValueError(f"column '{column}' has no non-null values")
+        # SQL: PERCENTILE_CONT over zero non-null values is NULL
+        return [None] * len(qs)
     triples: list[tuple[int, int, float]] = []
     need: set[int] = set()
     for q in qs:
@@ -1517,7 +1561,7 @@ def global_rank(
     """
     if num_partitions is None:
         num_partitions = exchange_partitions(ds)
-    samples = ds.map_batches(
+    sdf = ds.map_batches(
         lambda b: b.select([value_column]).take(
             pa.array(
                 np.linspace(
@@ -1527,7 +1571,14 @@ def global_rank(
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).to_pandas()[value_column].dropna()
+    ).to_pandas()
+    # empty input -> the sample frame has no columns at all
+    if value_column in sdf.columns:
+        samples = sdf[value_column].dropna()
+    else:
+        import pandas as pd
+
+        samples = pd.Series([], dtype="float64")
     qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
     # an empty/all-null input (e.g. a pushdown filter matching nothing)
     # has NO samples; quantile would yield NaN splitters that crash the
@@ -1606,10 +1657,10 @@ def global_rank(
         .groupby("__part")
         .sum("n")
         .to_pandas()
-        .sort_values("__part")
     )
     per_part = np.zeros(num_partitions, dtype=np.int64)
-    per_part[cdf["__part"].to_numpy()] = cdf["sum(n)"].to_numpy()
+    if len(cdf):  # an empty input has no count partials (nor columns)
+        per_part[cdf["__part"].to_numpy()] = cdf["sum(n)"].to_numpy()
     offsets = np.zeros(num_partitions, dtype=np.int64)
     np.cumsum(per_part[:-1], out=offsets[1:])
 
@@ -1938,13 +1989,49 @@ def shuffle_join(
         "outer": "full_outer",
     }[how]
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return left.join(
-        right,
+
+    # Ray 2.49's hash-shuffle join crashes when EITHER side has zero rows
+    # overall (the aggregator synthesizes a column-less partition table
+    # and acero can't resolve the key): guarantee one row per side with a
+    # NULL-key sentinel — null keys never match (SQL/acero semantics), so
+    # inner results are untouched; outer phantoms carry the marker and
+    # are filtered after the join. Cost: one nearly-all-null bool column
+    # (~2 bits/row) through the exchange.
+    def _with_sentinel(ds: ray.data.Dataset, marker: str) -> ray.data.Dataset:
+        sch = ds.schema()
+        if sch is None:
+            raise ValueError(
+                "shuffle_join requires schema'd inputs; an empty side must "
+                "carry its schema (e.g. ray.data.from_arrow(empty_table))"
+            )
+        sent = pa.table(
+            {n: pa.nulls(1, t) for n, t in zip(sch.names, sch.types)}
+            | {marker: pa.array([True])}
+        )
+
+        def addm(b: pa.Table) -> pa.Table:
+            return b.append_column(marker, pa.nulls(b.num_rows, pa.bool_()))
+
+        return ds.map_batches(
+            addm, batch_format="pyarrow", zero_copy_batch=True
+        ).union(ray.data.from_arrow(sent))
+
+    joined = _with_sentinel(left, "__sent_l").join(
+        _with_sentinel(right, "__sent_r"),
         join_type=jt,
         num_partitions=max(2, min(num_buckets, ncpu - 1)),
         on=(left_on,),
         right_on=(right_on,),
     )
+
+    def strip(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.coalesce(pc.invert(b.column("__sent_l")), pa.scalar(True)),
+            pc.coalesce(pc.invert(b.column("__sent_r")), pa.scalar(True)),
+        )
+        return b.filter(keep).drop_columns(["__sent_l", "__sent_r"])
+
+    return joined.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def salted_join(

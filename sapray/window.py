@@ -621,6 +621,14 @@ def asof_join(
     row with the matched right value columns appended (null when no
     right row precedes it).
     """
+    if left.schema() is None or right.schema() is None:
+        # an all-empty map_batches pipeline loses its schema, and the
+        # output schema cannot be constructed without both sides' —
+        # fail actionably instead of dereferencing None
+        raise ValueError(
+            "asof_join requires schema'd inputs; an empty side must carry "
+            "its schema (e.g. ray.data.from_arrow(schema.empty_table()))"
+        )
     l_schema = dict(zip(left.schema().names, left.schema().types))
     r_schema = dict(zip(right.schema().names, right.schema().types))
     r_value_cols = [c for c in r_schema if c not in (key, ts_column)]
