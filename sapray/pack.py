@@ -57,10 +57,14 @@ def pack_by_token_budget(
 
     # pass 1: tiny aggregate -> driver-side exclusive prefix per bucket
     totals = keyed.groupby("__bucket").sum(token_column).to_pandas()
-    totals = totals.sort_values("__bucket").reset_index(drop=True)
-    buckets = totals["__bucket"].to_numpy()
-    sums = totals[f"sum({token_column})"].to_numpy().astype(np.int64)
-    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+    if len(totals):
+        totals = totals.sort_values("__bucket").reset_index(drop=True)
+        buckets = totals["__bucket"].to_numpy()
+        sums = totals[f"sum({token_column})"].to_numpy().astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+    else:  # empty input: no bucket partials (nor columns) at all
+        buckets = np.array([], dtype=np.int64)
+        offsets = np.array([], dtype=np.int64)
     # broadcast the (bucket -> tokens-before-bucket) map via task closure:
     # one row per bucket, so even a billion-doc corpus ships ~4 MB
     offset_by_bucket = dict(zip(buckets.tolist(), offsets.tolist()))

@@ -145,3 +145,44 @@ def test_joins_empty(empty_ds, ray_session):
     assert _nrows(ops.shuffle_join(empty_ds, right, "user_id", "uid")) == 0
     empty_small = small.slice(0, 0)
     assert _nrows(ops.broadcast_join(empty_ds, empty_small, "user_id", "uid")) == 0
+
+
+def _empty_docs() -> pa.Table:
+    return pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.large_string()),
+    })
+
+
+def test_dedup_and_text_family_empty(ray_session):
+    from sapray import dedup, pack, text
+
+    docs = ray.data.from_arrow(_empty_docs())
+    assert dedup.exact_dedup(docs).count() == 0
+    assert dedup.minhash_lsh_candidates(docs, concurrency=2).count() == 0
+    assert dedup.ngram_jaccard_dedup(docs).count() == 0
+    assert dedup.paragraph_dedup_stats(docs).count() == 0
+    assert text.analyze_documents(docs, concurrency=2).count() == 0
+    toks = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+    }))
+    assert pack.pack_by_token_budget(toks, "doc_id", "n_tokens", 512).count() == 0
+
+
+def test_similarity_family_empty(ray_session):
+    from sapray import similarity
+
+    corpus = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64())),
+    }))
+    qs = pa.table({
+        "vec_id": pa.array([9], pa.int64()),
+        "embedding": pa.array([np.ones(4)], pa.list_(pa.float64())),
+    })
+    # searching an EMPTY corpus yields no neighbors for any query
+    assert similarity.brute_force_topk(corpus, qs, k=3).count() == 0
+    from sapray import dedup
+
+    assert dedup.embedding_neardup_pairs(corpus).count() == 0
