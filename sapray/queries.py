@@ -3297,6 +3297,43 @@ ORDER BY event_type, cents DESC, event_id LIMIT 50 OFFSET 10
 """
 
 
+def odata_empty_result_events(sf_dir: str):
+    """A compiled query whose ``$filter`` matches NOTHING — the
+    empty-pipeline surface end to end (a none-matching pushdown filter
+    hands the whole order/slice plan empty-but-schema'd blocks; the
+    oracle must agree on ZERO rows AND schema). Driver-side gate for the
+    empty-input sweep (``tests/test_empty_inputs.py``);
+    ``ops.order_by_slice`` returns a schema'd Arrow table even when
+    empty, so the hash compare is exact."""
+    from sapray.config import (
+        parse_filter,
+        parse_orderby,
+        parse_select,
+        parse_top_skip,
+    )
+
+    query = (
+        "?$select=event_id,event_type,value&$top=50&$skip=5"
+        "&$filter=event_type eq %27no_such_type%27 and value gt 10.5"
+        "&$orderby=event_type asc,value desc,event_id"
+    )
+    cols = parse_select(query)
+    top, sk = parse_top_skip(query)
+    fexpr = parse_filter(query)
+    order = parse_orderby(query)
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=cols, filter_expr=fexpr)
+    return ops.order_by_slice(
+        ds, [c for c, _ in order], [d for _, d in order], offset=sk, limit=top
+    )
+
+
+ODATA_EMPTY_RESULT_EVENTS_SQL = """
+SELECT event_id, event_type, value FROM events
+WHERE event_type = 'no_such_type' AND value > CAST(10.5 AS DOUBLE)
+ORDER BY event_type, value DESC, event_id LIMIT 50 OFFSET 5
+"""
+
+
 def skip_events(sf_dir: str):
     """OFFSET/$skip analogue (the reference's ``$top=2&$skip=2`` query
     shape, ``reference SapODataConfigTest.java:59``): rows 501-600 of
@@ -4089,6 +4126,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "fn": odata_multikey_orderby_events,
             "sql": ODATA_MULTIKEY_ORDERBY_EVENTS_SQL,
         },
+        "odata_empty_result_events": {
+            "fn": odata_empty_result_events,
+            "sql": ODATA_EMPTY_RESULT_EVENTS_SQL,
+        },
         "langid_docs": {"fn": langid_docs, "sql": LANGID_DOCS_SQL},
         "pii_redact_docs": {"fn": pii_redact_docs, "sql": PII_REDACT_DOCS_SQL},
         "repetition_docs": {"fn": repetition_docs, "sql": REPETITION_DOCS_SQL},
@@ -4276,6 +4317,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "multikey_rank_events",
         "odata_function_filter_docs",
         "odata_multikey_orderby_events",
+        "odata_empty_result_events",
         "intersect_all_users",
         "dedup_keep_best_docs",
         "weighted_sample_docs",
