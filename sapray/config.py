@@ -154,7 +154,54 @@ _BOOL_FUNCS = {"substringof", "startswith", "endswith"}
 _FILTER_FUNCS = _BOOL_FUNCS | {
     "tolower", "toupper", "trim", "length",
     "year", "month", "day", "hour", "minute", "second",
+    "round", "floor", "ceiling",
+    "concat", "indexof", "substring", "replace",
 }
+
+# OData v2 arithmetic: mul/div/mod bind tighter than add/sub, both bind
+# tighter than comparisons. `div`/`mod` on integers are truncated (C
+# semantics — pyarrow's integer `divide` kernel and DuckDB's `%` agree);
+# `mod` compiles to a - (a div b)*b, so it carries integer semantics
+# (float operands would see true division and a ~0 remainder — OData v2
+# defines mod on integral types).
+_ARITH_ADD = ("add", "sub")
+_ARITH_MUL = ("mul", "div", "mod")
+
+
+def _trunc_div_int(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _fold_arith(op: str, a, b):
+    """Constant-fold arithmetic between two literals (OData null
+    arithmetic yields null)."""
+    if a is None or b is None:
+        return None
+    ok = all(
+        isinstance(v, (int, float)) and not isinstance(v, bool)
+        for v in (a, b)
+    )
+    if not ok:
+        raise ConfigError([
+            f"'$filter' arithmetic '{op}' needs numeric operands"
+        ])
+    both_int = isinstance(a, int) and isinstance(b, int)
+    if op in ("div", "mod") and b == 0:
+        raise ConfigError([f"'$filter' has a division by zero ('{op}')"])
+    if op == "add":
+        return a + b
+    if op == "sub":
+        return a - b
+    if op == "mul":
+        return a * b
+    if op == "div":
+        return _trunc_div_int(a, b) if both_int else a / b
+    if both_int:
+        return a - _trunc_div_int(a, b) * b
+    import math
+
+    return math.fmod(a, b)
 
 
 def _tokenize_filter(text: str) -> list[tuple[str, str]]:
@@ -179,7 +226,8 @@ class _FilterParser:
     """Recursive-descent compiler for the reference's ``$filter`` grammar
     (the ``BuyerName eq 'TECUM'`` shape of ``reference
     SapODataConfigTest.java:59``; full OData v2 comparison subset:
-    ``eq ne gt ge lt le``, ``and/or/not``, parentheses, single-quoted
+    ``eq ne gt ge lt le``, ``and/or/not``, parentheses, arithmetic
+    ``add sub mul div mod`` with OData precedence, single-quoted
     strings with ``''`` escapes, integer/decimal literals,
     ``datetime'...'``, ``null``/``true``/``false``) into a
     ``pyarrow.compute`` expression that pushes into a Parquet read
@@ -239,7 +287,7 @@ class _FilterParser:
         return self._comparison()
 
     def _comparison(self):
-        l_kind, l_val = self._operand()
+        l_kind, l_val = self._additive()
         kind, opname = self._peek()
         if kind != "word" or (opname or "").lower() not in _CMP_OPS:
             # a boolean function may stand alone as a whole predicate
@@ -251,7 +299,7 @@ class _FilterParser:
             ])
         self._next()
         op = opname.lower()
-        r_kind, r_val = self._operand()
+        r_kind, r_val = self._additive()
         if l_kind == "lit" and r_kind == "lit":
             raise ConfigError([
                 "'$filter' comparison needs a field on at least one side"
@@ -275,6 +323,57 @@ class _FilterParser:
             "ge": _op.ge, "lt": _op.lt, "le": _op.le,
         }[op](left, r_val)
 
+    def _additive(self):
+        """``addExpr := mulExpr (('add'|'sub') mulExpr)*`` — literal
+        pairs constant-fold (so flip / IS-NULL handling downstream still
+        sees a plain literal), anything else compiles to a pyarrow
+        arithmetic expression."""
+        k, v = self._multiplicative()
+        while self._peek_word() in _ARITH_ADD:
+            op = self._next()[1].lower()
+            rk, rv = self._multiplicative()
+            k, v = self._arith(op, k, v, rk, rv)
+        return k, v
+
+    def _multiplicative(self):
+        k, v = self._operand()
+        while self._peek_word() in _ARITH_MUL:
+            op = self._next()[1].lower()
+            rk, rv = self._operand()
+            k, v = self._arith(op, k, v, rk, rv)
+        return k, v
+
+    def _arith(self, op: str, lk, lv, rk, rv):
+        import pyarrow.compute as pc
+
+        if lk == "bexpr" or rk == "bexpr":
+            raise ConfigError([
+                f"'$filter' arithmetic '{op}' needs numeric operands, "
+                "got a boolean expression"
+            ])
+        if lk == "lit" and rk == "lit":
+            return "lit", _fold_arith(op, lv, rv)
+        for k, v in ((lk, lv), (rk, rv)):
+            if k == "lit" and not (
+                v is None
+                or (isinstance(v, (int, float)) and not isinstance(v, bool))
+            ):
+                raise ConfigError([
+                    f"'$filter' arithmetic '{op}' needs numeric operands"
+                ])
+        left = pc.scalar(lv) if lk == "lit" else lv
+        right = pc.scalar(rv) if rk == "lit" else rv
+        if op == "mod":
+            # a - (a div b)*b: truncated (C) remainder on integers, the
+            # same sign-of-dividend semantics as DuckDB's %
+            quot = pc.divide(left, right)
+            return "expr", pc.subtract(left, pc.multiply(quot, right))
+        kernel = {
+            "add": pc.add, "sub": pc.subtract,
+            "mul": pc.multiply, "div": pc.divide,
+        }[op]
+        return "expr", kernel(left, right)
+
     def _function(self, fname: str):
         """Compile ``fname(arg, ...)`` (lparen already peeked) into a
         pyarrow expression; -> ("bexpr"|"expr", expression)."""
@@ -283,10 +382,10 @@ class _FilterParser:
         self._next()  # consume '('
         args: list[tuple[str, object]] = []
         if self._peek()[0] != "rparen":
-            args.append(self._operand())
+            args.append(self._additive())
             while self._peek()[0] == "comma":
                 self._next()
-                args.append(self._operand())
+                args.append(self._additive())
         if self._next()[0] != "rparen":
             raise ConfigError([
                 f"'$filter' function {fname!r} is missing a closing ')'"
@@ -317,6 +416,16 @@ class _FilterParser:
 
             return pc.scalar(v) if v is not None else pc.scalar(_pa.NA)
 
+        def lit_int(i: int, minimum: int = 0) -> int:
+            k, v = args[i]
+            if k != "lit" or not isinstance(v, int) or isinstance(v, bool) \
+                    or v < minimum:
+                raise ConfigError([
+                    f"'$filter' function {fname!r} argument {i + 1} must "
+                    f"be an integer literal >= {minimum}"
+                ])
+            return v
+
         if fname == "substringof":  # substringof(needle, haystack)
             arity(2)
             return "bexpr", pc.match_substring(expr(1), pattern=lit_str(0))
@@ -324,12 +433,45 @@ class _FilterParser:
             arity(2)
             kernel = pc.starts_with if fname == "startswith" else pc.ends_with
             return "bexpr", kernel(expr(0), pattern=lit_str(1))
+        if fname == "concat":
+            arity(2)
+            # element-wise concat with empty separator; any-null -> null
+            # (matches SQL ||)
+            return "expr", pc.binary_join_element_wise(expr(0), expr(1), "")
+        if fname == "indexof":  # indexof(haystack, needle): 0-based, -1
+            arity(2)
+            return "expr", pc.find_substring(expr(0), pattern=lit_str(1))
+        if fname == "replace":
+            arity(3)
+            return "expr", pc.replace_substring(
+                expr(0), pattern=lit_str(1), replacement=lit_str(2)
+            )
+        if fname == "substring":  # substring(s, start[, length]), 0-based
+            if len(args) not in (2, 3):
+                raise ConfigError([
+                    f"'$filter' function 'substring' takes 2 or 3 "
+                    f"arguments, got {len(args)}"
+                ])
+            start = lit_int(1)
+            if len(args) == 3:
+                return "expr", pc.utf8_slice_codeunits(
+                    expr(0), start=start, stop=start + lit_int(2)
+                )
+            return "expr", pc.utf8_slice_codeunits(expr(0), start=start)
+        if fname == "round":
+            arity(1)
+            # OData/SQL round: halves away from zero (pyarrow's default
+            # is half_to_even — must be explicit)
+            return "expr", pc.round(
+                expr(0), ndigits=0, round_mode="half_towards_infinity"
+            )
         arity(1)
         kernel = {
             "tolower": pc.utf8_lower, "toupper": pc.utf8_upper,
             "trim": pc.utf8_trim_whitespace, "length": pc.utf8_length,
             "year": pc.year, "month": pc.month, "day": pc.day,
             "hour": pc.hour, "minute": pc.minute, "second": pc.second,
+            "floor": pc.floor, "ceiling": pc.ceil,
         }[fname]
         return "expr", kernel(expr(0))
 

@@ -3256,6 +3256,53 @@ WHERE contains(lower(text), 'the') AND starts_with(source, 'src1')
 """
 
 
+def odata_arith_filter_events(sf_dir: str):
+    """OData v2 ARITHMETIC + the round/indexof/substring canonical
+    functions in a textual ``$filter`` — ``mod`` (truncated, compiled to
+    a-(a div b)*b), precedence ``mul`` before ``add``, ``round`` with
+    explicit half-away-from-zero, 0-based ``indexof``/``substring`` —
+    all pushed into the parquet read, then ``$orderby``+``$top`` via
+    ``ops.order_by_slice`` (full projected rows). Completes the v2
+    canonical-function surface (``reference
+    docs/SapEcc-batchsource.md:30-33`` passes the raw query string
+    through)."""
+    from sapray.config import (
+        parse_filter,
+        parse_orderby,
+        parse_select,
+        parse_top_skip,
+    )
+
+    query = (
+        "?$select=event_id,user_id,event_type"
+        "&$filter=user_id mod 7 eq 3 and round(value) ge 2"
+        " and value mul 2 add 1 gt 4"
+        " and indexof(event_type, %27i%27) ge 1"
+        " and substring(event_type, 0, 2) ne %27pu%27"
+        "&$orderby=event_id&$top=200"
+    )
+    cols = parse_select(query)
+    top, sk = parse_top_skip(query)
+    order = parse_orderby(query)
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=cols, filter_expr=parse_filter(query)
+    )
+    return ops.order_by_slice(
+        ds, [c for c, _ in order], [d for _, d in order],
+        offset=sk or 0, limit=top,
+    )
+
+
+ODATA_ARITH_FILTER_EVENTS_SQL = """
+SELECT event_id, user_id, event_type FROM events
+WHERE user_id % 7 = 3 AND round(value) >= 2
+  AND value * 2 + 1 > 4
+  AND strpos(event_type, 'i') - 1 >= 1
+  AND substr(event_type, 1, 2) <> 'pu'
+ORDER BY event_id LIMIT 200
+"""
+
+
 def odata_multikey_orderby_events(sf_dir: str):
     """MULTI-key ``$orderby`` compiled and executed: ``$orderby=
     event_type asc,cents desc,event_id asc`` + ``$top``/``$skip`` run as
@@ -4118,6 +4165,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "multikey_rank_events": {
             "fn": multikey_rank_events, "sql": MULTIKEY_RANK_EVENTS_SQL,
         },
+        "odata_arith_filter_events": {
+            "fn": odata_arith_filter_events,
+            "sql": ODATA_ARITH_FILTER_EVENTS_SQL,
+        },
         "odata_function_filter_docs": {
             "fn": odata_function_filter_docs,
             "sql": ODATA_FUNCTION_FILTER_DOCS_SQL,
@@ -4315,6 +4366,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
     priority = [
         "odata_full_query_events",
         "multikey_rank_events",
+        "odata_arith_filter_events",
         "odata_function_filter_docs",
         "odata_multikey_orderby_events",
         "odata_empty_result_events",

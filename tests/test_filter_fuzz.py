@@ -71,8 +71,8 @@ def _odata_str(v: str) -> str:
 def _gen_comparison(rng) -> tuple[str, str]:
     """-> (odata, sql) for one leaf comparison."""
     kind = rng.choice(
-        ["int", "float", "str", "ts", "isnull", "func"],
-        p=[0.22, 0.16, 0.22, 0.12, 0.12, 0.16],
+        ["int", "float", "str", "ts", "isnull", "func", "arith"],
+        p=[0.18, 0.13, 0.18, 0.10, 0.10, 0.16, 0.15],
     )
     op, sop = _OPS[int(rng.integers(0, len(_OPS)))]
     if kind == "int":
@@ -102,9 +102,37 @@ def _gen_comparison(rng) -> tuple[str, str]:
         if rng.random() < 0.5:
             return f"{col} eq null", f"{col} IS NULL"
         return f"{col} ne null", f"{col} IS NOT NULL"
-    # canonical functions over the string / timestamp columns
+    if kind == "arith":
+        # add/sub/mul/div/mod with OData precedence vs DuckDB arithmetic;
+        # div is TRUNCATED on integers (pyarrow divide) so the oracle
+        # trunc()s explicitly (DuckDB // floors)
+        form = int(rng.integers(0, 6))
+        k = int(rng.integers(1, 5))
+        m = int(rng.integers(-6, 18))
+        if form == 0:
+            return f"i add {k} {op} {m}", f"i + {k} {sop} {m}"
+        if form == 1:
+            return f"i sub {k} {op} {m}", f"i - {k} {sop} {m}"
+        if form == 2:
+            return (f"i mul 2 sub {k} {op} {m}",
+                    f"i * 2 - {k} {sop} {m}")
+        if form == 3:
+            r = int(rng.integers(-3, 4))
+            return f"i mod {k + 1} {op} {r}", f"i % {k + 1} {sop} {r}"
+        if form == 4:
+            return (
+                f"i div {k + 1} {op} {m}",
+                f"CAST(trunc(CAST(i AS DOUBLE) / {k + 1}) AS BIGINT) "
+                f"{sop} {m}",
+            )
+        flit = float(rng.integers(-4, 8)) / 2.0
+        return (f"f mul 2 add {flit} {op} {m}",
+                f"f * 2 + {flit}::DOUBLE {sop} {m}")
+    # canonical functions over the string / float / timestamp columns
     f = ["substringof", "startswith", "endswith", "tolower", "toupper",
-         "trim", "length", "year", "month", "hour"][int(rng.integers(0, 10))]
+         "trim", "length", "year", "month", "hour",
+         "concat", "indexof", "substring", "replace",
+         "round", "floor", "ceiling"][int(rng.integers(0, 17))]
     if f == "substringof":
         needle = ["a", "lph", "B", "zz", " "][int(rng.integers(0, 5))]
         od = f"substringof({_odata_str(needle)}, s)"
@@ -126,6 +154,31 @@ def _gen_comparison(rng) -> tuple[str, str]:
     if f == "length":
         n = int(rng.integers(0, 8))
         return f"length(s) {op} {n}", f"length(s) {sop} {n}"
+    if f == "concat":
+        suf = ["x", " pad", "'s"][int(rng.integers(0, 3))]
+        lit = ["alphax", "Betax", " pad  pad", "it's's", "x"][
+            int(rng.integers(0, 5))]
+        return (f"concat(s, {_odata_str(suf)}) {op} {_odata_str(lit)}",
+                f"s || {_sql_str(suf)} {sop} {_sql_str(lit)}")
+    if f == "indexof":  # 0-based / -1 absent; DuckDB strpos is 1-based/0
+        needle = ["a", "lph", "B", "zz", " ", "t"][int(rng.integers(0, 6))]
+        n = int(rng.integers(-1, 5))
+        return (f"indexof(s, {_odata_str(needle)}) {op} {n}",
+                f"strpos(s, {_sql_str(needle)}) - 1 {sop} {n}")
+    if f == "substring":  # 0-based start; DuckDB substr is 1-based
+        st, ln = int(rng.integers(0, 3)), int(rng.integers(1, 4))
+        lit = ["lph", "et", "ta", "a", "lp", "de"][int(rng.integers(0, 6))]
+        return (f"substring(s, {st}, {ln}) {op} {_odata_str(lit)}",
+                f"substr(s, {st + 1}, {ln}) {sop} {_sql_str(lit)}")
+    if f == "replace":
+        lit = ["olpho", "Beto", "it's", "delto x"][int(rng.integers(0, 4))]
+        return (f"replace(s, 'a', 'o') {op} {_odata_str(lit)}",
+                f"replace(s, 'a', 'o') {sop} {_sql_str(lit)}")
+    if f in ("round", "floor", "ceiling"):
+        # halves away from zero on both sides (pyarrow round_mode is
+        # explicit in the compiler; DuckDB round is half-away)
+        n = int(rng.integers(-5, 12))
+        return f"{f}(f) {op} {n}", f"{f}(f) {sop} {n}"
     # year/month/hour over ts; DuckDB part functions return BIGINT
     part = {"year": 2024, "month": int(rng.integers(1, 13)),
             "hour": int(rng.integers(0, 24))}[f]
