@@ -361,12 +361,26 @@ class _FilterParser:
                 raise ConfigError([
                     f"'$filter' arithmetic '{op}' needs numeric operands"
                 ])
+        if op in ("div", "mod") and rk == "lit" and rv == 0:
+            raise ConfigError([
+                f"'$filter' has a division by zero ('{op}')"
+            ])
         left = pc.scalar(lv) if lk == "lit" else lv
         right = pc.scalar(rv) if rk == "lit" else rv
+        if op in ("div", "mod") and rk != "lit":
+            # SQL x/0 is NULL; Arrow raises on integer /0 and yields
+            # +-inf on float /0. Null out zero slots BEFORE dividing
+            # (if_else evaluates both branches, so masking the result
+            # would still trip the integer kernel).
+            right = pc.if_else(
+                pc.not_equal(right, pc.scalar(0)), right, pc.scalar(None)
+            )
         if op == "mod":
-            # a - (a div b)*b: truncated (C) remainder on integers, the
-            # same sign-of-dividend semantics as DuckDB's %
-            quot = pc.divide(left, right)
+            # a - trunc(a/b)*b: on integers pc.divide already truncates
+            # (trunc is the identity) -> C remainder, the same
+            # sign-of-dividend semantics as DuckDB's %; on floats the
+            # trunc turns true division into fmod (matches _fold_arith)
+            quot = pc.trunc(pc.divide(left, right))
             return "expr", pc.subtract(left, pc.multiply(quot, right))
         kernel = {
             "add": pc.add, "sub": pc.subtract,

@@ -167,6 +167,8 @@ def order_by_slice(
         # an empty input leaves only ZERO-COLUMN empty blocks after the
         # repartition (the empty-block schema loss ops.drop_empty_blocks
         # exists for) — sort_indices would fail to resolve the keys
+        if t.num_columns > 0:
+            return t  # schema survived the concat; no need to re-plan
         return _dataset_schema(ds).empty_table()
     idx = pa.compute.sort_indices(t, sort_keys=order)
     return t.take(idx[offset:k])
@@ -676,6 +678,12 @@ def rollup_aggregate(
                     "max": pa.compute.max}
 
             def fold(batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0:
+                    # empty-but-schema'd block: a 1-row all-null partial
+                    # here would turn the empty-input grand-total COUNT
+                    # into NULL instead of 0 (same guard as the
+                    # grouping_sets twin)
+                    return batch.select(list(respec))
                 return pa.table({
                     o: pa.array([aggs[kind](batch.column(o)).as_py()],
                                 batch.column(o).type)

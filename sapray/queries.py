@@ -3443,7 +3443,13 @@ def global_quantiles_events(sf_dir: str):
     histogram and one bucket, never the column."""
     ds = ops.read_projected(_p(sf_dir, "events"), columns=["value"])
     p50, p90 = ops.exact_global_quantiles(ds, "value", [0.5, 0.9])
-    return pa.table({"p50": pa.array([p50]), "p90": pa.array([p90])})
+    # explicit float64: on an empty input the quantiles are None, and an
+    # untyped pa.array([None]) would be null-typed — the oracle's
+    # quantile_disc is DOUBLE even over zero rows (schema-strict gate)
+    return pa.table({
+        "p50": pa.array([p50], pa.float64()),
+        "p90": pa.array([p90], pa.float64()),
+    })
 
 
 GLOBAL_QUANTILES_EVENTS_SQL = """

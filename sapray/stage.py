@@ -266,6 +266,16 @@ def _dataset_schema(ds) -> pa.Schema:
     if isinstance(ds, pa.Table):
         return ds.schema
     s = ds.schema()
+    if s is None:
+        # an all-empty dataset downstream of map_batches loses its
+        # schema entirely (empty blocks bypass the UDF) — surface an
+        # actionable error instead of AttributeError on None.names
+        raise ValueError(
+            "dataset has no schema (every block is empty and "
+            "schema-less, e.g. a none-matching filter followed by "
+            "map_batches); materialize the schema upstream or guard "
+            "the empty case before this operator"
+        )
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base

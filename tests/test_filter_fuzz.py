@@ -106,9 +106,27 @@ def _gen_comparison(rng) -> tuple[str, str]:
         # add/sub/mul/div/mod with OData precedence vs DuckDB arithmetic;
         # div is TRUNCATED on integers (pyarrow divide) so the oracle
         # trunc()s explicitly (DuckDB // floors)
-        form = int(rng.integers(0, 6))
+        form = int(rng.integers(0, 8))
         k = int(rng.integers(1, 5))
         m = int(rng.integers(-6, 18))
+        if form == 6:
+            # float fmod: DuckDB % on DOUBLE is fmod (7.5 % 2 = 1.5);
+            # the compiler's trunc-division remainder must match
+            r = float(rng.integers(-3, 4)) / 2.0
+            return (f"f mod {k + 1} {op} {r}",
+                    f"f % {k + 1} {sop} {r}::DOUBLE")
+        if form == 7:
+            # field-valued denominator WITH zeros: i/f contain 0 — SQL
+            # x/0 is NULL in DuckDB; the compiler nulls zero slots
+            # (Arrow would raise on int /0 and give +-inf on float /0)
+            if rng.random() < 0.5:
+                return (
+                    f"{m} div i {op} {k}",
+                    f"CAST(trunc(CAST({m} AS DOUBLE) / i) AS BIGINT) "
+                    f"{sop} {k}",
+                )
+            return (f"{m} div f {op} {k}",
+                    f"{m}::DOUBLE / f {sop} {k}")
         if form == 0:
             return f"i add {k} {op} {m}", f"i + {k} {sop} {m}"
         if form == 1:
@@ -222,6 +240,42 @@ def test_filter_fuzz_vs_duckdb(table_and_path):
     # the generator must actually exercise matching rows, not just
     # vacuous always-false predicates
     assert nonempty > 60
+
+
+def test_filter_division_semantics(table_and_path):
+    """Targeted review-finding regressions: (a) float 'mod' is fmod, not
+    the ~0 a-(a/b)*b true-division remainder; (b) a literal-zero
+    denominator is a parse-time ConfigError on every path, not a
+    scan-time ArrowInvalid; (c) a field denominator containing zeros
+    yields SQL NULL — no crash on integer /0, no +-inf rows on float /0
+    (the CLAUDE.md Arrow-inf-vs-DuckDB-NULL rule)."""
+    from sapray.config import ConfigError
+
+    t, path = table_and_path
+    dataset = pads.dataset(path)
+
+    # (a) fmod: f contains 7.5 / -7.5 style halves -> f mod 2 == 1.5
+    got = dataset.to_table(
+        filter=filter_to_expression("f mod 2 eq 1.5")
+    ).column("f").to_pylist()
+    import math
+    exp = [v for v in t.column("f").to_pylist()
+           if v is not None and math.fmod(v, 2) == 1.5]
+    assert sorted(got) == sorted(exp) and got, "float mod must be fmod"
+
+    # (b) literal zero denominator: parse-time error, both operators,
+    # field-on-the-left included (only the lit/lit fold rejected it)
+    for q in ("i div 0 eq 1", "i mod 0 eq 1", "f div 0 gt 5"):
+        with pytest.raises(ConfigError):
+            filter_to_expression(q)
+
+    # (c) field denominators with zero slots: i and f both contain 0
+    assert dataset.to_table(  # integer /0 must not ArrowInvalid the scan
+        filter=filter_to_expression("10 div i gt 1000000")
+    ).num_rows == 0
+    assert dataset.to_table(  # float /0 must yield NULL, not +inf
+        filter=filter_to_expression("10 div f gt 1000000")
+    ).num_rows == 0
 
 
 def test_full_query_composition_fuzz_vs_duckdb(table_and_path, ray_session):
