@@ -263,29 +263,33 @@ def scaling() -> dict:
                     f"{proc.stderr[-2000:]}"
                 )
             runs[k].append(json.loads(out_lines[-1]))
-    best8 = max(runs[lo], key=lambda r: r["events_per_sec"])
-    best32 = max(runs[hi], key=lambda r: r["events_per_sec"])
-    r8 = best8["events_per_sec"]
-    r32 = best32["events_per_sec"]
-    eff = (r32 / r8) / (hi / lo)
+    best_lo = max(runs[lo], key=lambda r: r["events_per_sec"])
+    best_hi = max(runs[hi], key=lambda r: r["events_per_sec"])
+    r_lo = best_lo["events_per_sec"]
+    r_hi = best_hi["events_per_sec"]
+    eff = (r_hi / r_lo) / (hi / lo)
+    # key names carry the ACTUAL cpu counts (review finding: hard-coded
+    # 8cpu/32cpu labels mislabeled a SAPRAY_SCALING_CPUS=4,16 run's
+    # archived evidence) — identical to the historical names for the
+    # default 8,32 pair
     return {
         "metric": "cdc_apply_scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "cpus": [lo, hi],
-        "events_per_sec_8cpu": r8,
-        "events_per_sec_32cpu": r32,
-        "sec_8cpu": best8["value"],
-        "sec_32cpu": best32["value"],
-        "all_rates_8cpu": [r["events_per_sec"] for r in runs[lo]],
-        "all_rates_32cpu": [r["events_per_sec"] for r in runs[hi]],
-        "n_events": best8["n_events"],
-        "host_probe_8cpu": best8.get("host_alloc_copy_gbps"),
-        "host_probe_32cpu": best32.get("host_alloc_copy_gbps"),
+        f"events_per_sec_{lo}cpu": r_lo,
+        f"events_per_sec_{hi}cpu": r_hi,
+        f"sec_{lo}cpu": best_lo["value"],
+        f"sec_{hi}cpu": best_hi["value"],
+        f"all_rates_{lo}cpu": [r["events_per_sec"] for r in runs[lo]],
+        f"all_rates_{hi}cpu": [r["events_per_sec"] for r in runs[hi]],
+        "n_events": best_lo["n_events"],
+        f"host_probe_{lo}cpu": best_lo.get("host_alloc_copy_gbps"),
+        f"host_probe_{hi}cpu": best_hi.get("host_alloc_copy_gbps"),
         "strategy": SCALING_STRATEGY,
         "queries": {},
         "sf": SF_DIR,
-        "num_cpus": 32,
+        "num_cpus": hi,
     }
 
 

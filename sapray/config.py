@@ -33,13 +33,14 @@ def sanitize_query(query: str | None) -> str:
 
 def parse_select(query: str) -> list[str]:
     """Extract the ``$select`` column list from a sanitized query string,
-    order preserved (SapODataConfig.java:144-155)."""
-    q = sanitize_query(query)
-    for part in q.split("&"):
-        if part.startswith("$select="):
-            cols = part[len("$select=") :]
-            return [c.strip() for c in cols.split(",") if c.strip()]
-    return []
+    order preserved (SapODataConfig.java:144-155). Values URL-decode
+    like every other option (``_query_option``), so a canonically
+    encoded ``$select=a%2Cb`` splits into two columns instead of one
+    bogus name."""
+    body = _query_option(query, "$select")
+    if body is None:
+        return []
+    return [c.strip() for c in body.split(",") if c.strip()]
 
 
 def parse_top_skip(query: str) -> tuple[int | None, int | None]:
@@ -50,27 +51,26 @@ def parse_top_skip(query: str) -> tuple[int | None, int | None]:
     values are accumulated into one ConfigError (FailureCollector
     pattern). Execution maps (top, skip) onto ``ops.topk`` / ``ops.skip``.
     """
-    q = sanitize_query(query)
     top: int | None = None
     skip: int | None = None
     errors: list[str] = []
-    for part in q.split("&"):
-        for name in ("$top", "$skip"):
-            if part.startswith(name + "="):
-                raw = part[len(name) + 1 :]
-                try:
-                    val = int(raw)
-                    if val < 0:
-                        raise ValueError
-                except ValueError:
-                    errors.append(
-                        f"'{name}' must be a non-negative integer, got {raw!r}"
-                    )
-                    continue
-                if name == "$top":
-                    top = val
-                else:
-                    skip = val
+    for name in ("$top", "$skip"):
+        raw = _query_option(query, name)
+        if raw is None:
+            continue
+        try:
+            val = int(raw)
+            if val < 0:
+                raise ValueError
+        except ValueError:
+            errors.append(
+                f"'{name}' must be a non-negative integer, got {raw!r}"
+            )
+            continue
+        if name == "$top":
+            top = val
+        else:
+            skip = val
     if errors:
         raise ConfigError(errors)
     return top, skip
@@ -315,7 +315,15 @@ class _FilterParser:
                 return left.is_null()
             if op == "ne":
                 return ~left.is_null()
-            raise ConfigError([f"'$filter' cannot order against null ({op})"])
+            # ordering against null: SQL/DuckDB `x > NULL` is NULL for
+            # EVERY row — compile to the constant null boolean, which
+            # Kleene-propagates through not/and/or exactly like the
+            # oracle's WHERE (a ConfigError here would reject queries
+            # the oracle accepts — review finding)
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            return _pc.scalar(None).cast(_pa.bool_())
         import operator as _op
 
         return {
@@ -404,6 +412,22 @@ class _FilterParser:
             raise ConfigError([
                 f"'$filter' function {fname!r} is missing a closing ')'"
             ])
+
+        if any(k == "lit" and v is None for k, v in args):
+            # null propagation: every canonical function of a NULL
+            # argument is NULL (SQL lower(NULL)=NULL etc.) — fold at
+            # compile time, because the string/date kernels have no
+            # null-typed-scalar variant and would crash the SCAN with
+            # ArrowNotImplementedError after validate() accepted the
+            # config (review finding). Boolean functions fold to the
+            # constant null predicate (Kleene through not/and/or,
+            # never-matching standalone), value functions to the null
+            # literal (comparisons/arithmetic then propagate it).
+            if fname in _BOOL_FUNCS:
+                import pyarrow as _pa
+
+                return "bexpr", pc.scalar(None).cast(_pa.bool_())
+            return "lit", None
 
         def arity(n: int) -> None:
             if len(args) != n:

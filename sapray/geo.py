@@ -252,7 +252,7 @@ def _points_struct(pts: pa.ListArray, dim_per_point: pa.Array) -> pa.StructArray
 
 
 def _const_str(name: str, n: int) -> pa.Array:
-    return pc.fill_null(pa.nulls(n, pa.string()), name)
+    return pa.repeat(pa.scalar(name, pa.string()), n)
 
 
 def _linestrings_struct(

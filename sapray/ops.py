@@ -1718,10 +1718,14 @@ def skip(
     ``descending`` ranks by ``ORDER BY value DESC, id`` via an
     order-reversing involution: ``bit_wise_not`` for integer columns
     (``~x`` is total for every signed/unsigned width — ``-x-1`` resp.
-    ``max-x`` — so INT64_MIN and uint64 values are fine) and checked
-    negation for floats/decimals (exact for IEEE); NULLs stay LAST
-    either way (the null mask, not the value, is the primary sort key —
-    DuckDB's default null order for both directions).
+    ``max-x`` — so INT64_MIN and uint64 values are fine), checked
+    negation for floats/decimals (exact for IEEE), and ``bit_wise_not``
+    over the epoch-integer view for timestamp/date/time/duration
+    columns (order-isomorphic; the output restores the original type).
+    NULLs stay LAST either way (the null mask, not the value, is the
+    primary sort key — DuckDB's default null order for both
+    directions). String and other non-numeric keys have no involution —
+    use :func:`order_by_slice` for those (actionable error here).
     """
     # a query with $top but no $skip parses to offset=None (and vice
     # versa) — normalize instead of letting a null scalar poison the mask
@@ -1729,14 +1733,47 @@ def skip(
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
 
-    def _flip(b: pa.Table) -> pa.Table:
+    orig_type: pa.DataType | None = None
+    int_view: pa.DataType | None = None
+    if descending:
+        sch = ds.schema()
+        if sch is None:
+            raise ValueError(
+                "skip(descending=True) requires a schema'd input; an empty "
+                "pipeline must carry its schema"
+            )
+        orig_type = dict(zip(sch.names, sch.types))[value_column]
+        if (
+            pa.types.is_timestamp(orig_type)
+            or pa.types.is_date(orig_type)
+            or pa.types.is_time(orig_type)
+            or pa.types.is_duration(orig_type)
+        ):
+            int_view = pa.int32() if orig_type.bit_width == 32 else pa.int64()
+        elif not (
+            pa.types.is_integer(orig_type)
+            or pa.types.is_floating(orig_type)
+            or pa.types.is_decimal(orig_type)
+        ):
+            raise ValueError(
+                f"skip(descending=True) has no order-reversing involution "
+                f"for {orig_type} (column {value_column!r}) — use "
+                "ops.order_by_slice, which orders through Arrow "
+                "sort_indices for every comparable type"
+            )
+
+    def _flip(b: pa.Table, restore: bool = False) -> pa.Table:
         i = b.schema.get_field_index(value_column)
         col = b.column(value_column)
-        rev = (
-            pc.bit_wise_not(col)
-            if pa.types.is_integer(col.type)
-            else pc.negate_checked(col)
-        )
+        if int_view is not None:  # temporal: involute the epoch integers
+            if restore:
+                rev = pc.cast(pc.bit_wise_not(col), orig_type)
+            else:
+                rev = pc.bit_wise_not(pc.cast(col, int_view))
+        elif pa.types.is_integer(col.type):
+            rev = pc.bit_wise_not(col)
+        else:
+            rev = pc.negate_checked(col)
         return b.set_column(i, value_column, rev)
 
     if descending:
@@ -1754,7 +1791,7 @@ def skip(
             mask = pc.and_(mask, pc.less_equal(b.column("__rk"), hi))
         b = b.filter(mask).drop_columns(["__rk"])
         if descending:  # restore the caller's values (both flips involute)
-            b = _flip(b)
+            b = _flip(b, restore=True)
         return b
 
     return ranked.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

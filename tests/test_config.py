@@ -198,3 +198,14 @@ def test_filter_malformed_datetime_accumulates():
     with pytest.raises(ConfigError) as e:
         bad.validate()
     assert len(e.value.errors) == 2
+
+
+def test_parse_select_and_top_skip_url_decode():
+    """$select/$top/$skip extract through the same URL-decoding
+    _query_option path as $filter/$orderby (review finding: an encoded
+    $select=a%2Cb silently yielded ONE bogus column name)."""
+    from sapray.config import parse_select, parse_top_skip
+
+    assert parse_select("?$select=event_id%2Cvalue") == ["event_id", "value"]
+    assert parse_select("?$select=a, b") == ["a", "b"]
+    assert parse_top_skip("?$top=5&$skip=%32") == (5, 2)

@@ -352,3 +352,80 @@ def test_full_query_composition_fuzz_vs_duckdb(table_and_path, ray_session):
         ), f"trial {trial}: values diverged for {query!r}"
         nonempty += bool(len(got))
     assert nonempty >= 8  # the slices must actually select rows
+
+
+def test_filter_null_literal_semantics(table_and_path):
+    """Null-literal propagation (review findings): a null function
+    argument folds at COMPILE time — the string/date kernels have no
+    null-typed-scalar variant, so the old path crashed the scan with
+    ArrowNotImplementedError after validate() accepted the config — and
+    ordering against null compiles to the constant null predicate (SQL
+    ``x > NULL`` is NULL for every row). Both Kleene-propagate through
+    not/and/or exactly like the DuckDB oracle's WHERE."""
+    t, path = table_and_path
+    dataset = pads.dataset(path)
+
+    # value function of a null argument folds to the null literal, and
+    # `eq null` keeps OData semantics: true exactly where s IS NULL
+    got = dataset.to_table(filter=filter_to_expression("tolower(null) eq s"))
+    assert got.num_rows == t.column("s").null_count
+
+    # boolean function with a null argument: never matches — standalone
+    # AND negated (NOT NULL is NULL, not TRUE)
+    assert dataset.to_table(
+        filter=filter_to_expression("substringof('a', null)")
+    ).num_rows == 0
+    assert dataset.to_table(
+        filter=filter_to_expression("not substringof('a', null)")
+    ).num_rows == 0
+
+    # ordering against null, direct and constant-folded ('null add 1'):
+    # 0 rows, and NOT(...) stays 0 rows (Kleene)
+    for q in ("i gt null", "i gt null add 1", "null sub 2 lt i",
+              "not (i ge null)"):
+        assert dataset.to_table(
+            filter=filter_to_expression(q)
+        ).num_rows == 0, q
+    # OR recovers the other side: NULL OR true = true, NULL OR false/null
+    # drops — exactly the i > 0 row set
+    n_pos = dataset.to_table(filter=filter_to_expression("i gt 0")).num_rows
+    assert n_pos > 0
+    assert dataset.to_table(
+        filter=filter_to_expression("i gt null or i gt 0")
+    ).num_rows == n_pos
+
+    # folded-null arithmetic on an eq comparison: `null add 1 eq i`
+    # flips to `i eq null` == IS NULL
+    assert dataset.to_table(
+        filter=filter_to_expression("null add 1 eq i")
+    ).num_rows == t.column("i").null_count
+
+
+def test_skip_descending_temporal_and_string_guard(table_and_path, ray_session):
+    """ops.skip(descending=True) on a TIMESTAMP order column (review
+    finding: negate_checked has no temporal kernel) — the epoch-integer
+    involution ranks `ORDER BY ts DESC NULLS LAST, id` and restores the
+    original Arrow type on output; a string order column raises the
+    actionable order_by_slice error at plan time instead of
+    ArrowNotImplementedError inside the streaming pipeline."""
+    import duckdb
+
+    from sapray import ops
+
+    t, path = table_and_path
+    ds = ops.read_projected(path, columns=["id", "ts"])
+    out = ops.skip(ds, "ts", "id", offset=5, limit=40, descending=True)
+    sch = out.schema()
+    assert dict(zip(sch.names, sch.types))["ts"] == pa.timestamp("us")
+    got = out.to_pandas()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.execute(
+        "SELECT id FROM t ORDER BY ts DESC NULLS LAST, id "
+        "LIMIT 40 OFFSET 5"
+    ).fetch_df()
+    assert sorted(got["id"]) == sorted(exp["id"])
+
+    dss = ops.read_projected(path, columns=["id", "s"])
+    with pytest.raises(ValueError, match="order_by_slice"):
+        ops.skip(dss, "s", "id", offset=0, limit=5, descending=True)
