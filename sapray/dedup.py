@@ -1208,3 +1208,184 @@ def paragraph_dedup_stats(
         partials, [id_column],
         {"n_paras": ("n_paras", "sum"), "n_dup_paras": ("n_dup_paras", "sum")},
     )
+
+
+# ------------------------------------------- duplicated n-gram spans
+
+
+def dup_ngram_span_stats(
+    ds: ray.data.Dataset,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 8,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-document duplicated n-gram span signals (the substring-dedup
+    family of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): position ``i`` of a document's word-token
+    sequence carries the k-gram ``tokens[i:i+k]``; a gram is DUPLICATED
+    when it occurs in >= 2 DISTINCT documents. Emits one row per
+    document: ``(id, n_grams, n_dup_grams)`` — total gram positions and
+    how many of them carry a corpus-duplicated gram (the mask a
+    span-removal pass would cut).
+
+    Tokens are single-space splits (exact ``string_split(text, ' ')``
+    parity with the SQL oracle; NULL text tokenizes like ``''``). The
+    gram string is never materialized: each batch hashes its FLAT token
+    array once (``pd.util.hash_array``, ``categorize=False`` — the
+    partitioning invariant), then combines the k token hashes of every
+    in-document window positionally under two independent 64-bit
+    polynomial mixes, so the all-to-all moves only
+    ``(gh1, gh2, id, cnt)`` rows — 28 bytes per gram position, already
+    combined per (gram, doc) within the batch — never token text (~k x
+    the corpus bytes for gram strings). Equal token windows always
+    collide onto equal keys; unequal ones split apart up to the 128-bit
+    birthday bound (~G^2/2^129 over G distinct grams — the same
+    practical-zero contract as exact dedup's sha256 keys).
+
+    Distinct-doc counting happens inside ONE keyed exchange (every copy
+    of a gram key lands in one partition, so per-partition counts are
+    global); per-document partials and the per-document gram totals
+    (a second cheap scan that only counts separators — no split, no
+    exchange) then fold through the combiner groupby. No join anywhere,
+    so the map_groups empty-block join hazard never arises.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from sapray import ops
+    from sapray.window import partitioned_apply
+
+    # positional mixers (odd constants: splitmix64 / xxhash primes);
+    # powers via array ops like _shingle_hashes — uint64 wraparound is
+    # the point, and numpy array arithmetic wraps silently
+    _P1 = np.uint64(0x9E3779B97F4A7C15)
+    _P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    pows1 = np.power(_P1, np.arange(k, dtype=np.uint64))
+    pows2 = np.power(_P2, np.arange(k, dtype=np.uint64))
+
+    def _ids64(batch: pa.Table) -> np.ndarray:
+        return (
+            batch.column(id_column)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        toks = pc.split_pattern(col, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = np.diff(off)
+        ng = np.maximum(nt - (k - 1), 0)
+        total = int(ng.sum())
+        if total == 0:
+            return pa.table({
+                "gh1": pa.array([], pa.uint64()),
+                "gh2": pa.array([], pa.uint64()),
+                id_column: pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            })
+        # one token-hash pass per seed over the flat token values
+        # (offsets are absolute into .values, so array slicing is safe
+        # whatever the array offset)
+        tok_np = toks.values.to_numpy(zero_copy_only=False)
+        th1 = pd.util.hash_array(
+            tok_np, hash_key="sapraydupgrams01", categorize=False
+        )
+        th2 = pd.util.hash_array(
+            tok_np, hash_key="sapraydupgrams02", categorize=False
+        )
+        # flat start index of every in-document gram window
+        ends = np.cumsum(ng)
+        base = np.repeat(off[:-1], ng) + (
+            np.arange(total, dtype=np.int64) - np.repeat(ends - ng, ng)
+        )
+        acc1 = np.zeros(total, np.uint64)
+        acc2 = np.zeros(total, np.uint64)
+        for j in range(k):  # k vectorized gathers, not a row loop
+            acc1 += th1[base + j] * pows1[j]
+            acc2 += th2[base + j] * pows2[j]
+        gdoc = np.repeat(_ids64(batch), ng)
+        # pre-combine per (gram, doc): the exchange moves counts, not
+        # positions
+        order = np.lexsort((gdoc, acc2, acc1))
+        a1, a2, d = acc1[order], acc2[order], gdoc[order]
+        new = np.empty(total, bool)
+        new[0] = True
+        new[1:] = (a1[1:] != a1[:-1]) | (a2[1:] != a2[:-1]) | (d[1:] != d[:-1])
+        idx = np.flatnonzero(new)
+        cnt = np.diff(np.append(idx, total)).astype(np.int64)
+        return pa.table({
+            "gh1": pa.array(a1[idx]),
+            "gh2": pa.array(a2[idx]),
+            id_column: pa.array(d[idx]),
+            "cnt": pa.array(cnt),
+        })
+
+    _EMPTY = pa.table({
+        id_column: pa.array([], pa.int64()),
+        "n_grams": pa.array([], pa.int64()),
+        "n_dup_grams": pa.array([], pa.int64()),
+    })
+
+    def kernel(g: pa.Table) -> pa.Table:
+        # all copies of a gram key land in this partition: distinct-doc
+        # counts here ARE the global counts
+        if g.num_rows == 0:
+            return _EMPTY
+        a1 = g.column("gh1").to_numpy(zero_copy_only=False)
+        a2 = g.column("gh2").to_numpy(zero_copy_only=False)
+        d = g.column(id_column).to_numpy(zero_copy_only=False)
+        c = g.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, a2, a1))
+        a1, a2, d, c = a1[order], a2[order], d[order], c[order]
+        n = len(a1)
+        gnew = np.empty(n, bool)
+        gnew[0] = True
+        gnew[1:] = (a1[1:] != a1[:-1]) | (a2[1:] != a2[:-1])
+        gid = np.cumsum(gnew) - 1
+        pnew = gnew.copy()
+        pnew[1:] |= d[1:] != d[:-1]  # new (gram, doc) pair
+        ndocs = np.bincount(gid[pnew])
+        keep = (ndocs >= 2)[gid]
+        if not keep.any():
+            return _EMPTY
+        dk, ck = d[keep], c[keep]
+        uid, uinv = np.unique(dk, return_inverse=True)
+        nd = np.bincount(uinv, weights=ck).astype(np.int64)
+        return pa.table({
+            id_column: pa.array(uid),
+            "n_grams": pa.array(np.zeros(len(uid), np.int64)),
+            "n_dup_grams": pa.array(nd),
+        })
+
+    def totals(batch: pa.Table) -> pa.Table:
+        # gram totals need only the token COUNT: separators + 1, no split
+        col = pc.fill_null(batch.column(text_column), "")
+        nt = (
+            pc.count_substring(col, " ")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            + 1
+        )
+        ng = np.maximum(nt - (k - 1), 0)
+        ids = _ids64(batch)
+        return pa.table({
+            id_column: pa.array(ids),
+            "n_grams": pa.array(ng),
+            "n_dup_grams": pa.array(np.zeros(len(ids), np.int64)),
+        })
+
+    grams = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    partials = partitioned_apply(grams, "gh1", kernel, num_partitions)
+    totals_ds = ds.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)
+    return ops.grouped_aggregate(
+        partials.union(totals_ds),
+        [id_column],
+        {"n_grams": ("n_grams", "sum"), "n_dup_grams": ("n_dup_grams", "sum")},
+    )

@@ -628,6 +628,43 @@ def paragraph_dedup_docs(sf_dir: str):
     return out.select_columns(["doc_id", "n_paras", "n_dup_paras"])
 
 
+def dup_ngram_spans_docs(sf_dir: str):
+    """Duplicated 8-gram SPAN stats (the substring-dedup signal of Lee
+    et al. 2022) over documents: per doc, total word-8-gram positions
+    and how many carry a gram found in >= 2 distinct docs
+    (dedup.dup_ngram_span_stats — flat-token hashing, 128-bit gram keys,
+    ONE keyed exchange of (key, id, cnt) rows, combiner fold). The
+    corpus's shared boilerplate sentences make the counts nontrivial
+    without augmentation."""
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dedup.dup_ngram_span_stats(ds, "doc_id", "text", k=8)
+
+
+DUP_NGRAM_SPANS_DOCS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+  FROM t WHERE len(toks) >= 8
+),
+g AS (
+  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram FROM p
+),
+d AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+),
+dc AS (
+  SELECT doc_id, count(*) AS cnt FROM g JOIN d USING (gram) GROUP BY doc_id
+)
+SELECT t.doc_id AS doc_id,
+       CAST(CASE WHEN len(toks) >= 8 THEN len(toks) - 7 ELSE 0 END AS BIGINT)
+           AS n_grams,
+       CAST(coalesce(dc.cnt, 0) AS BIGINT) AS n_dup_grams
+FROM t LEFT JOIN dc USING (doc_id)
+"""
+
+
 PARAGRAPH_DEDUP_DOCS_SQL = """
 WITH aug AS (
   SELECT doc_id, text FROM documents
@@ -4286,6 +4323,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "paragraph_dedup_docs": {
             "fn": paragraph_dedup_docs, "sql": PARAGRAPH_DEDUP_DOCS_SQL,
         },
+        "dup_ngram_spans_docs": {
+            "fn": dup_ngram_spans_docs, "sql": DUP_NGRAM_SPANS_DOCS_SQL,
+        },
         "gap_filled_hourly_events": {
             "fn": gap_filled_hourly_events, "sql": GAP_FILLED_HOURLY_EVENTS_SQL,
         },
@@ -4376,6 +4416,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "odata_function_filter_docs",
         "odata_multikey_orderby_events",
         "odata_empty_result_events",
+        "dup_ngram_spans_docs",
         "intersect_all_users",
         "dedup_keep_best_docs",
         "weighted_sample_docs",

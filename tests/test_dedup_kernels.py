@@ -82,3 +82,47 @@ def test_both_string_widths():
         assert np.array_equal(
             np.unique(hashes[offs[1] : offs[2]]), _shingle_hashes("hi", 5)
         )
+
+
+def test_dup_ngram_span_stats_edges(ray_session):
+    """Semantic spec of dup_ngram_span_stats on a hand-checkable corpus:
+    duplicated = the k-gram occurs in >= 2 DISTINCT docs; within-doc
+    repeats alone never count; sub-k docs emit (0, 0); NULL text
+    tokenizes like ''."""
+    import ray
+
+    from sapray.dedup import dup_ngram_span_stats
+
+    k = 3
+    shared = "alpha beta gamma"          # one 3-gram, in docs 0 and 1
+    docs = [
+        (0, shared + " delta"),          # grams: (a,b,g),(b,g,d) -> 1 dup
+        (1, "x y " + shared),            # grams: (x,y,a),(y,a,b),(a,b,g) -> 1 dup
+        (2, "p q r p q r p q r"),        # 7 grams, repeats only WITHIN doc -> 0
+        (3, "just two"),                 # < k tokens -> 0 grams
+        (4, None),                       # NULL -> '' -> 1 token -> 0 grams
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.large_string()),
+    }))
+    out = dup_ngram_span_stats(ds, "doc_id", "text", k=k).to_pandas()
+    got = {int(r.doc_id): (int(r.n_grams), int(r.n_dup_grams))
+           for r in out.itertuples()}
+    assert got == {0: (2, 1), 1: (3, 1), 2: (7, 0), 3: (0, 0), 4: (0, 0)}
+
+
+def test_dup_ngram_span_stats_empty(ray_session):
+    import ray
+
+    from sapray.dedup import dup_ngram_span_stats
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.large_string()),
+    }))
+    # rows-only on empty input, like the rest of the aggregate family
+    # (test_empty_inputs.py): Ray bypasses UDFs on empty blocks, so the
+    # grouped_aggregate schema is not reconstructible without rows
+    out = dup_ngram_span_stats(ds, "doc_id", "text", k=4).to_pandas()
+    assert len(out) == 0
