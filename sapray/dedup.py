@@ -1212,6 +1212,67 @@ def paragraph_dedup_stats(
 
 # ------------------------------------------- duplicated n-gram spans
 
+# positional mixers for gram keys (odd constants: splitmix64 / xxhash
+# primes); uint64 wraparound is the point — numpy array arithmetic
+# wraps silently
+_GRAM_P1 = np.uint64(0x9E3779B97F4A7C15)
+_GRAM_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _gram_window_keys(
+    col: "pa.Array | pa.ChunkedArray",
+    ids: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """128-bit gram keys for every word-k-gram window of a text column.
+
+    Tokens are single-space splits (``string_split(text, ' ')`` parity;
+    NULL tokenizes like ``''``). The gram string is never materialized:
+    ONE ``pd.util.hash_array`` pass per seed over the batch's FLAT token
+    values (``categorize=False`` — the partitioning invariant), then the
+    k token hashes of every in-document window combine positionally
+    under two independent 64-bit polynomial mixes. Equal token windows
+    always collide onto equal keys; unequal ones split apart up to the
+    128-bit birthday bound (~G^2/2^129 over G distinct grams — the same
+    practical-zero contract as exact dedup's sha256 keys).
+
+    Returns ``(gh1, gh2, doc_id, pos)`` flat arrays, one entry per gram
+    window; ``pos`` is the 0-based token index where the window starts.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    toks = pc.split_pattern(col, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    nt = np.diff(off)
+    ng = np.maximum(nt - (k - 1), 0)
+    total = int(ng.sum())
+    e = np.empty(0, np.uint64)
+    if total == 0:
+        return e, e, np.empty(0, np.int64), np.empty(0, np.int64)
+    # offsets are absolute into .values, so slicing by them is safe
+    # whatever the array offset
+    tok_np = toks.values.to_numpy(zero_copy_only=False)
+    th1 = pd.util.hash_array(tok_np, hash_key="sapraydupgrams01", categorize=False)
+    th2 = pd.util.hash_array(tok_np, hash_key="sapraydupgrams02", categorize=False)
+    ends = np.cumsum(ng)
+    # in-doc gram start (0-based) and its flat index into the token pool
+    rel = np.arange(total, dtype=np.int64) - np.repeat(ends - ng, ng)
+    base = np.repeat(off[:-1], ng) + rel
+    pows1 = np.power(_GRAM_P1, np.arange(k, dtype=np.uint64))
+    pows2 = np.power(_GRAM_P2, np.arange(k, dtype=np.uint64))
+    acc1 = np.zeros(total, np.uint64)
+    acc2 = np.zeros(total, np.uint64)
+    for j in range(k):  # k vectorized gathers, not a row loop
+        acc1 += th1[base + j] * pows1[j]
+        acc2 += th2[base + j] * pows2[j]
+    return acc1, acc2, np.repeat(ids, ng), rel
+
 
 def dup_ngram_span_stats(
     ds: ray.data.Dataset,
@@ -1250,19 +1311,10 @@ def dup_ngram_span_stats(
     exchange) then fold through the combiner groupby. No join anywhere,
     so the map_groups empty-block join hazard never arises.
     """
-    import pandas as pd
     import pyarrow.compute as pc
 
     from sapray import ops
     from sapray.window import partitioned_apply
-
-    # positional mixers (odd constants: splitmix64 / xxhash primes);
-    # powers via array ops like _shingle_hashes — uint64 wraparound is
-    # the point, and numpy array arithmetic wraps silently
-    _P1 = np.uint64(0x9E3779B97F4A7C15)
-    _P2 = np.uint64(0xC2B2AE3D27D4EB4F)
-    pows1 = np.power(_P1, np.arange(k, dtype=np.uint64))
-    pows2 = np.power(_P2, np.arange(k, dtype=np.uint64))
 
     def _ids64(batch: pa.Table) -> np.ndarray:
         return (
@@ -1272,17 +1324,10 @@ def dup_ngram_span_stats(
         )
 
     def explode(batch: pa.Table) -> pa.Table:
-        col = batch.column(text_column)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        col = pc.fill_null(col, "")
-        toks = pc.split_pattern(col, pattern=" ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        nt = np.diff(off)
-        ng = np.maximum(nt - (k - 1), 0)
-        total = int(ng.sum())
+        acc1, acc2, gdoc, _pos = _gram_window_keys(
+            batch.column(text_column), _ids64(batch), k
+        )
+        total = len(acc1)
         if total == 0:
             return pa.table({
                 "gh1": pa.array([], pa.uint64()),
@@ -1290,27 +1335,6 @@ def dup_ngram_span_stats(
                 id_column: pa.array([], pa.int64()),
                 "cnt": pa.array([], pa.int64()),
             })
-        # one token-hash pass per seed over the flat token values
-        # (offsets are absolute into .values, so array slicing is safe
-        # whatever the array offset)
-        tok_np = toks.values.to_numpy(zero_copy_only=False)
-        th1 = pd.util.hash_array(
-            tok_np, hash_key="sapraydupgrams01", categorize=False
-        )
-        th2 = pd.util.hash_array(
-            tok_np, hash_key="sapraydupgrams02", categorize=False
-        )
-        # flat start index of every in-document gram window
-        ends = np.cumsum(ng)
-        base = np.repeat(off[:-1], ng) + (
-            np.arange(total, dtype=np.int64) - np.repeat(ends - ng, ng)
-        )
-        acc1 = np.zeros(total, np.uint64)
-        acc2 = np.zeros(total, np.uint64)
-        for j in range(k):  # k vectorized gathers, not a row loop
-            acc1 += th1[base + j] * pows1[j]
-            acc2 += th2[base + j] * pows2[j]
-        gdoc = np.repeat(_ids64(batch), ng)
         # pre-combine per (gram, doc): the exchange moves counts, not
         # positions
         order = np.lexsort((gdoc, acc2, acc1))
@@ -1388,4 +1412,184 @@ def dup_ngram_span_stats(
         partials.union(totals_ds),
         [id_column],
         {"n_grams": ("n_grams", "sum"), "n_dup_grams": ("n_dup_grams", "sum")},
+    )
+
+
+def dup_ngram_span_remove(
+    ds: ray.data.Dataset,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 8,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Substring dedup with REMOVAL (Lee et al. 2022): cut every token
+    covered by a corpus-duplicated k-gram and emit the cleaned text.
+    A gram is duplicated when it occurs in >= 2 DISTINCT documents; a
+    duplicated gram starting at token position ``p`` covers tokens
+    ``[p, p+k)``; the kept tokens re-join with single spaces. Emits one
+    row per input document: ``(id, text_clean, n_removed)``.
+
+    Two keyed exchanges, neither a join:
+
+    1. **gram-key exchange** — :func:`_gram_window_keys` turns each
+       batch into flat ``(gh1, gh2, id, pos)`` rows (32 bytes per gram
+       position, never gram text); every copy of a gram key lands in one
+       partition, so the per-partition distinct-doc count is global and
+       the kernel emits only the DUPLICATED positions ``(id, pos)`` —
+       16 bytes each, and only for the duplicated fraction.
+    2. **doc-id exchange** — the original ``(id, text)`` rows (tagged
+       ``pos = -1``) union with the dup-position rows and co-locate per
+       document. Text crossing this exchange once is inherent to
+       rewriting it (same class as the CDC payload shuffle); positions
+       fold into ONE flat difference array over the partition's token
+       pool (``np.add.at`` at span starts/ends, cumsum > 0 = covered),
+       and the kept tokens rebuild per-doc strings via a single Arrow
+       ``binary_join`` — no per-document Python.
+
+    Gram equality is the stats operator's 128-bit hash-key contract
+    (birthday-bound collisions ~G^2/2^129, practical zero); tokens are
+    single-space splits with NULL text tokenizing like ``''``.
+    """
+    import pyarrow.compute as pc
+
+    from sapray.window import partitioned_apply
+
+    def explode_pos(batch: pa.Table) -> pa.Table:
+        ids = (
+            batch.column(id_column)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        gh1, gh2, gdoc, pos = _gram_window_keys(
+            batch.column(text_column), ids, k
+        )
+        return pa.table({
+            "gh1": pa.array(gh1),
+            "gh2": pa.array(gh2),
+            id_column: pa.array(gdoc),
+            "pos": pa.array(pos),
+        })
+
+    _EMPTY_POS = pa.table({
+        id_column: pa.array([], pa.int64()),
+        "pos": pa.array([], pa.int64()),
+    })
+
+    def dup_kernel(g: pa.Table) -> pa.Table:
+        # all copies of a gram key are here: distinct-doc counts are global
+        if g.num_rows == 0:
+            return _EMPTY_POS
+        a1 = g.column("gh1").to_numpy(zero_copy_only=False)
+        a2 = g.column("gh2").to_numpy(zero_copy_only=False)
+        d = g.column(id_column).to_numpy(zero_copy_only=False)
+        p = g.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, a2, a1))
+        a1, a2, d, p = a1[order], a2[order], d[order], p[order]
+        n = len(a1)
+        gnew = np.empty(n, bool)
+        gnew[0] = True
+        gnew[1:] = (a1[1:] != a1[:-1]) | (a2[1:] != a2[:-1])
+        gid = np.cumsum(gnew) - 1
+        pnew = gnew.copy()
+        pnew[1:] |= d[1:] != d[:-1]  # new (gram, doc) pair
+        ndocs = np.bincount(gid[pnew])
+        keep = (ndocs >= 2)[gid]
+        if not keep.any():
+            return _EMPTY_POS
+        return pa.table({
+            id_column: pa.array(d[keep]),
+            "pos": pa.array(p[keep]),
+        })
+
+    def tag_text(batch: pa.Table) -> pa.Table:
+        ids = (
+            batch.column(id_column)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        txt = pc.cast(
+            pc.fill_null(batch.column(text_column), ""), pa.large_string()
+        )
+        return pa.table({
+            id_column: pa.array(ids),
+            "pos": pa.array(np.full(len(ids), -1, np.int64)),
+            "text": txt,
+        })
+
+    def tag_pos(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_column: batch.column(id_column),
+            "pos": batch.column("pos"),
+            "text": pa.nulls(batch.num_rows, pa.large_string()),
+        })
+
+    _EMPTY_OUT = pa.table({
+        id_column: pa.array([], pa.int64()),
+        "text_clean": pa.array([], pa.large_string()),
+        "n_removed": pa.array([], pa.int64()),
+    })
+
+    def rewrite_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _EMPTY_OUT
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        ids = g.column(id_column).to_numpy(zero_copy_only=False)
+        is_text = pos == -1
+        if not is_text.any():
+            return _EMPTY_OUT
+        txt = g.column("text").combine_chunks().filter(pa.array(is_text))
+        tids = ids[is_text]
+        toks = pc.split_pattern(txt, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = off - off[0]  # flat token index of each doc's first token
+        nt = np.diff(base)
+        total = int(base[-1])
+        # doc-id -> text-row index for the dup positions (every dup id
+        # came from this same corpus, so membership always holds; guard
+        # anyway so a stray id cannot corrupt the difference array)
+        order = np.argsort(tids, kind="stable")
+        sids = tids[order]
+        dids, dpos = ids[~is_text], pos[~is_text]
+        loc = np.searchsorted(sids, dids)
+        ok = (loc < len(sids)) & (sids[np.minimum(loc, len(sids) - 1)] == dids)
+        row = order[loc[ok]]
+        dpos = dpos[ok]
+        # one flat difference array over the partition's token pool:
+        # +1 at each covered span's start, -1 past its end
+        diff = np.zeros(total + 1, np.int64)
+        start = base[row] + dpos
+        end = base[row] + np.minimum(dpos + k, nt[row])
+        np.add.at(diff, start, 1)
+        np.add.at(diff, end, -1)
+        keep = np.cumsum(diff[:-1]) == 0
+        cs = np.concatenate([[0], np.cumsum(keep)])
+        kept_per_doc = cs[base[1:]] - cs[base[:-1]]
+        # list offsets are absolute into .values whatever the array
+        # offset (same contract _gram_window_keys relies on)
+        values = toks.values.slice(int(off[0]), total)
+        kept_vals = values.filter(pa.array(keep))
+        new_off = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(new_off, pa.int64()), pc.cast(kept_vals, pa.large_string())
+        )
+        return pa.table({
+            id_column: pa.array(tids),
+            "text_clean": pc.binary_join(lst, pa.scalar(" ", pa.large_string())),
+            "n_removed": pa.array(nt - kept_per_doc),
+        })
+
+    positions = ds.map_batches(
+        explode_pos, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dup_pos = partitioned_apply(positions, "gh1", dup_kernel, num_partitions)
+    text_rows = ds.map_batches(
+        tag_text, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tagged_pos = dup_pos.map_batches(
+        tag_pos, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partitioned_apply(
+        text_rows.union(tagged_pos), id_column, rewrite_kernel, num_partitions
     )

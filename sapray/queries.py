@@ -665,6 +665,56 @@ FROM t LEFT JOIN dc USING (doc_id)
 """
 
 
+def dup_ngram_remove_docs(sf_dir: str):
+    """Substring dedup with REMOVAL (Lee et al. 2022) over documents:
+    cut every token covered by a word-8-gram that occurs in >= 2
+    distinct docs and emit the cleaned text plus the removed-token
+    count (dedup.dup_ngram_span_remove — gram-key exchange emits only
+    duplicated (id, pos) rows, doc-id exchange rewrites text via one
+    flat difference array + Arrow binary_join). The corpus's shared
+    boilerplate sentences are exactly what gets cut."""
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dedup.dup_ngram_span_remove(ds, "doc_id", "text", k=8)
+
+
+DUP_NGRAM_REMOVE_DOCS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+  FROM t WHERE len(toks) >= 8
+),
+g AS (
+  SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS gram FROM p
+),
+d AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+),
+dup AS (
+  SELECT doc_id, i FROM g JOIN d USING (gram)
+),
+cov AS (
+  SELECT DISTINCT dup.doc_id, dup.i + r.range AS j FROM dup, range(0, 8) r
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tk, unnest(range(1, len(toks) + 1)) AS j
+  FROM t
+),
+kept AS (
+  SELECT tok.doc_id AS doc_id,
+         string_agg(tok.tk, ' ' ORDER BY tok.j) AS text_clean,
+         count(*) AS cnt
+  FROM tok ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+  GROUP BY tok.doc_id
+)
+SELECT t.doc_id AS doc_id,
+       coalesce(kept.text_clean, '') AS text_clean,
+       CAST(len(t.toks) - coalesce(kept.cnt, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN kept USING (doc_id)
+"""
+
+
 PARAGRAPH_DEDUP_DOCS_SQL = """
 WITH aug AS (
   SELECT doc_id, text FROM documents
@@ -4326,6 +4376,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "dup_ngram_spans_docs": {
             "fn": dup_ngram_spans_docs, "sql": DUP_NGRAM_SPANS_DOCS_SQL,
         },
+        "dup_ngram_remove_docs": {
+            "fn": dup_ngram_remove_docs, "sql": DUP_NGRAM_REMOVE_DOCS_SQL,
+        },
         "gap_filled_hourly_events": {
             "fn": gap_filled_hourly_events, "sql": GAP_FILLED_HOURLY_EVENTS_SQL,
         },
@@ -4417,6 +4470,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "odata_multikey_orderby_events",
         "odata_empty_result_events",
         "dup_ngram_spans_docs",
+        "dup_ngram_remove_docs",
         "intersect_all_users",
         "dedup_keep_best_docs",
         "weighted_sample_docs",

@@ -126,3 +126,82 @@ def test_dup_ngram_span_stats_empty(ray_session):
     # grouped_aggregate schema is not reconstructible without rows
     out = dup_ngram_span_stats(ds, "doc_id", "text", k=4).to_pandas()
     assert len(out) == 0
+
+def test_dup_ngram_span_remove_edges(ray_session):
+    """Semantic spec of dup_ngram_span_remove: every token covered by a
+    cross-doc-duplicated k-gram is cut (spans merge and clip at doc
+    ends), within-doc repeats alone cut nothing, sub-k and NULL docs
+    pass through, and a fully-duplicated doc becomes ''."""
+    import ray
+
+    from sapray.dedup import dup_ngram_span_remove
+
+    k = 3
+    shared = "alpha beta gamma"           # one 3-gram, in docs 0, 1, 5
+    docs = [
+        (0, shared + " delta"),           # covers toks 0-2 -> "delta"
+        (1, "x y " + shared),             # covers toks 2-4 -> "x y"
+        (2, "p q r p q r p q r"),         # within-doc repeats only -> kept
+        (3, "just two"),                  # < k tokens -> kept
+        (4, None),                        # NULL -> '' -> kept as ''
+        (5, shared),                      # fully covered -> ''
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.large_string()),
+    }))
+    out = dup_ngram_span_remove(ds, "doc_id", "text", k=k).to_pandas()
+    got = {int(r.doc_id): (r.text_clean, int(r.n_removed))
+           for r in out.itertuples()}
+    assert got == {
+        0: ("delta", 3),
+        1: ("x y", 3),
+        2: ("p q r p q r p q r", 0),
+        3: ("just two", 0),
+        4: ("", 0),
+        5: ("", 3),
+    }
+
+
+def test_dup_ngram_span_remove_matches_brute_force(ray_session):
+    """Randomized differential: vectorized two-exchange removal ==
+    per-doc brute force over a corpus with injected shared spans."""
+    import ray
+
+    from sapray.dedup import dup_ngram_span_remove
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    shared = " ".join(rng.choice(vocab, 10))
+    docs = []
+    for i in range(60):
+        pre = " ".join(rng.choice(vocab, rng.integers(0, 15)))
+        post = " ".join(rng.choice(vocab, rng.integers(0, 15)))
+        parts = [pre, shared, post] if i % 3 == 0 else [pre, post]
+        docs.append(" ".join(x for x in parts if x))
+    k = 5
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    toksl = [d.split(" ") for d in docs]
+    for i, toks in enumerate(toksl):
+        for p in range(len(toks) - k + 1):
+            gram_docs[tuple(toks[p:p + k])].add(i)
+    expected = {}
+    for i, toks in enumerate(toksl):
+        cov = np.zeros(len(toks), bool)
+        for p in range(len(toks) - k + 1):
+            if len(gram_docs[tuple(toks[p:p + k])]) >= 2:
+                cov[p:p + k] = True
+        expected[i] = (
+            " ".join(t for t, c in zip(toks, cov) if not c), int(cov.sum())
+        )
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.large_string()),
+    }))
+    out = dup_ngram_span_remove(ds, "doc_id", "text", k=k).to_pandas()
+    assert len(out) == len(docs)
+    got = {int(r.doc_id): (r.text_clean, int(r.n_removed))
+           for r in out.itertuples()}
+    assert got == expected
