@@ -140,6 +140,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "multikey_rank_events",
         "odata_function_filter_docs",
         "geo_shapes_docs",
+        "dup_ngram_remove_docs",
     ]
     reg = Q.registry(os.path.basename(os.path.normpath(sf_dir)))
     out: dict[str, float] = {}
