@@ -1227,10 +1227,13 @@ def _gram_window_keys(
     """128-bit gram keys for every word-k-gram window of a text column.
 
     Tokens are single-space splits (``string_split(text, ' ')`` parity;
-    NULL tokenizes like ``''``). The gram string is never materialized:
-    ONE ``pd.util.hash_array`` pass per seed over the batch's FLAT token
-    values (``categorize=False`` — the partitioning invariant), then the
-    k token hashes of every in-document window combine positionally
+    NULL tokenizes like ``''``). Neither the gram string NOR the token
+    occurrences are materialized: the flat token pool dictionary-encodes
+    (C++, zero Python objects per occurrence) and ``pd.util.hash_array``
+    runs per seed over the DISTINCT vocabulary only (``categorize=False``
+    — the partitioning invariant; value-determinism makes hash-the-
+    dictionary-then-gather identical to hashing every occurrence), then
+    the k token hashes of every in-document window combine positionally
     under two independent 64-bit polynomial mixes. Equal token windows
     always collide onto equal keys; unequal ones split apart up to the
     128-bit birthday bound (~G^2/2^129 over G distinct grams — the same
@@ -1242,6 +1245,8 @@ def _gram_window_keys(
     import pandas as pd
     import pyarrow.compute as pc
 
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     col = pc.fill_null(col, "")
@@ -1255,11 +1260,15 @@ def _gram_window_keys(
     e = np.empty(0, np.uint64)
     if total == 0:
         return e, e, np.empty(0, np.int64), np.empty(0, np.int64)
-    # offsets are absolute into .values, so slicing by them is safe
+    # offsets are absolute into .values, so indexing by them is safe
     # whatever the array offset
-    tok_np = toks.values.to_numpy(zero_copy_only=False)
-    th1 = pd.util.hash_array(tok_np, hash_key="sapraydupgrams01", categorize=False)
-    th2 = pd.util.hash_array(tok_np, hash_key="sapraydupgrams02", categorize=False)
+    enc = toks.values.dictionary_encode()
+    vocab = enc.dictionary.to_numpy(zero_copy_only=False)
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dh1 = pd.util.hash_array(vocab, hash_key="sapraydupgrams01", categorize=False)
+    dh2 = pd.util.hash_array(vocab, hash_key="sapraydupgrams02", categorize=False)
+    th1 = dh1[idx]
+    th2 = dh2[idx]
     ends = np.cumsum(ng)
     # in-doc gram start (0-based) and its flat index into the token pool
     rel = np.arange(total, dtype=np.int64) - np.repeat(ends - ng, ng)
@@ -1272,6 +1281,39 @@ def _gram_window_keys(
         acc1 += th1[base + j] * pows1[j]
         acc2 += th2[base + j] * pows2[j]
     return acc1, acc2, np.repeat(ids, ng), rel
+
+
+def _gram_ids64(batch: pa.Table, id_column: str) -> np.ndarray:
+    """Doc ids as int64 for the gram-key operators."""
+    return (
+        batch.column(id_column)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+
+def _dup_gram_keep(
+    a1: np.ndarray, a2: np.ndarray, d: np.ndarray, *tied: np.ndarray
+) -> tuple[np.ndarray, ...] | None:
+    """Sort gram rows by (gh1, gh2, doc) and keep those whose 128-bit
+    gram key occurs in >= 2 DISTINCT documents (the shared duplicated-
+    gram definition of the span stats and span removal kernels; within-
+    doc repeats alone never count). Returns the kept ``(d, *tied)``
+    arrays in sorted order, or ``None`` when nothing survives."""
+    order = np.lexsort((d, a2, a1))
+    a1, a2, d = a1[order], a2[order], d[order]
+    n = len(a1)
+    gnew = np.empty(n, bool)
+    gnew[0] = True
+    gnew[1:] = (a1[1:] != a1[:-1]) | (a2[1:] != a2[:-1])
+    gid = np.cumsum(gnew) - 1
+    pnew = gnew.copy()
+    pnew[1:] |= d[1:] != d[:-1]  # new (gram, doc) pair
+    ndocs = np.bincount(gid[pnew])
+    keep = (ndocs >= 2)[gid]
+    if not keep.any():
+        return None
+    return (d[keep],) + tuple(t[order][keep] for t in tied)
 
 
 def dup_ngram_span_stats(
@@ -1316,16 +1358,9 @@ def dup_ngram_span_stats(
     from sapray import ops
     from sapray.window import partitioned_apply
 
-    def _ids64(batch: pa.Table) -> np.ndarray:
-        return (
-            batch.column(id_column)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-
     def explode(batch: pa.Table) -> pa.Table:
         acc1, acc2, gdoc, _pos = _gram_window_keys(
-            batch.column(text_column), _ids64(batch), k
+            batch.column(text_column), _gram_ids64(batch, id_column), k
         )
         total = len(acc1)
         if total == 0:
@@ -1362,24 +1397,15 @@ def dup_ngram_span_stats(
         # counts here ARE the global counts
         if g.num_rows == 0:
             return _EMPTY
-        a1 = g.column("gh1").to_numpy(zero_copy_only=False)
-        a2 = g.column("gh2").to_numpy(zero_copy_only=False)
-        d = g.column(id_column).to_numpy(zero_copy_only=False)
-        c = g.column("cnt").to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, a2, a1))
-        a1, a2, d, c = a1[order], a2[order], d[order], c[order]
-        n = len(a1)
-        gnew = np.empty(n, bool)
-        gnew[0] = True
-        gnew[1:] = (a1[1:] != a1[:-1]) | (a2[1:] != a2[:-1])
-        gid = np.cumsum(gnew) - 1
-        pnew = gnew.copy()
-        pnew[1:] |= d[1:] != d[:-1]  # new (gram, doc) pair
-        ndocs = np.bincount(gid[pnew])
-        keep = (ndocs >= 2)[gid]
-        if not keep.any():
+        kept = _dup_gram_keep(
+            g.column("gh1").to_numpy(zero_copy_only=False),
+            g.column("gh2").to_numpy(zero_copy_only=False),
+            g.column(id_column).to_numpy(zero_copy_only=False),
+            g.column("cnt").to_numpy(zero_copy_only=False),
+        )
+        if kept is None:
             return _EMPTY
-        dk, ck = d[keep], c[keep]
+        dk, ck = kept
         uid, uinv = np.unique(dk, return_inverse=True)
         nd = np.bincount(uinv, weights=ck).astype(np.int64)
         return pa.table({
@@ -1398,7 +1424,7 @@ def dup_ngram_span_stats(
             + 1
         )
         ng = np.maximum(nt - (k - 1), 0)
-        ids = _ids64(batch)
+        ids = _gram_ids64(batch, id_column)
         return pa.table({
             id_column: pa.array(ids),
             "n_grams": pa.array(ng),
@@ -1455,13 +1481,8 @@ def dup_ngram_span_remove(
     from sapray.window import partitioned_apply
 
     def explode_pos(batch: pa.Table) -> pa.Table:
-        ids = (
-            batch.column(id_column)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
         gh1, gh2, gdoc, pos = _gram_window_keys(
-            batch.column(text_column), ids, k
+            batch.column(text_column), _gram_ids64(batch, id_column), k
         )
         return pa.table({
             "gh1": pa.array(gh1),
@@ -1479,34 +1500,22 @@ def dup_ngram_span_remove(
         # all copies of a gram key are here: distinct-doc counts are global
         if g.num_rows == 0:
             return _EMPTY_POS
-        a1 = g.column("gh1").to_numpy(zero_copy_only=False)
-        a2 = g.column("gh2").to_numpy(zero_copy_only=False)
-        d = g.column(id_column).to_numpy(zero_copy_only=False)
-        p = g.column("pos").to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, a2, a1))
-        a1, a2, d, p = a1[order], a2[order], d[order], p[order]
-        n = len(a1)
-        gnew = np.empty(n, bool)
-        gnew[0] = True
-        gnew[1:] = (a1[1:] != a1[:-1]) | (a2[1:] != a2[:-1])
-        gid = np.cumsum(gnew) - 1
-        pnew = gnew.copy()
-        pnew[1:] |= d[1:] != d[:-1]  # new (gram, doc) pair
-        ndocs = np.bincount(gid[pnew])
-        keep = (ndocs >= 2)[gid]
-        if not keep.any():
+        kept = _dup_gram_keep(
+            g.column("gh1").to_numpy(zero_copy_only=False),
+            g.column("gh2").to_numpy(zero_copy_only=False),
+            g.column(id_column).to_numpy(zero_copy_only=False),
+            g.column("pos").to_numpy(zero_copy_only=False),
+        )
+        if kept is None:
             return _EMPTY_POS
+        dk, pk = kept
         return pa.table({
-            id_column: pa.array(d[keep]),
-            "pos": pa.array(p[keep]),
+            id_column: pa.array(dk),
+            "pos": pa.array(pk),
         })
 
     def tag_text(batch: pa.Table) -> pa.Table:
-        ids = (
-            batch.column(id_column)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
+        ids = _gram_ids64(batch, id_column)
         txt = pc.cast(
             pc.fill_null(batch.column(text_column), ""), pa.large_string()
         )
