@@ -1,6 +1,7 @@
 """Batched signature kernels must reproduce the per-doc reference
 kernels bit-exactly (VERDICT r3 finding #3 vectorization)."""
 
+import pytest
 import numpy as np
 import pyarrow as pa
 
@@ -163,14 +164,15 @@ def test_dup_ngram_span_remove_edges(ray_session):
     }
 
 
-def test_dup_ngram_span_remove_matches_brute_force(ray_session):
+@pytest.mark.parametrize("seed,k", [(11, 5), (23, 3), (47, 8)])
+def test_dup_ngram_span_remove_matches_brute_force(ray_session, seed, k):
     """Randomized differential: vectorized two-exchange removal ==
     per-doc brute force over a corpus with injected shared spans."""
     import ray
 
     from sapray.dedup import dup_ngram_span_remove
 
-    rng = np.random.default_rng(11)
+    rng = np.random.default_rng(seed)
     vocab = [f"w{i}" for i in range(40)]
     shared = " ".join(rng.choice(vocab, 10))
     docs = []
@@ -179,7 +181,6 @@ def test_dup_ngram_span_remove_matches_brute_force(ray_session):
         post = " ".join(rng.choice(vocab, rng.integers(0, 15)))
         parts = [pre, shared, post] if i % 3 == 0 else [pre, post]
         docs.append(" ".join(x for x in parts if x))
-    k = 5
     from collections import defaultdict
 
     gram_docs = defaultdict(set)
