@@ -359,9 +359,20 @@ def _decode_geo_vectorized(col: pa.Array, shape: str) -> pa.Array | None:
     ok = pc.or_(pc.fill_null(pc.equal(types, shape), False), null_in)
     if not pc.all(ok).as_py():
         return None  # a mismatched/malformed value: per-row path decides
-    dim = pc.fill_null(
-        parsed.column("dimension").combine_chunks(), _DEFAULT_DIMENSION
-    )
+    dim = parsed.column("dimension").combine_chunks()
+    if dim.null_count and bool(
+        pc.any(
+            pc.match_substring_regex(
+                pc.fill_null(col, ""), r'"dimension"\s*:\s*null'
+            )
+        ).as_py()
+    ):
+        # the Arrow JSON parse cannot tell an ABSENT dimension key
+        # (spec: GEOMETRY default) from an explicit "dimension": null
+        # (spec: null passes through) — when the raw text carries an
+        # explicit null, let the per-row spec path decide the batch
+        return None
+    dim = pc.fill_null(dim, _DEFAULT_DIMENSION)
     coords = parsed.column("coordinates").combine_chunks()
     if shape == "Point":
         out = _points_struct(coords, dim)

@@ -109,6 +109,52 @@ def topk(
     return ds.sort(keys, descending=descending).limit(k)
 
 
+_F64_SIGN = 0x8000_0000_0000_0000
+_F64_NAN_KEY = 0xFFFF_FFFF_FFFF_FFFF
+
+
+def _float_total_order(col: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """uint64 surrogate whose ASCENDING order is DuckDB's float total
+    order: -inf < finite < +inf < NaN (every NaN, either sign, sorts
+    GREATEST — Arrow's own sort places NaN after non-null values in
+    BOTH directions, which diverges from DuckDB under DESC). The IEEE
+    trick: flip all bits of negatives, set the sign bit of positives;
+    NaNs then pin to the max key. Nulls pass through untouched."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.type != pa.float64():
+        col = pc.cast(col, pa.float64())  # order/NaN-preserving
+    u = col.view(pa.uint64())
+    sign = pa.scalar(_F64_SIGN, pa.uint64())
+    s = pc.if_else(
+        pc.greater_equal(u, sign),
+        pc.bit_wise_not(u),
+        pc.bit_wise_or(u, sign),
+    )
+    s = pc.if_else(pc.is_nan(col), pa.scalar(_F64_NAN_KEY, pa.uint64()), s)
+    return s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+
+
+def _float_from_total_order(key: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Inverse of :func:`_float_total_order` (all NaNs restore as the
+    canonical quiet NaN — IEEE NaNs are semantically one value)."""
+    import pyarrow.compute as pc
+
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    sign = pa.scalar(_F64_SIGN, pa.uint64())
+    bits = pc.if_else(
+        pc.greater_equal(key, sign),
+        pc.bit_wise_and(key, pa.scalar(_F64_SIGN - 1, pa.uint64())),
+        pc.bit_wise_not(key),
+    )
+    if isinstance(bits, pa.ChunkedArray):
+        bits = bits.combine_chunks()
+    return bits.view(pa.float64())
+
+
 def order_by_slice(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -127,7 +173,10 @@ def order_by_slice(
     ``sort_indices`` (NULLS LAST in both directions, matching DuckDB's
     default) — Ray's distributed ``Dataset.sort`` is deliberately NOT
     used because its null placement under ``descending`` diverges
-    (caught by the DuckDB fuzz). Returns an Arrow TABLE of at most
+    (caught by the DuckDB fuzz). Float keys sort through the
+    :func:`_float_total_order` surrogate so NaN places like DuckDB's
+    (greatest — FIRST under DESC; Arrow alone pins NaN after non-null
+    values in both directions). Returns an Arrow TABLE of at most
     ``limit`` rows: the textual ``$top``/``$skip`` surface is bounded by
     definition, so the driver never holds more than ``offset + limit``
     rows. Include a unique tiebreak column in ``keys`` for deterministic
@@ -148,10 +197,24 @@ def order_by_slice(
         for name, d in zip(keys, descending)
     ]
 
+    def _sort_ix(batch: pa.Table) -> pa.Array:
+        # float keys sort via the DuckDB-total-order surrogate (NaN
+        # greatest); indices then take from the ORIGINAL batch
+        shadow = batch
+        for name, _d in order:
+            col = batch.column(name)
+            if pa.types.is_floating(col.type):
+                shadow = shadow.set_column(
+                    shadow.schema.get_field_index(name),
+                    name,
+                    _float_total_order(col),
+                )
+        return pa.compute.sort_indices(shadow, sort_keys=order)
+
     def local_cut(batch: pa.Table) -> pa.Table:
         if batch.num_rows <= k:
             return batch
-        return batch.take(pa.compute.sort_indices(batch, sort_keys=order)[:k])
+        return batch.take(_sort_ix(batch)[:k])
 
     out = (
         ds.map_batches(local_cut, batch_format="pyarrow", zero_copy_batch=True)
@@ -170,7 +233,7 @@ def order_by_slice(
         if t.num_columns > 0:
             return t  # schema survived the concat; no need to re-plan
         return _dataset_schema(ds).empty_table()
-    idx = pa.compute.sort_indices(t, sort_keys=order)
+    idx = _sort_ix(t)
     return t.take(idx[offset:k])
 
 
@@ -697,7 +760,10 @@ def rollup_aggregate(
             ptypes = (
                 dict(zip(psch.names, psch.types)) if psch is not None else {}
             )
-            raw_types = dict(zip(ds.schema().names, ds.schema().types))
+            rsch = ds.schema()
+            raw_types = (
+                dict(zip(rsch.names, rsch.types)) if rsch is not None else {}
+            )
             cols: dict[str, pa.Array] = {}
             for out, (col, kind) in respec.items():
                 if out not in parts.column_names or parts.num_rows == 0:
@@ -741,7 +807,12 @@ def rollup_aggregate(
 
 
 def _keys_schema(ds: ray.data.Dataset, keys: list[str]) -> list[pa.Field]:
-    sch = dict(zip(ds.schema().names, ds.schema().types))
+    from sapray.stage import _dataset_schema
+
+    # _dataset_schema raises an ACTIONABLE error when an all-empty
+    # map_batches pipeline lost its schema (None), instead of
+    # AttributeError on None.names (review finding)
+    sch = {f.name: f.type for f in _dataset_schema(ds)}
     return [pa.field(k, sch[k]) for k in keys]
 
 
@@ -821,7 +892,10 @@ def grouping_sets_aggregate(
             ftypes = (
                 dict(zip(fsch.names, fsch.types)) if fsch is not None else {}
             )
-            raw_types = dict(zip(ds.schema().names, ds.schema().types))
+            rsch = ds.schema()
+            raw_types = (
+                dict(zip(rsch.names, rsch.types)) if rsch is not None else {}
+            )
             cols: dict[str, pa.Array] = {}
             for o, (_, kind) in respec.items():
                 if o not in parts.column_names or parts.num_rows == 0:
@@ -1718,8 +1792,12 @@ def skip(
     ``descending`` ranks by ``ORDER BY value DESC, id`` via an
     order-reversing involution: ``bit_wise_not`` for integer columns
     (``~x`` is total for every signed/unsigned width — ``-x-1`` resp.
-    ``max-x`` — so INT64_MIN and uint64 values are fine), checked
-    negation for floats/decimals (exact for IEEE), and ``bit_wise_not``
+    ``max-x`` — so INT64_MIN and uint64 values are fine),
+    ``bit_wise_not`` over the :func:`_float_total_order` uint64
+    surrogate for floats (exact, and NaN places like DuckDB's —
+    greatest, so FIRST under DESC; plain negation keeps NaN last
+    because Arrow/numpy pin NaN after non-null values in both
+    directions), checked negation for decimals, and ``bit_wise_not``
     over the epoch-integer view for timestamp/date/time/duration
     columns (order-isomorphic; the output restores the original type).
     NULLs stay LAST either way (the null mask, not the value, is the
@@ -1762,6 +1840,8 @@ def skip(
                 "sort_indices for every comparable type"
             )
 
+    float_key = orig_type is not None and pa.types.is_floating(orig_type)
+
     def _flip(b: pa.Table, restore: bool = False) -> pa.Table:
         i = b.schema.get_field_index(value_column)
         col = b.column(value_column)
@@ -1770,6 +1850,13 @@ def skip(
                 rev = pc.cast(pc.bit_wise_not(col), orig_type)
             else:
                 rev = pc.bit_wise_not(pc.cast(col, int_view))
+        elif float_key:  # DuckDB total order: NaN greatest -> DESC first
+            if restore:
+                rev = _float_from_total_order(pc.bit_wise_not(col))
+                if orig_type != pa.float64():
+                    rev = pc.cast(rev, orig_type)
+            else:
+                rev = pc.bit_wise_not(_float_total_order(col))
         elif pa.types.is_integer(col.type):
             rev = pc.bit_wise_not(col)
         else:

@@ -117,13 +117,23 @@ def streaming_sessionize(
     key_type = _dataset_schema(ordered).field(key).type
     sentinel = _null_sentinel(key_type)
     pending: list = []
+    saw_null = saw_sentinel = False
     for batch in ordered.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
         col = batch.column(key)
-        if pc.any(pc.equal(col, pa.scalar(sentinel, key_type))).as_py():
+        # the merge hazard needs BOTH a real sentinel-valued key and an
+        # actual NULL (only then does fill_null conflate them) — a
+        # sentinel value alone (e.g. a legitimate int8 -128 key in a
+        # null-free column) is fine, so track both sides across batches
+        # and raise before the offending batch ships to the actors
+        saw_null = saw_null or col.null_count > 0
+        saw_sentinel = saw_sentinel or bool(
+            pc.any(pc.equal(col, pa.scalar(sentinel, key_type))).as_py()
+        )
+        if saw_null and saw_sentinel:
             raise ValueError(
-                f"streaming_sessionize: key column {key!r} contains the "
-                f"reserved NULL sentinel value {sentinel!r} — it would "
-                "silently merge with the NULL group; recode the key"
+                f"streaming_sessionize: key column {key!r} contains both "
+                f"NULLs and the reserved NULL sentinel value {sentinel!r} "
+                "— they would silently merge into one group; recode the key"
             )
         keys = pc.fill_null(col, sentinel).to_numpy(zero_copy_only=False)
         tsi = (
@@ -148,10 +158,14 @@ def streaming_sessionize(
     frames = ray.get([a.flush.remote() for a in actors])
     out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
     key_vals = out["key"].to_numpy() if len(out) else np.array([], object)
-    # typed output even when empty; the sentinel becomes a NULL slot
+    # typed output even when empty; decode the sentinel back to a NULL
+    # slot ONLY when the input actually carried NULLs — otherwise a
+    # sentinel-valued REAL key (e.g. a legitimate int8 -128) must pass
+    # through unchanged (review finding)
     key_arr = pa.array(key_vals, type=key_type)
-    null_mask = pc.equal(key_arr, pa.scalar(sentinel, key_type))
-    key_arr = pc.if_else(null_mask, pa.scalar(None, key_type), key_arr)
+    if saw_null:
+        null_mask = pc.equal(key_arr, pa.scalar(sentinel, key_type))
+        key_arr = pc.if_else(null_mask, pa.scalar(None, key_type), key_arr)
     return pa.table(
         {
             key: key_arr,

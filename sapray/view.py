@@ -164,6 +164,12 @@ def _base_and_retractions(
         ds = prepare(ds)
     ds = ds.map_batches(expand, batch_format="pyarrow")
     df = grouped_aggregate(ds, [group], sum_spec).to_pandas()
+    if df.empty and group not in df.columns:
+        # an EMPTY base state (e.g. since=0 on a fresh lake) aggregates
+        # to a column-less frame — rebuild the expected empty shape so
+        # the selections below don't KeyError (review follow-up)
+        df = pd.DataFrame({c: pd.Series(dtype="float64")
+                           for c in (group, *sum_spec)})
     base = df[[group, *partials, *(f"__mm__{n}" for n in (minmax or {}))]]
     ret = df[[group, *(f"__ret__{n}" for n in partials)]].rename(
         columns={f"__ret__{n}": n for n in partials}
@@ -225,9 +231,22 @@ def incremental_group_view(
                 "minmax spec (a contract error, not a pandas KeyError)"
             )
 
-    if mm and base_partials is not None:
+    def check_partials(bp: pd.DataFrame) -> None:
+        stale = [c for c in partials if c not in bp.columns]
+        if stale:
+            raise ValueError(
+                "incremental_group_view: base_partials is missing partial "
+                f"columns {stale} — it was produced by an older release "
+                "(e.g. before AVG carried __vcnt_* valid-count partials); "
+                "recompute the base partials with this release (a "
+                "contract error, not a pandas KeyError)"
+            )
+
+    if base_partials is not None:
         # validate on EVERY path, including the empty-feed early return
-        check_mm_partials(base_partials)
+        check_partials(base_partials)
+        if mm:
+            check_mm_partials(base_partials)
 
     def agg_df(ds: ray.data.Dataset, with_mm: bool = False) -> pd.DataFrame:
         if prepare is not None:
@@ -271,8 +290,9 @@ def incremental_group_view(
         ret_df = agg_df(retract_ds)
 
     merged = base_partials.set_index(group)
+    check_partials(base_partials)  # covers the single-pass path too
     if mm:
-        check_mm_partials(base_partials)  # covers the single-pass path too
+        check_mm_partials(base_partials)
     base_mm = merged[mm_cols] if mm else None
     merged = merged[list(partials)]
     numeric = list(merged.columns)

@@ -186,3 +186,25 @@ def test_similarity_family_empty(ray_session):
     from sapray import dedup
 
     assert dedup.embedding_neardup_pairs(corpus).count() == 0
+
+
+def test_rollup_schemaless_empty_raises_actionable(ray_session):
+    """Review finding: an all-empty pipeline that lost its schema (e.g.
+    none-matching filter -> map_batches) must raise the actionable
+    no-schema ValueError from rollup/grouping-sets, not AttributeError
+    on None.names."""
+    import pyarrow as pa
+    import ray.data
+
+    t = pa.table({"g": pa.array(["a"]), "v": pa.array([1], pa.int64())})
+    ds = (
+        ray.data.from_arrow(t)
+        .filter(expr="v > 100")
+        .map_batches(lambda b: b, batch_format="pyarrow")
+    )
+    assert ds.schema() is None
+    spec = {"total": ("v", "sum")}
+    with pytest.raises(ValueError, match="no schema"):
+        ops.rollup_aggregate(ds, ["g"], spec)
+    with pytest.raises(ValueError, match="no schema"):
+        ops.grouping_sets_aggregate(ds, ["g"], [("g",), ()], spec)

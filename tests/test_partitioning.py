@@ -195,8 +195,24 @@ def test_streaming_sessionize_narrow_int_key(ray_session):
     assert g == b
     assert sum(1 for k, _ in g if k is None) == 1
 
+    # a REAL key equal to the sentinel is fine when the column has no
+    # NULLs (fill_null is then a no-op — review finding: the guard must
+    # not reject inputs that sessionize correctly)
+    lo = int(np.iinfo(np.int32).min)
+    fine = pa.table({
+        "k": pa.array([lo, 1] * 6, pa.int32()),
+        "ts": tsa,
+    })
+    got2 = streaming_sessionize(ray.data.from_arrow(fine), "k", "ts", gap)
+    batch2 = session_counts(ray.data.from_arrow(fine), "k", "ts", gap)
+    assert {(r["k"], r["n_sessions"]) for r in got2.to_pylist()} == {
+        (r["k"], r["n_sessions"]) for r in batch2.take_all()
+    }
+
+    # sentinel value AND real NULLs together is the genuine merge
+    # hazard: raise loudly before the offending batch ships
     bad = pa.table({
-        "k": pa.array([np.iinfo(np.int32).min, 1] * 6, pa.int32()),
+        "k": pa.array([lo, 1, None, 1] * 3, pa.int32()),
         "ts": tsa,
     })
     with pytest.raises(ValueError, match="reserved NULL sentinel"):

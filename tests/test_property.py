@@ -851,3 +851,66 @@ def test_skip_descending_integer_widths(ray_session):
         ).fetch_df().sort_values("id").reset_index(drop=True)
         assert list(got["id"]) == list(exp["id"]), v.type
         assert list(got["v"]) == list(exp["v"]), v.type
+
+
+def test_float_nan_ordering_matches_duckdb(ray_session):
+    """Review finding: DuckDB orders NaN GREATEST (FIRST under DESC),
+    but Arrow/numpy pin NaN after non-null values in both directions —
+    ops.skip and ops.order_by_slice must route float keys through the
+    _float_total_order surrogate, restore the caller's values exactly,
+    and keep NULLs last either way."""
+    import duckdb
+
+    from sapray import ops
+
+    vals = [1.0, float("nan"), 5.0, None, float("inf"), float("-inf"),
+            -3.5, float("nan"), 0.0, 2.0]
+    t = pa.table({"id": pa.array(range(len(vals)), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+    con = duckdb.connect()
+    con.register("t", t)
+    for desc in (False, True):
+        d = "DESC" if desc else "ASC"
+        for offset, limit in [(0, 4), (2, 3), (0, len(vals))]:
+            exp = [r[0] for r in con.execute(
+                f"SELECT id FROM t ORDER BY v {d}, id "
+                f"LIMIT {limit} OFFSET {offset}"
+            ).fetchall()]
+            got = ops.order_by_slice(
+                ray.data.from_arrow(t).repartition(3),
+                ["v", "id"], [desc, False], offset=offset, limit=limit,
+            )
+            assert got.column("id").to_pylist() == exp, (d, offset, limit)
+            out = ops.skip(
+                ray.data.from_arrow(t).repartition(3), "v", "id",
+                offset=offset, limit=limit, descending=desc,
+            ).to_pandas()
+            assert sorted(out["id"]) == sorted(exp), (d, offset, limit)
+            for rid, rv in zip(out["id"], out["v"]):
+                orig = vals[rid]
+                if orig is None:
+                    assert rv is None or np.isnan(rv)
+                elif np.isnan(orig):
+                    assert np.isnan(rv)
+                else:
+                    assert rv == orig  # restored bit-exact
+
+
+def test_skip_descending_float32_restores_type(ray_session):
+    """float32 keys flow through the float64 surrogate and restore to
+    float32 with exact values."""
+    from sapray import ops
+
+    t = pa.table({"id": pa.array(range(5), pa.int64()),
+                  "v": pa.array([3.5, -1.25, float("nan"), 7.0, 0.5],
+                                pa.float32())})
+    out = ops.skip(
+        ray.data.from_arrow(t), "v", "id", offset=0, limit=3,
+        descending=True,
+    )
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    assert tbl.schema.field("v").type == pa.float32()
+    got = dict(zip(tbl.column("id").to_pylist(), tbl.column("v").to_pylist()))
+    # DESC: NaN first, then 7.0, then 3.5
+    assert set(got) == {2, 3, 0}
+    assert np.isnan(got[2]) and got[3] == 7.0 and got[0] == 3.5

@@ -410,3 +410,31 @@ def test_finalize_int_sum_schema_stable_with_all_null_group():
     tf = _finalize(dff, {"sum_v": ("v", "sum")}, "repo")
     assert tf.schema.field("sum_v").type == pa.float64()
     assert tf.column("sum_v").to_pylist() == [10.5, None]
+
+
+def test_stale_base_partials_raise_contract_error(
+    ray_session, changelog_dir, tmp_path
+):
+    """Review finding: base_partials persisted by an older release
+    (lacking the __vcnt_* valid-count columns AVG now carries) must be
+    rejected with an actionable contract error, not a pandas KeyError
+    deep inside the merge."""
+    out, _ = changelog_dir
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(
+        CDCConfig(lake_dir=lake, num_partitions=4, sink_mode="delta",
+                  compact_every=99)
+    )
+    w1 = int(eng.apply(out)["watermark"])
+    spec = {"avg_bytes": ("__sz", "mean")}
+    _, partials = incremental_group_view(
+        eng, "repo", spec, since=0, until=w1, prepare=_prepare
+    )
+    stale = partials.drop(
+        columns=[c for c in partials.columns if c.startswith("__vcnt_")]
+    )
+    with pytest.raises(ValueError, match="missing partial columns"):
+        incremental_group_view(
+            eng, "repo", spec, since=w1, base_partials=stale,
+            prepare=_prepare,
+        )
