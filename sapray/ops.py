@@ -91,11 +91,14 @@ def topk(
     Each batch keeps only its own best k rows, so the final sort runs on
     ~k × num_batches rows instead of the whole dataset.
 
-    Key columns must be NULL-FREE: the final pass is Ray's distributed
-    ``Dataset.sort``, whose null placement under ``descending`` diverges
-    from Arrow/DuckDB NULLS LAST (fuzz-caught) — for nullable keys use
-    :func:`order_by_slice`, which orders exclusively through Arrow
-    kernels. (Every current caller sorts non-null aggregates/ids.)
+    Key columns must be NULL-FREE and NaN-FREE: the final pass is Ray's
+    distributed ``Dataset.sort``, whose null placement under
+    ``descending`` diverges from Arrow/DuckDB NULLS LAST (fuzz-caught),
+    and neither layer orders NaN like DuckDB (greatest) under DESC —
+    for nullable or NaN-bearing float keys use :func:`order_by_slice`,
+    which orders exclusively through Arrow kernels over the
+    :func:`_float_total_order` surrogate. (Every current caller sorts
+    non-null, non-NaN aggregates/ids.)
     """
 
     def local_topk(batch: pa.Table) -> pa.Table:

@@ -100,9 +100,14 @@ def _key_codes(table: pa.Table, key: "str | tuple[str, ...]") -> np.ndarray:
 def _descending_key(vals: np.ndarray) -> np.ndarray:
     """An array whose ascending sort orders ``vals`` DESCENDING.
 
-    Plain unary minus raises on datetime64 and wraps on unsigned ints;
-    handle both: datetimes sort by negated int64 epoch, unsigned by
-    bitwise complement (``~x`` = max - x, an exact order reversal)."""
+    Plain unary minus raises on datetime64, wraps on unsigned ints, and
+    leaves NaN sorting LAST (numpy pins NaN after values ascending, so
+    ``-x`` keeps it there — but DuckDB orders NaN GREATEST, i.e. FIRST
+    under DESC). Handle all three: datetimes sort by complemented int64
+    epoch, integers by bitwise complement (``~x`` = max - x, an exact
+    order reversal), floats by the complemented IEEE total-order
+    surrogate (sign-flip trick, every NaN pinned greatest — the numpy
+    twin of ``ops._float_total_order``)."""
     if vals.dtype.kind == "M":
         # complement, not minus: NaT maps to INT64_MIN, and -INT64_MIN
         # wraps back to itself (sorting NaT FIRST under descending);
@@ -110,6 +115,13 @@ def _descending_key(vals: np.ndarray) -> np.ndarray:
         return ~vals.astype("datetime64[us]").astype(np.int64)
     if vals.dtype.kind in "iu":
         return ~vals  # exact order reversal at every value incl. INT64_MIN
+    if vals.dtype.kind == "f":
+        v = vals.astype(np.float64)
+        u = v.view(np.uint64)
+        sign = np.uint64(0x8000_0000_0000_0000)
+        s = np.where(u & sign != 0, ~u, u | sign)
+        s[np.isnan(v)] = np.uint64(0xFFFF_FFFF_FFFF_FFFF)
+        return ~s  # ascending(~s) == DuckDB float DESC (NaN first)
     return -vals
 
 

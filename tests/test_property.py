@@ -914,3 +914,32 @@ def test_skip_descending_float32_restores_type(ray_session):
     # DESC: NaN first, then 7.0, then 3.5
     assert set(got) == {2, 3, 0}
     assert np.isnan(got[2]) and got[3] == 7.0 and got[0] == 3.5
+
+
+def test_window_rank_nan_descending_matches_duckdb(ray_session):
+    """_descending_key must order float NaN GREATEST like DuckDB (FIRST
+    under DESC) — plain negation leaves NaN last in numpy's sort."""
+    import duckdb
+
+    from sapray import window
+
+    vals = [1.0, float("nan"), 5.0, float("inf"), -2.0, float("nan"),
+            0.5, 3.25]
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "a", "b", "b", "b", "b"]),
+        "v": pa.array(vals, pa.float64()),
+        "id": pa.array(range(8), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    for desc in (True, False):
+        d = "DESC" if desc else "ASC"
+        exp = {r[0]: r[1] for r in con.sql(
+            f"SELECT id, row_number() OVER "
+            f"(PARTITION BY k ORDER BY v {d}, id) FROM t"
+        ).fetchall()}
+        got_t = window.rank_in_key(
+            ray.data.from_arrow(t), "k", "v", "id", top_n=10,
+            descending=desc,
+        ).to_pandas()
+        assert dict(zip(got_t["id"], got_t["rnk"])) == exp, d
