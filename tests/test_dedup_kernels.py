@@ -206,3 +206,71 @@ def test_dup_ngram_span_remove_matches_brute_force(ray_session, seed, k):
     got = {int(r.doc_id): (r.text_clean, int(r.n_removed))
            for r in out.itertuples()}
     assert got == expected
+
+
+def test_dup_ngram_span_remove_messy_spacing_vs_duckdb(ray_session):
+    """Differential vs the SQL oracle shape on a corpus with empty
+    tokens (double/leading/trailing spaces): single-space split parity
+    must hold exactly, including '' tokens inside duplicated grams."""
+    import duckdb
+    import ray
+
+    from sapray.dedup import dup_ngram_span_remove
+
+    rng = np.random.default_rng(5)
+    vocab = ["a", "bb", "ccc", ""]  # '' injects double spaces
+    shared = " ".join(rng.choice(vocab, 6))
+    docs = []
+    for i in range(30):
+        pre = " ".join(rng.choice(vocab, rng.integers(0, 8)))
+        post = " ".join(rng.choice(vocab, rng.integers(0, 8)))
+        parts = [pre, shared, post] if i % 2 == 0 else [pre, post]
+        t = " ".join(parts)  # may create leading/trailing/double spaces
+        docs.append(t)
+    docs += ["", None, " ", "  "]
+    k = 4
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.large_string()),
+    })
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.sql(f"""
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - {k - 2})) AS i
+  FROM t WHERE len(toks) >= {k}
+),
+g AS (
+  SELECT doc_id, i, array_to_string(toks[i:i+{k - 1}], ' ') AS gram FROM p
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+dup AS (SELECT doc_id, i FROM g JOIN d USING (gram)),
+cov AS (
+  SELECT DISTINCT dup.doc_id, dup.i + r.range AS j FROM dup, range(0, {k}) r
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tk, unnest(range(1, len(toks) + 1)) AS j
+  FROM t
+),
+kept AS (
+  SELECT tok.doc_id AS doc_id,
+         string_agg(tok.tk, ' ' ORDER BY tok.j) AS text_clean,
+         count(*) AS cnt
+  FROM tok ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+  GROUP BY tok.doc_id
+)
+SELECT t.doc_id AS doc_id,
+       coalesce(kept.text_clean, '') AS text_clean,
+       CAST(len(t.toks) - coalesce(kept.cnt, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN kept USING (doc_id)
+""").fetchall()
+    expected = {r[0]: (r[1], r[2]) for r in exp}
+    out = dup_ngram_span_remove(
+        ray.data.from_arrow(tbl), "doc_id", "text", k=k
+    ).to_pandas()
+    got = {int(r.doc_id): (r.text_clean, int(r.n_removed))
+           for r in out.itertuples()}
+    assert got == expected
