@@ -2868,6 +2868,31 @@ def rank_functions_orders(sf_dir: str):
     )
 
 
+def cume_dist_orders(sf_dir: str):
+    """CUME_DIST per customer by total price — the last member of the
+    SQL ranking family (same vectorized sweep as rank_functions_orders;
+    peers-by-value end-index over partition size). Exact small-int
+    division on both engines, so the float64 hash-matches bit-exactly
+    (the percent_rank recipe)."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    out = window.rank_functions(
+        ds, "o_custkey", "o_totalprice", "o_orderkey", ntile_k=4
+    )
+    return out.select_columns(["o_custkey", "o_orderkey", "cume_dist"])
+
+
+CUME_DIST_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CUME_DIST() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice) AS cume_dist
+FROM orders
+"""
+
+
 def corr_value_k_by_type(sf_dir: str):
     """Grouped Pearson correlation between event value (exact cents) and
     the JSON payload's k, per event type — computed from six EXACT
@@ -3029,6 +3054,81 @@ SELECT event_type,
        (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
        / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
               * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) AS corr
+FROM s
+"""
+
+
+def var_stddev_value_by_type(sf_dir: str):
+    """Grouped VAR_SAMP / STDDEV_SAMP of event value (exact cents) per
+    event type, from three EXACT integer partials (non-null count, sum,
+    sum of squares) through the partial-agg combiner, finalized with one
+    closed-form IEEE expression — ``(n·Σx² − (Σx)²) / (n·(n−1))`` —
+    mirrored token-for-token in the oracle SQL. Streaming variance
+    (Welford) would never hash-match across engines (CLAUDE.md float
+    gate); this decomposition does, like corr_value_k_by_type."""
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+
+    def prods(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("value"))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "x": x,
+            "xx": pc.multiply(x, x),
+        })
+
+    sums = ops.grouped_aggregate(
+        ds.map_batches(prods, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        {"n": ("x", "count_valid"), "sx": ("x", "sum"), "sxx": ("xx", "sum")},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n"), pa.float64())
+        sx = pc.cast(batch.column("sx"), pa.float64())
+        sxx = pc.cast(batch.column("sxx"), pa.float64())
+        raw = pc.divide(
+            pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx)),
+            pc.multiply(n, pc.subtract(n, pa.scalar(1.0))),
+        )
+        nulls = pa.nulls(batch.num_rows, pa.float64())
+        many = pc.greater(n, pa.scalar(1.0))
+        var = pc.if_else(many, raw, nulls)
+        # sqrt of a rounding-tiny negative is NaN in Arrow but an ERROR
+        # in DuckDB — both sides guard to NULL
+        std = pc.if_else(
+            pc.and_kleene(many, pc.greater_equal(raw, pa.scalar(0.0))),
+            pc.sqrt(raw), nulls,
+        )
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": batch.column("n"),
+            "var_cents": var,
+            "stddev_cents": std,
+        })
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+VAR_STDDEV_VALUE_BY_TYPE_SQL = """
+WITH p AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(x) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sxx
+  FROM p GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN n > 1 THEN
+         (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+         / (n::DOUBLE * (n::DOUBLE - 1.0)) END AS var_cents,
+       CASE WHEN n > 1
+             AND (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                 / (n::DOUBLE * (n::DOUBLE - 1.0)) >= 0.0 THEN
+         sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+              / (n::DOUBLE * (n::DOUBLE - 1.0))) END AS stddev_cents
 FROM s
 """
 
@@ -4400,6 +4500,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "rank_functions_orders": {
             "fn": rank_functions_orders, "sql": RANK_FUNCTIONS_ORDERS_SQL,
         },
+        "cume_dist_orders": {
+            "fn": cume_dist_orders, "sql": CUME_DIST_ORDERS_SQL,
+        },
         "string_agg_events": {
             "fn": string_agg_events, "sql": STRING_AGG_EVENTS_SQL,
         },
@@ -4411,6 +4514,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "corr_value_k_by_type": {
             "fn": corr_value_k_by_type, "sql": CORR_VALUE_K_BY_TYPE_SQL,
+        },
+        "var_stddev_value_by_type": {
+            "fn": var_stddev_value_by_type,
+            "sql": VAR_STDDEV_VALUE_BY_TYPE_SQL,
         },
         "json_extract_events": {
             "fn": json_extract_events, "sql": JSON_EXTRACT_EVENTS_SQL,
@@ -4463,6 +4570,8 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
     # displaced query has r1-r4 driver evidence (106/106 union, VERDICT
     # r4 summary).
     priority = [
+        "cume_dist_orders",
+        "var_stddev_value_by_type",
         "odata_full_query_events",
         "multikey_rank_events",
         "odata_arith_filter_events",

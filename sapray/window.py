@@ -159,7 +159,7 @@ def rank_functions(
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """The remaining SQL ranking family in one vectorized per-partition
-    sweep: DENSE_RANK / PERCENT_RANK / NTILE over
+    sweep: DENSE_RANK / PERCENT_RANK / NTILE / CUME_DIST over
     ``PARTITION BY key ORDER BY order_column`` (dense/percent rank by
     the order VALUE — ties share a rank; the tiebreak column only fixes
     row order inside ties so output is deterministic).
@@ -168,7 +168,9 @@ def rank_functions(
     * percent_rank: (rank-1)/(n-1) as float64 — both engines compute the
       same small-int division, so it hash-compares bit-exactly;
     * ntile(k): SQL semantics — the first ``n % k`` buckets get
-      ``n//k + 1`` rows, row order (order, tiebreak).
+      ``n//k + 1`` rows, row order (order, tiebreak);
+    * cume_dist: (rows with order value <= mine) / n — peer groups share
+      the value, so ties share the cume_dist (exact small-int division).
     """
 
     def kernel(t: pa.Table) -> pa.Table:
@@ -208,10 +210,23 @@ def rank_functions(
         tile = np.where(
             i < cut, i // np.maximum(q + 1, 1), rem + (i - cut) // np.maximum(q, 1)
         ) + 1
+        # CUME_DIST: (# partition rows with order value <= mine) / n —
+        # the END of my peer group relative to the partition start. Both
+        # engines divide the same exact small ints, so the float64
+        # hash-compares bit-exactly (same recipe as percent_rank).
+        vstarts = pos[new_val]
+        vends = (
+            np.concatenate([vstarts[1:], [len(codes)]])
+            if len(vstarts)
+            else vstarts
+        )
+        val_end = vends[np.cumsum(new_val) - 1] if len(codes) else pos
+        cume = (val_end - run_start) / np.maximum(n, 1)
         return (
             t.append_column("dense_rank", pa.array(dense + 1))
             .append_column("percent_rank", pa.array(pct, pa.float64()))
             .append_column("ntile", pa.array(tile))
+            .append_column("cume_dist", pa.array(cume, pa.float64()))
         )
 
     return partitioned_apply(ds, key, kernel, num_partitions)
