@@ -1602,3 +1602,145 @@ def dup_ngram_span_remove(
     return partitioned_apply(
         text_rows.union(tagged_pos), id_column, rewrite_kernel, num_partitions
     )
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    seed_ids: tuple[int, ...],
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    scale: int = 400,
+    threshold_num: int = 95,
+    threshold_den: int = 100,
+    num_partitions: int | None = None,
+    block_rows: int = 2048,
+) -> ray.data.Dataset:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023 — public
+    literature): cluster the embedding space, then mark as duplicates
+    the rows whose cosine similarity to an EARLIER row (smaller id) of
+    the SAME cluster reaches the threshold. Clustering bounds the pair
+    set to sum-of-cluster-sizes-squared — that is the whole point of the
+    algorithm at 100 TB, where all-pairs cosine is unthinkable.
+
+    Exactness (the oracle gate): vectors quantize to an int64 grid
+    (``floor(float64(x)·scale + 0.5)``, similarity._quantize_matrix);
+    cluster = nearest seed vector by integer squared-L2 (ties -> lowest
+    cluster index, matching SQL ``ORDER BY d, cid``); the cosine test
+    ``dot/sqrt(nn_i·nn_j) >= num/den`` is evaluated as the pure-integer
+    predicate ``dot > 0 AND dot²·den² >= num²·nn_i·nn_j`` — no float
+    anywhere, so a SQL oracle replays it bit-exactly.
+
+    Scale shape: the k seed centroids broadcast once (k·d ints); the
+    only all-to-all moves (id, cluster, embedding) rows keyed by
+    cluster; the per-cluster verify is a blocked int64 matmul
+    (``block_rows`` × cluster-size at a time, never the full pair
+    matrix). At 100 TB, k scales with corpus size to bound cluster
+    sizes (the paper uses ~100k clusters); seeds are a config choice.
+
+    Returns (id, cluster, is_dup) — callers drop ``is_dup`` rows to
+    dedup, or join back for inspection.
+    """
+    import pyarrow.compute as pc
+
+    from sapray.similarity import _quantize_matrix
+    from sapray.window import partitioned_apply
+
+    # int64-overflow guard for the pure-integer cosine predicate:
+    # dot <= d·scale² for unit-ball inputs, so dot²·den² and
+    # num²·nn_i·nn_j are bounded by (d·scale²)²·max(num,den)²
+    dim_probe = None  # validated lazily per batch (d known only there)
+
+    k = len(seed_ids)
+    seed_set = pa.array(list(seed_ids), pa.int64())
+    seeds = (
+        ds.map_batches(
+            lambda b: b.filter(
+                pc.is_in(b.column(id_column), value_set=seed_set)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+        .sort_values(id_column)
+    )
+    if len(seeds) != k:
+        raise ValueError(f"expected {k} seed rows, got {len(seeds)}")
+    C = _quantize_matrix(seeds[vec_column], scale)  # (k, d)
+    cc = np.einsum("ij,ij->i", C, C)
+    d = C.shape[1]
+    bound = (d * scale * scale) ** 2 * max(threshold_num, threshold_den) ** 2
+    if bound >= 2**63:
+        raise ValueError(
+            f"scale={scale} overflows the int64 cosine predicate at "
+            f"d={d}; need d²·scale⁴·max(num,den)² < 2^63"
+        )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        X = _quantize_matrix(batch.column(vec_column), scale)
+        if len(X) and np.abs(X).max() > scale:
+            # the overflow bound above assumed unit-ball inputs
+            raise ValueError(
+                "semdedup: embedding components exceed the unit ball; "
+                "lower `scale` or normalize vectors first"
+            )
+        # |x|² - 2x·Cᵀ + |c|² — exact int64; argmin takes the first
+        # (lowest) cluster index on ties, matching ORDER BY d, cid
+        xx = np.einsum("ij,ij->i", X, X)
+        dist = xx[:, None] - 2 * (X @ C.T) + cc[None, :]
+        a = np.argmin(dist, axis=1).astype(np.int64)
+        return pa.table({
+            id_column: batch.column(id_column),
+            "cluster": pa.array(a),
+            vec_column: batch.column(vec_column),
+        })
+
+    assigned = ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids_t = pa.table({id_column: t.column(id_column)})
+        if t.num_rows == 0:
+            return pa.table({
+                id_column: ids_t.column(id_column),
+                "cluster": pa.array([], pa.int64()),
+                "is_dup": pa.array([], pa.bool_()),
+            })
+        ids = t.column(id_column).to_numpy(zero_copy_only=False)
+        cl = t.column("cluster").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cl))
+        ids, cl = ids[order], cl[order]
+        X = _quantize_matrix(t.column(vec_column), scale)[order]
+        is_dup = np.zeros(len(ids), dtype=bool)
+        starts = np.flatnonzero(
+            np.concatenate([[True], cl[1:] != cl[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [len(cl)]])
+        for s, e in zip(starts, ends):
+            G = X[s:e]
+            nn = np.einsum("ij,ij->i", G, G)
+            m = e - s
+            for bs in range(1, m, block_rows):  # row 0 is never a dup
+                be = min(bs + block_rows, m)
+                dot = G[bs:be] @ G.T  # (be-bs, m) int64
+                cond = (dot > 0) & (
+                    dot * dot * den2 >= num2 * nn[bs:be, None] * nn[None, :]
+                )
+                # only earlier rows (strictly lower id; ids unique and
+                # sorted, so positional j < i is id_j < id_i)
+                js = np.arange(m)[None, :]
+                cond &= js < np.arange(bs, be)[:, None]
+                is_dup[s + bs : s + be] = cond.any(axis=1)
+        return pa.table({
+            id_column: pa.array(ids),
+            "cluster": pa.array(cl),
+            "is_dup": pa.array(is_dup),
+        })
+
+    return partitioned_apply(assigned, "cluster", kernel, num_partitions)

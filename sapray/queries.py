@@ -1886,6 +1886,93 @@ FROM embeddings WHERE vec_id % 10 = 0
 """
 
 
+_SEMDEDUP_SCALE = 400
+# cosine 0.45 as an exact fraction — the fixture corpus's organic
+# near-dup band (its max pairwise cosine is ~0.48), so the predicate is
+# exercised on real near-misses, not just the injected exact copies
+_SEMDEDUP_T = (45, 100)
+
+
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup (cluster-then-cosine semantic dedup, Abbas et al. 2023)
+    over an augmented corpus (every 10th embedding duplicated exactly,
+    id-shifted — the embedding_neardup fixture, so known positives exist
+    at every SF): assign every embedding to its nearest seed centroid,
+    then inside each cluster mark rows whose cosine to an earlier
+    (smaller-id) row reaches the threshold. Everything is integer
+    arithmetic on a quantized grid — assignment by int64 squared-L2, the
+    cosine test as ``dot²·den² >= num²·|a|²·|b|²`` — so the SQL oracle
+    replays the whole algorithm bit-exactly (the kmeans_embeddings
+    recipe extended to the pair stage)."""
+    base = ops.read_projected(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    dups = ops.read_projected(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+
+    def shift(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(_mod(batch.column("vec_id"), 10), 0))
+        return pa.table({
+            "vec_id": pc.add(batch.column("vec_id"), pa.scalar(1_000_000)),
+            "embedding": batch.column("embedding"),
+        })
+
+    aug = base.union(dups.map_batches(shift, batch_format="pyarrow"))
+    return dedup.semdedup(
+        aug,
+        _KMEANS_SEEDS,
+        scale=_SEMDEDUP_SCALE,
+        threshold_num=_SEMDEDUP_T[0],
+        threshold_den=_SEMDEDUP_T[1],
+    )
+
+
+SEMDEDUP_EMBEDDINGS_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+), q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_SEMDEDUP_SCALE}
+                    + 0.5) AS BIGINT) AS x
+  FROM corpus
+), c0 AS (
+  SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, i, x AS c
+  FROM q WHERE vec_id IN {_KMEANS_SEEDS}
+), d1 AS (
+  SELECT q.vec_id, c0.cid, CAST(sum((q.x - c0.c) * (q.x - c0.c)) AS BIGINT) AS d
+  FROM q JOIN c0 USING (i) GROUP BY q.vec_id, c0.cid
+), a AS (
+  SELECT vec_id, cid FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+), nq AS (
+  SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nn FROM q GROUP BY vec_id
+), p AS (
+  SELECT a1.vec_id AS i_id, a2.vec_id AS j_id,
+         CAST(sum(q1.x * q2.x) AS BIGINT) AS dot
+  FROM a a1
+  JOIN a a2 ON a2.cid = a1.cid AND a2.vec_id < a1.vec_id
+  JOIN q q1 ON q1.vec_id = a1.vec_id
+  JOIN q q2 ON q2.vec_id = a2.vec_id AND q2.i = q1.i
+  GROUP BY a1.vec_id, a2.vec_id
+), dup AS (
+  SELECT DISTINCT p.i_id AS vec_id
+  FROM p
+  JOIN nq n1 ON n1.vec_id = p.i_id
+  JOIN nq n2 ON n2.vec_id = p.j_id
+  WHERE p.dot > 0
+    AND p.dot * p.dot * {_SEMDEDUP_T[1] ** 2}
+        >= {_SEMDEDUP_T[0] ** 2} * n1.nn * n2.nn
+)
+SELECT a.vec_id, a.cid AS cluster,
+       a.vec_id IN (SELECT vec_id FROM dup) AS is_dup
+FROM a
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (stubbed decode; deterministic fake corpus)
 # --------------------------------------------------------------------------
@@ -4414,6 +4501,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "ann_topk_embeddings": {"fn": ann_topk_embeddings, "sql": ANN_TOPK_EMBEDDINGS_SQL},
         "ivf_topk_embeddings": {"fn": ivf_topk_embeddings, "sql": IVF_TOPK_EMBEDDINGS_SQL},
         "embedding_neardup": {"fn": embedding_neardup, "sql": EMBEDDING_NEARDUP_SQL},
+        "semdedup_embeddings": {
+            "fn": semdedup_embeddings, "sql": SEMDEDUP_EMBEDDINGS_SQL,
+        },
         "media_features": {"fn": media_features, "sql": MEDIA_FEATURES_SQL},
         "scalar_datetime_events": {
             "fn": scalar_datetime_events, "sql": SCALAR_DATETIME_EVENTS_SQL,
@@ -4572,6 +4662,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
     priority = [
         "cume_dist_orders",
         "var_stddev_value_by_type",
+        "semdedup_embeddings",
         "odata_full_query_events",
         "multikey_rank_events",
         "odata_arith_filter_events",

@@ -274,3 +274,83 @@ FROM t LEFT JOIN kept USING (doc_id)
     got = {int(r.doc_id): (r.text_clean, int(r.n_removed))
            for r in out.itertuples()}
     assert got == expected
+
+
+# ------------------------------------------------------------------ semdedup
+
+
+def _semdedup_naive(ids, X, seeds_idx, scale, num, den):
+    """Reference SemDeDup: O(n²) within-cluster pairwise, pure ints."""
+    Q = np.floor(X.astype(np.float64) * scale + 0.5).astype(np.int64)
+    C = Q[seeds_idx]
+    d = (
+        np.einsum("ij,ij->i", Q, Q)[:, None]
+        - 2 * (Q @ C.T)
+        + np.einsum("ij,ij->i", C, C)[None, :]
+    )
+    cl = np.argmin(d, axis=1)
+    nn = np.einsum("ij,ij->i", Q, Q)
+    order = np.argsort(ids)
+    dup = {}
+    for i in order:
+        isdup = False
+        for j in order:
+            if ids[j] >= ids[i] or cl[j] != cl[i]:
+                continue
+            dot = int(Q[i] @ Q[j])
+            if dot > 0 and dot * dot * den * den >= num * num * int(nn[i]) * int(nn[j]):
+                isdup = True
+                break
+        dup[int(ids[i])] = (int(cl[i]), isdup)
+    return dup
+
+
+@pytest.mark.parametrize("block_rows", [1, 3, 2048])
+def test_semdedup_blocked_matches_naive(ray_session, block_rows):
+    """The blocked int64 matmul kernel equals the O(n²) per-pair spec at
+    every block boundary (block_rows=1 and 3 force splits mid-cluster)."""
+    import ray
+
+    from sapray.dedup import semdedup
+
+    rng = np.random.default_rng(7)
+    n, dim = 80, 8
+    X = rng.normal(size=(n, dim))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    # inject exact copies so positives exist
+    X[40:50] = X[0:10]
+    ids = rng.permutation(n).astype(np.int64)
+    seeds = sorted(int(ids[i]) for i in (0, 25, 55))
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              pa.list_(pa.float32())),
+    })
+    Xf32 = np.stack([np.asarray(v, np.float32) for v in
+                     tbl.column("embedding").to_pylist()])
+    seeds_idx = [int(np.flatnonzero(ids == s)[0]) for s in
+                 sorted(seeds)]
+    expected = _semdedup_naive(ids, Xf32, seeds_idx, 400, 45, 100)
+    out = semdedup(
+        ray.data.from_arrow(tbl), tuple(sorted(seeds)),
+        scale=400, threshold_num=45, threshold_den=100,
+        block_rows=block_rows,
+    ).to_pandas()
+    got = {int(r.vec_id): (int(r.cluster), bool(r.is_dup))
+           for r in out.itertuples()}
+    assert got == expected
+    assert any(v[1] for v in got.values())  # positives exercised
+
+
+def test_semdedup_rejects_out_of_ball(ray_session):
+    import ray
+
+    from sapray.dedup import semdedup
+
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0.1, 0.2], [3.0, 0.0]],
+                              pa.list_(pa.float32())),
+    })
+    with pytest.raises(Exception, match="unit ball"):
+        semdedup(ray.data.from_arrow(tbl), (0,), scale=400).to_pandas()
