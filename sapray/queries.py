@@ -3282,6 +3282,35 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def nth_distinct_events(sf_dir: str):
+    """NTH_VALUE(value, 3) over the time-ordered per-user stream plus
+    COUNT(DISTINCT event_type) per user, one exchange + one sweep
+    (window.nth_value_distinct). nth_val is an exact gathered selection
+    (bit-exact doubles); the distinct count is unique-dictionary-code
+    counting per key run."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"),
+        columns=["user_id", "event_id", "ts", "value", "event_type"],
+    )
+    out = window.nth_value_distinct(
+        ds, "user_id", "ts", "event_id", "value", "event_type", n=3
+    )
+    return out.select_columns(["user_id", "event_id", "nth_val", "n_distinct"])
+
+
+NTH_DISTINCT_EVENTS_SQL = """
+SELECT user_id, event_id,
+       NTH_VALUE(value, 3) OVER w AS nth_val,
+       CAST(count(DISTINCT event_type)
+            OVER (PARTITION BY user_id) AS BIGINT) AS n_distinct
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def string_agg_events(sf_dir: str):
     """string_agg(event_type, ',' ORDER BY event_id) per user — one hash
     exchange, then ListArray run slicing + ONE pc.binary_join per
@@ -4599,6 +4628,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "first_last_events": {
             "fn": first_last_events, "sql": FIRST_LAST_EVENTS_SQL,
         },
+        "nth_distinct_events": {
+            "fn": nth_distinct_events, "sql": NTH_DISTINCT_EVENTS_SQL,
+        },
         "mode_event_type_by_user": {
             "fn": mode_event_type_by_user, "sql": MODE_EVENT_TYPE_BY_USER_SQL,
         },
@@ -4663,6 +4695,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "cume_dist_orders",
         "var_stddev_value_by_type",
         "semdedup_embeddings",
+        "nth_distinct_events",
         "odata_full_query_events",
         "multikey_rank_events",
         "odata_arith_filter_events",

@@ -271,6 +271,79 @@ def first_last_value(
     return partitioned_apply(ds, key, kernel, num_partitions)
 
 
+def nth_value_distinct(
+    ds: ray.data.Dataset,
+    key: "str | tuple[str, ...]",
+    order_column: str,
+    tiebreak_column: str,
+    value_column: str,
+    distinct_column: str,
+    n: int = 3,
+    nth_name: str = "nth_val",
+    distinct_name: str = "n_distinct",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """NTH_VALUE(value, n) OVER (PARTITION BY key ORDER BY order,
+    tiebreak ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    plus COUNT(DISTINCT distinct_column) OVER (PARTITION BY key), in one
+    exchange + one per-partition sweep.
+
+    nth_val is an exact gathered selection (NULL when the partition has
+    fewer than ``n`` rows), so float columns hash bit-exactly; the
+    distinct count dictionary-encodes the column once and counts unique
+    non-NULL codes per key run (SQL COUNT(DISTINCT) ignores NULLs) —
+    no per-group Python anywhere.
+    """
+    if n < 1:
+        raise ValueError("NTH_VALUE is 1-based; n must be >= 1")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        ov = t.column(order_column).to_numpy(zero_copy_only=False)
+        tie = t.column(tiebreak_column).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((tie, ov, codes))
+        t = t.take(pa.array(idx))
+        codes = codes[idx]
+        nrows = len(codes)
+        vals = t.column(value_column).combine_chunks()
+        if nrows == 0:
+            return t.append_column(nth_name, pa.nulls(0, vals.type)).append_column(
+                distinct_name, pa.array([], pa.int64())
+            )
+        starts = _run_starts(codes)
+        ends = np.concatenate([starts[1:], [nrows]])
+        run_id = np.searchsorted(starts, np.arange(nrows), side="right") - 1
+        nth_pos = starts[run_id] + (n - 1)
+        has = nth_pos < ends[run_id]
+        nth = vals.take(pa.array(np.where(has, nth_pos, 0)))
+        nth = pa.compute.if_else(
+            pa.array(has), nth, pa.nulls(nrows, vals.type)
+        )
+        # COUNT(DISTINCT col) per key: unique non-null dictionary codes
+        # inside each key run. Both lexsorts order primarily by `codes`,
+        # so run r in this sort IS run r in the output sort above.
+        enc = t.column(distinct_column).combine_chunks().dictionary_encode()
+        di = enc.indices
+        if di.null_count:
+            di = pa.compute.fill_null(di, -1)
+        vc = di.to_numpy(zero_copy_only=False).astype(np.int64)
+        order2 = np.lexsort((vc, codes))
+        c2, v2 = codes[order2], vc[order2]
+        newpair = np.ones(nrows, dtype=bool)
+        newpair[1:] = (c2[1:] != c2[:-1]) | (v2[1:] != v2[:-1])
+        contrib = np.concatenate(
+            [[0], np.cumsum(newpair & (v2 >= 0), dtype=np.int64)]
+        )
+        starts2 = _run_starts(c2)
+        ends2 = np.concatenate([starts2[1:], [nrows]])
+        cnt_run = contrib[ends2] - contrib[starts2]
+        return t.append_column(nth_name, nth).append_column(
+            distinct_name, pa.array(cnt_run[run_id])
+        )
+
+    return partitioned_apply(ds, key, kernel, num_partitions)
+
+
 def string_agg(
     ds: ray.data.Dataset,
     key: str,

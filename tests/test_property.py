@@ -475,12 +475,57 @@ def test_rank_functions_fuzz_vs_duckdb(ray_session):
         con.register("t", t.to_pandas())
         exp = con.execute("""
             SELECT id, DENSE_RANK() OVER w AS dr, PERCENT_RANK() OVER w AS pr,
-                   NTILE(3) OVER (PARTITION BY k ORDER BY v NULLS LAST, id) AS nt
+                   NTILE(3) OVER (PARTITION BY k ORDER BY v NULLS LAST, id) AS nt,
+                   CUME_DIST() OVER w AS cd
             FROM t WINDOW w AS (PARTITION BY k ORDER BY v NULLS LAST)
             ORDER BY id""").fetch_df().set_index("id")
         assert got["dense_rank"].tolist() == exp["dr"].tolist(), f"trial {trial}"
         assert got["percent_rank"].tolist() == exp["pr"].tolist(), f"trial {trial}"
         assert got["ntile"].tolist() == exp["nt"].tolist(), f"trial {trial}"
+        assert got["cume_dist"].tolist() == exp["cd"].tolist(), f"trial {trial}"
+
+
+def test_nth_value_distinct_fuzz_vs_duckdb(ray_session):
+    """Randomized NTH_VALUE(value, n) + COUNT(DISTINCT c) per partition
+    vs DuckDB — partitions shorter than n (NULL nth), NULLs in both the
+    value and the distinct columns (COUNT(DISTINCT) ignores NULLs),
+    all-NULL distinct groups (count 0)."""
+    import duckdb
+
+    from sapray.window import nth_value_distinct
+
+    rng = np.random.default_rng(53)
+    for trial, n_th in enumerate((1, 2, 4)):
+        n = int(rng.integers(10, 120))
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 6, n), pa.int64()),
+            "o": pa.array(rng.integers(0, 50, n), pa.int64()),
+            "v": pa.array(
+                [None if rng.random() < 0.2 else float(x)
+                 for x in rng.integers(0, 9, n)], pa.float64()),
+            "c": pa.array(
+                [None if rng.random() < 0.3 else f"s{x}"
+                 for x in rng.integers(0, 4, n)], pa.string()),
+            "id": pa.array(np.arange(n), pa.int64()),
+        })
+        got = nth_value_distinct(
+            ray.data.from_arrow(t).repartition(3), "k", "o", "id",
+            "v", "c", n=n_th, num_partitions=3,
+        ).to_pandas().set_index("id").sort_index()
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute(f"""
+            SELECT id, NTH_VALUE(v, {n_th}) OVER w AS nv,
+                   count(DISTINCT c) OVER (PARTITION BY k) AS nd
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY o, id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY id""").fetch_df().set_index("id")
+        import pandas as pd
+        assert got["n_distinct"].tolist() == exp["nd"].tolist(), f"trial {trial}"
+        ga, ea = got["nth_val"].tolist(), exp["nv"].tolist()
+        assert len(ga) == len(ea) and all(
+            (pd.isna(a) and pd.isna(b)) or a == b for a, b in zip(ga, ea)
+        ), f"trial {trial}"
 
 
 def test_order_by_slice_fuzz_vs_duckdb(ray_session):
