@@ -2540,6 +2540,38 @@ FROM events GROUP BY user_id
 """
 
 
+def mad_value_by_user(sf_dir: str):
+    """Median absolute deviation of value (exact cents) per user —
+    median(|x − median(x)|), both medians quantile_disc selections, one
+    exchange + one sweep (window.grouped_mad). Pure integer selections,
+    so no float hazard anywhere."""
+    from sapray import window
+
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "cents": _cents(batch.column("value")),
+        })
+
+    return window.grouped_mad(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", "cents", out_name="mad_cents",
+    )
+
+
+MAD_VALUE_BY_USER_SQL = """
+WITH p AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x FROM events
+), m AS (
+  SELECT user_id, quantile_disc(x, 0.5) AS med FROM p GROUP BY user_id
+)
+SELECT p.user_id, CAST(quantile_disc(abs(p.x - m.med), 0.5) AS BIGINT) AS mad_cents
+FROM p JOIN m USING (user_id) GROUP BY p.user_id
+"""
+
+
 def median_cont_value_by_user(sf_dir: str):
     """Per-key INTERPOLATED median (PERCENTILE_CONT 0.5) over exact
     integer cents — window.grouped_quantile_cont: the grouped_quantile
@@ -4563,6 +4595,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "median_value_by_user": {
             "fn": median_value_by_user, "sql": MEDIAN_VALUE_BY_USER_SQL,
         },
+        "mad_value_by_user": {
+            "fn": mad_value_by_user, "sql": MAD_VALUE_BY_USER_SQL,
+        },
         "median_cont_value_by_user": {
             "fn": median_cont_value_by_user, "sql": MEDIAN_CONT_VALUE_BY_USER_SQL,
         },
@@ -4696,6 +4731,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "var_stddev_value_by_type",
         "semdedup_embeddings",
         "nth_distinct_events",
+        "mad_value_by_user",
         "odata_full_query_events",
         "multikey_rank_events",
         "odata_arith_filter_events",

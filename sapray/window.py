@@ -626,6 +626,78 @@ def grouped_quantile(
     return partitioned_apply(ds, key, kernel, num_partitions)
 
 
+def grouped_mad(
+    ds: ray.data.Dataset,
+    key: str,
+    value_column: str,
+    out_name: str = "mad",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Median absolute deviation per key — ``median(|x - median(x)|)``
+    with ``quantile_disc`` (discrete) semantics for BOTH medians.
+
+    One hash exchange, then one vectorized per-partition sweep doing two
+    selections: sort (key, value) and gather each run's median, then
+    sort (key, |x - med|) and gather again — no per-key Python, and a
+    key's rows never leave its partition (the reason this is one
+    operator, not quantile -> join -> quantile: the intermediate per-key
+    median table would need a second exchange or an unbounded-cardinality
+    broadcast at 100 TB).
+
+    NULL values are ignored (SQL aggregate semantics); a key whose
+    values are all NULL still appears, with a NULL MAD. Deviations are
+    computed in float64 when the column arrives nullable — exact for
+    integer magnitudes below 2^53 (cents corpora qualify); pass exact
+    ints if you need the full int64 range.
+    """
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vtype = t.schema.field(value_column).type
+        codes = _key_codes(t, key)
+        vals = t.column(value_column).to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(vals) if vals.dtype.kind == "f" else np.ones(
+            len(vals), dtype=bool
+        )
+        all_idx = np.lexsort((codes,))
+        roster_starts = _run_starts(codes[all_idx])
+        roster_keys = t.column(key).take(pa.array(all_idx[roster_starts]))
+        roster_codes = codes[all_idx][roster_starts]
+        vidx = np.nonzero(valid)[0]
+        idx = vidx[np.lexsort((vals[vidx], codes[vidx]))]
+        cs, vs = codes[idx], vals[idx]
+        starts = _run_starts(cs)
+        ends = np.concatenate([starts[1:], [len(cs)]])
+        sel = starts + (ends - starts - 1) // 2
+        run_id = (
+            np.searchsorted(starts, np.arange(len(cs)), side="right") - 1
+        )
+        dev = np.abs(vs - vs[sel][run_id]) if len(cs) else vs
+        idx2 = np.lexsort((dev, cs))
+        # same key multiset -> identical run boundaries after the resort
+        mad_run = dev[idx2][sel] if len(cs) else dev
+        have = cs[starts]
+        pos_in = np.searchsorted(have, roster_codes)
+        safe = np.minimum(pos_in, max(len(have) - 1, 0))
+        found = (
+            (pos_in < len(have)) & (have[safe] == roster_codes)
+            if len(have)
+            else np.zeros(len(roster_codes), dtype=bool)
+        )
+        mad_vals = (
+            pa.array(mad_run[safe]).cast(vtype)
+            if len(have)
+            else pa.nulls(len(roster_codes), vtype)
+        )
+        out = pc.if_else(
+            pa.array(found), mad_vals, pa.nulls(len(roster_codes), vtype)
+        )
+        return pa.table({key: roster_keys, out_name: out})
+
+    return partitioned_apply(ds, key, kernel, num_partitions)
+
+
 def grouped_quantile_cont(
     ds: ray.data.Dataset,
     key: str,

@@ -988,3 +988,43 @@ def test_window_rank_nan_descending_matches_duckdb(ray_session):
             descending=desc,
         ).to_pandas()
         assert dict(zip(got_t["id"], got_t["rnk"])) == exp, d
+
+
+def test_grouped_mad_fuzz_vs_duckdb(ray_session):
+    """Randomized per-key median absolute deviation vs DuckDB — NULL
+    values ignored, ALL-NULL keys still emitted with NULL MAD, float and
+    int value columns."""
+    import duckdb
+    import pandas as pd
+
+    from sapray.window import grouped_mad
+
+    rng = np.random.default_rng(59)
+    for trial in range(3):
+        n = int(rng.integers(12, 140))
+        vals = [None if rng.random() < 0.2 else int(x)
+                for x in rng.integers(-50, 50, n)]
+        keys = rng.integers(0, 7, n)
+        vals = [None if keys[i] == 6 else vals[i] for i in range(n)]  # all-NULL key
+        t = pa.table({
+            "k": pa.array(keys, pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+        })
+        got = grouped_mad(
+            ray.data.from_arrow(t).repartition(3), "k", "v",
+            out_name="mad", num_partitions=3,
+        ).to_pandas().set_index("k").sort_index()
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute("""
+            WITH m AS (SELECT k, quantile_disc(v, 0.5) AS med
+                       FROM t GROUP BY k)
+            SELECT t.k, quantile_disc(abs(t.v - m.med), 0.5) AS mad
+            FROM t JOIN m USING (k) GROUP BY t.k ORDER BY t.k
+        """).fetch_df().set_index("k")
+        assert list(got.index) == list(exp.index), f"trial {trial}"
+        ga, ea = got["mad"].tolist(), exp["mad"].tolist()
+        assert all((pd.isna(a) and pd.isna(b)) or a == b
+                   for a, b in zip(ga, ea)), f"trial {trial}"
+        if 6 in got.index:
+            assert pd.isna(got.loc[6, "mad"])
