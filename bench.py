@@ -141,6 +141,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "odata_function_filter_docs",
         "geo_shapes_docs",
         "dup_ngram_remove_docs",
+        "semdedup_embeddings",
+        "mad_value_by_user",
     ]
     reg = Q.registry(os.path.basename(os.path.normpath(sf_dir)))
     out: dict[str, float] = {}
