@@ -3252,6 +3252,247 @@ FROM s
 """
 
 
+def skew_kurt_k_by_type(sf_dir: str):
+    """Grouped SKEWNESS / excess KURTOSIS (population moments) of the
+    JSON payload's k per event type, from five EXACT integer partials
+    (n, Σx, Σx², Σx³, Σx⁴) through the partial-agg combiner, finalized
+    with one closed-form IEEE expression mirrored token-for-token in the
+    oracle (streaming skew/kurt never hash-match across engines —
+    CLAUDE.md float gate). m2^1.5 is written m2·sqrt(m2) (sqrt is
+    correctly rounded IEEE; libm pow is not guaranteed to be).
+
+    Overflow bound: with |x| ≤ B the Σx⁴ partial stays inside int64 for
+    n ≤ 2⁶³/B⁴ rows per group — here B ≤ 99 so ~9.6e10 rows/group; a
+    wider domain needs a pre-scale or hi/lo split, documented here
+    rather than hidden (the same bound discipline as corr/var)."""
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_type", "props"]
+    )
+
+    def prods(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        x = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        x2 = pc.multiply(x, x)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "x": x, "x2": x2,
+            "x3": pc.multiply(x2, x),
+            "x4": pc.multiply(x2, x2),
+        })
+
+    sums = ops.grouped_aggregate(
+        ds.map_batches(prods, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        {"n": ("x", "count_valid"), "s1": ("x", "sum"), "s2": ("x2", "sum"),
+         "s3": ("x3", "sum"), "s4": ("x4", "sum")},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        f = {c: pc.cast(batch.column(c), pa.float64())
+             for c in ("n", "s1", "s2", "s3", "s4")}
+        n = f["n"]
+        mean = pc.divide(f["s1"], n)
+        r2 = pc.divide(f["s2"], n)
+        r3 = pc.divide(f["s3"], n)
+        r4 = pc.divide(f["s4"], n)
+        mm = pc.multiply(mean, mean)
+        m2 = pc.subtract(r2, mm)
+        # m3 = (r3 - (3·mean)·r2) + (2·mean)·mean²
+        m3 = pc.add(
+            pc.subtract(r3, pc.multiply(pc.multiply(pa.scalar(3.0), mean), r2)),
+            pc.multiply(pc.multiply(pa.scalar(2.0), mean), mm),
+        )
+        # m4 = ((r4 - (4·mean)·r3) + (6·mean²)·r2) - (3·mean²)·mean²
+        m4 = pc.subtract(
+            pc.add(
+                pc.subtract(
+                    r4, pc.multiply(pc.multiply(pa.scalar(4.0), mean), r3)
+                ),
+                pc.multiply(pc.multiply(pa.scalar(6.0), mm), r2),
+            ),
+            pc.multiply(pc.multiply(pa.scalar(3.0), mm), mm),
+        )
+        nulls = pa.nulls(batch.num_rows, pa.float64())
+        ok = pc.greater(m2, pa.scalar(0.0))
+        skew = pc.if_else(
+            ok, pc.divide(m3, pc.multiply(m2, pc.sqrt(m2))), nulls
+        )
+        kurt = pc.if_else(
+            ok,
+            pc.subtract(pc.divide(m4, pc.multiply(m2, m2)), pa.scalar(3.0)),
+            nulls,
+        )
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": batch.column("n"),
+            "skew_pop": skew,
+            "kurt_excess": kurt,
+        })
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+SKEW_KURT_K_BY_TYPE_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS x
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(x) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x*x) AS BIGINT) AS s2,
+         CAST(sum((x*x)*x) AS BIGINT) AS s3,
+         CAST(sum((x*x)*(x*x)) AS BIGINT) AS s4
+  FROM p GROUP BY event_type
+), f AS (
+  SELECT event_type, n,
+         s1::DOUBLE / n::DOUBLE AS mean,
+         s2::DOUBLE / n::DOUBLE AS r2,
+         s3::DOUBLE / n::DOUBLE AS r3,
+         s4::DOUBLE / n::DOUBLE AS r4
+  FROM s
+), m AS (
+  SELECT event_type, n,
+         r2 - (mean * mean) AS m2,
+         (r3 - ((3.0 * mean) * r2)) + ((2.0 * mean) * (mean * mean)) AS m3,
+         ((r4 - ((4.0 * mean) * r3)) + ((6.0 * (mean * mean)) * r2))
+           - ((3.0 * (mean * mean)) * (mean * mean)) AS m4
+  FROM f
+)
+SELECT event_type, n,
+       CASE WHEN m2 > 0.0 THEN m3 / (m2 * sqrt(m2)) END AS skew_pop,
+       CASE WHEN m2 > 0.0 THEN (m4 / (m2 * m2)) - 3.0 END AS kurt_excess
+FROM m
+"""
+
+
+def covar_value_k_by_type(sf_dir: str):
+    """Grouped COVAR_SAMP / COVAR_POP between event value (exact cents)
+    and the JSON payload's k per event type — four exact integer sums
+    (pairwise-complete rows only, SQL covariance semantics) through the
+    partial-agg combiner, one mirrored closed-form finalize."""
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_type", "value", "props"]
+    )
+
+    def prods(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("value"))
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        y = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        # pairwise-complete: SQL covariance skips a row when EITHER side
+        # is NULL; batch-filter before the sums so sx/sy match
+        keep = pc.and_kleene(pc.is_valid(x), pc.is_valid(y))
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "x": x, "y": y, "xy": pc.multiply(x, y),
+        }).filter(pc.fill_null(keep, False))
+        return t
+
+    sums = ops.grouped_aggregate(
+        ds.map_batches(prods, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        {"n": ("x", "count_valid"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+         "sxy": ("xy", "sum")},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        f = {c: pc.cast(batch.column(c), pa.float64())
+             for c in ("n", "sx", "sy", "sxy")}
+        n = f["n"]
+        num = pc.subtract(pc.multiply(n, f["sxy"]),
+                          pc.multiply(f["sx"], f["sy"]))
+        nulls = pa.nulls(batch.num_rows, pa.float64())
+        samp = pc.if_else(
+            pc.greater(n, pa.scalar(1.0)),
+            pc.divide(num, pc.multiply(n, pc.subtract(n, pa.scalar(1.0)))),
+            nulls,
+        )
+        pop = pc.if_else(
+            pc.greater(n, pa.scalar(0.0)),
+            pc.divide(num, pc.multiply(n, n)),
+            nulls,
+        )
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": batch.column("n"),
+            "covar_samp_cents": samp,
+            "covar_pop_cents": pop,
+        })
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+COVAR_VALUE_K_BY_TYPE_SQL = """
+WITH e AS (
+  SELECT event_type, value,
+         TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS y
+  FROM events
+), p AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x, y
+  FROM e WHERE value IS NOT NULL AND y IS NOT NULL
+), s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*y) AS BIGINT) AS sxy
+  FROM p GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN n > 1 THEN
+         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         / (n::DOUBLE * (n::DOUBLE - 1.0)) END AS covar_samp_cents,
+       CASE WHEN n > 0 THEN
+         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         / (n::DOUBLE * n::DOUBLE) END AS covar_pop_cents
+FROM s
+"""
+
+
+def histogram_value_events(sf_dir: str):
+    """Equi-width histogram (width_bucket analogue): $50 buckets over
+    value per event type — bucket id by exact integer cents division
+    inside the batch, counts/sums through the partial-agg combiner.
+    ONE exchange of (type, bucket) partials; bucket edges are integers
+    so both engines agree exactly (no float bin-edge ambiguity)."""
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    width = 5000  # cents
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("value"))
+        # values are non-negative here; for signed domains switch to a
+        # floor division (Arrow divide truncates toward zero)
+        b = pc.divide(x, pa.scalar(width, pa.int64()))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "bucket": b, "x": x,
+        })
+
+    agg = ops.grouped_aggregate(
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "bucket"],
+        {"n": (None, "count"), "sum_cents": ("x", "sum")},
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        lo = pc.multiply(batch.column("bucket"), pa.scalar(width, pa.int64()))
+        return batch.append_column("lo_cents", lo)
+
+    return agg.map_batches(edges, batch_format="pyarrow")
+
+
+HISTOGRAM_VALUE_EVENTS_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) // 5000 AS bucket
+  FROM events
+)
+SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_cents, bucket * 5000 AS lo_cents
+FROM p GROUP BY event_type, bucket
+"""
+
+
 def mode_event_type_by_user(sf_dir: str):
     """Per-group MODE (most frequent event_type per user, ties broken by
     value) — pure composition: partial-agg grouped count, then the
@@ -4676,6 +4917,15 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "fn": var_stddev_value_by_type,
             "sql": VAR_STDDEV_VALUE_BY_TYPE_SQL,
         },
+        "skew_kurt_k_by_type": {
+            "fn": skew_kurt_k_by_type, "sql": SKEW_KURT_K_BY_TYPE_SQL,
+        },
+        "covar_value_k_by_type": {
+            "fn": covar_value_k_by_type, "sql": COVAR_VALUE_K_BY_TYPE_SQL,
+        },
+        "histogram_value_events": {
+            "fn": histogram_value_events, "sql": HISTOGRAM_VALUE_EVENTS_SQL,
+        },
         "json_extract_events": {
             "fn": json_extract_events, "sql": JSON_EXTRACT_EVENTS_SQL,
         },
@@ -4727,6 +4977,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
     # displaced query has r1-r4 driver evidence (106/106 union, VERDICT
     # r4 summary).
     priority = [
+        "skew_kurt_k_by_type",
+        "covar_value_k_by_type",
+        "histogram_value_events",
         "cume_dist_orders",
         "var_stddev_value_by_type",
         "semdedup_embeddings",
