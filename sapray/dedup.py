@@ -1744,3 +1744,133 @@ def semdedup(
         })
 
     return partitioned_apply(assigned, "cluster", kernel, num_partitions)
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(text: str, k: int = 16, w: int = 8) -> set[int]:
+    """Reference single-doc winnowing kernel (Schleimer, Wilkerson &
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): the set of k-gram rolling-hash minima selected over
+    every window of ``w`` consecutive k-gram hashes. Winnowing's tie
+    rule (rightmost min) only affects selected POSITIONS — the selected
+    VALUE set equals the set of window minima, which is what the batched
+    path and the SQL oracle reproduce. Kept as the semantic spec for the
+    differential test, like ``MinHasher.signature``."""
+    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+    if len(b) == 0:
+        return set()
+    base = np.uint64(1099511628211)
+    pows = np.power(base, np.arange(k, dtype=np.uint64))
+    if len(b) < k:
+        return set()
+    wins = np.lib.stride_tricks.sliding_window_view(b.astype(np.uint64), k)
+    hashes = (wins * pows).sum(axis=1, dtype=np.uint64)
+    if len(hashes) < w:
+        return set()
+    mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+    return {int(np.int64(m.astype(np.int64))) for m in mins}
+
+
+def winnow_fingerprint_rows(
+    ds: ray.data.Dataset,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 16,
+    w: int = 8,
+) -> ray.data.Dataset:
+    """Distinct winnowing fingerprints per document as (id, fp) rows —
+    the MOSS-style local fingerprint sample. One concatenated-buffer
+    pass per batch (``text.rolling_window_hashes``), a w-offset
+    accumulated sliding min (O(H·w), w small), then a lexsort distinct —
+    no per-row Python. Only (id, 8-byte fp) rows leave the stage."""
+    from sapray.text import rolling_window_hashes
+
+    base = np.uint64(1099511628211)
+    pows = np.power(base, np.arange(k, dtype=np.uint64))
+    umax = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def kern(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            id_column: pa.array([], batch.schema.field(id_column).type),
+            "fp": pa.array([], pa.int64()),
+        })
+        if n == 0:
+            return empty
+        hashes, out_starts, _lens, padded = rolling_window_hashes(col, k, pows)
+        H = len(hashes)
+        c = padded - k + 1           # valid k-gram hashes per doc
+        counts = np.maximum(c - w + 1, 0)  # full winnow windows per doc
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        # sliding min over w consecutive hash slots, accumulated per
+        # offset (masked slots are uint64-max and never selected because
+        # window starts are restricted to fully-valid ranges below)
+        hpad = np.concatenate([hashes, np.full(w - 1, umax)])
+        wm = hpad[:H].copy()
+        for o in range(1, w):
+            np.minimum(wm, hpad[o : o + H], out=wm)
+        csum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=csum[1:])
+        doc_idx = np.repeat(np.arange(n), counts)
+        local = np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], counts)
+        fps = wm[np.repeat(out_starts[:-1], counts) + local]
+        order = np.lexsort((fps, doc_idx))
+        di, fv = doc_idx[order], fps[order]
+        keep = np.concatenate(
+            [[True], (di[1:] != di[:-1]) | (fv[1:] != fv[:-1])]
+        )
+        return pa.table({
+            id_column: pa.array(ids[di[keep]]),
+            "fp": pa.array(fv[keep].astype(np.int64)),
+        })
+
+    return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def winnow_pairs(
+    ds: ray.data.Dataset,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 16,
+    w: int = 8,
+    df_cap: int = 64,
+    min_shared: int = 2,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Winnowing near-dup pairs: documents sharing >= ``min_shared``
+    selected fingerprints, with fingerprints present in more than
+    ``df_cap`` documents dropped as boilerplate (the cap is part of the
+    operator's SEMANTICS — the SQL oracle applies the same HAVING
+    count <= cap — so engine and oracle agree at any scale, unlike a
+    best-effort truncation). Scale shape: only (id, fp) rows cross the
+    exchange; ONE hash route on fp (``_bucket_pairs`` run-length
+    kernel), then the (id_a, id_b) count fold through the partial-agg
+    combiner."""
+    import pyarrow.compute as pc
+
+    from sapray import ops
+
+    rows = winnow_fingerprint_rows(ds, id_column, text_column, k=k, w=w)
+    pairs = _bucket_pairs(
+        rows, ("fp",), id_column,
+        bucket_cap=df_cap, cap_mode="drop", prehashed="fp",
+        num_partitions=num_partitions,
+    )
+    shared = ops.grouped_aggregate(
+        pairs, ["id_a", "id_b"], {"n_shared": (None, "count")}
+    )
+
+    def thresh(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("n_shared"), pa.scalar(min_shared))
+        )
+
+    return shared.map_batches(thresh, batch_format="pyarrow")

@@ -550,6 +550,63 @@ def _neardup_docs(sf_dir: str) -> ray.data.Dataset:
     return base.union(dups.map_batches(perturb, batch_format="pyarrow"))
 
 
+def winnow_dedup_docs(sf_dir: str):
+    """Winnowing near-dup pairs (Schleimer et al., SIGMOD 2003) on the
+    near-duplicate-augmented corpus: per-doc distinct window-min
+    fingerprints (16-byte k-grams, window 8), boilerplate fingerprints
+    (df > 64) dropped, pairs sharing >= 2 fingerprints kept. The df cap
+    and threshold are part of the semantics and mirrored in the oracle,
+    so the comparison is exact at any scale."""
+    pairs = dedup.winnow_pairs(
+        _neardup_docs(sf_dir), k=16, w=8, df_cap=64, min_shared=2
+    )
+    return pairs
+
+
+def _winnow_sql() -> str:
+    """DuckDB recomputation of winnowing: the same rolling k-gram hash
+    as the fingerprint oracle, windowed min over 8 consecutive hashes
+    (full windows only), DISTINCT per doc, df-capped, pair-counted."""
+    m = 1 << 64
+    terms = " + ".join(
+        f"ord(substring(text, i+{j}, 1))::HUGEINT * {pow(1099511628211, j, m)}::HUGEINT"
+        for j in range(16)
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' near dup tail' AS text
+  FROM documents WHERE doc_id % 3 = 0
+), pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 15)) AS i
+  FROM aug
+), h AS (
+  SELECT doc_id, i, length(text) - 15 AS nh,
+         ({terms}) % 18446744073709551616::HUGEINT AS h
+  FROM pos
+), wm AS (
+  SELECT doc_id, i, nh,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+  FROM h
+), sel AS (
+  SELECT DISTINCT doc_id, fp FROM wm WHERE i <= nh - 7
+), df AS (
+  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 64
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sel a JOIN df USING (fp) JOIN sel b USING (fp)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM p GROUP BY id_a, id_b HAVING count(*) >= 2
+"""
+
+
+WINNOW_DEDUP_DOCS_SQL = _winnow_sql()
+
+
 def minhash_dedup_docs(sf_dir: str):
     """MinHash+LSH candidates -> exact-Jaccard verify (threshold 0.8),
     fully distributed: candidate texts reach the verifiers through keyed
@@ -4729,6 +4786,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "events_hourly": {"fn": events_hourly, "sql": EVENTS_HOURLY_SQL},
         "dedup_exact_docs": {"fn": dedup_exact_docs, "sql": DEDUP_EXACT_DOCS_SQL},
         "minhash_dedup_docs": {"fn": minhash_dedup_docs, "sql": MINHASH_DEDUP_DOCS_SQL},
+        "winnow_dedup_docs": {"fn": winnow_dedup_docs, "sql": WINNOW_DEDUP_DOCS_SQL},
         "ngram_jaccard_docs": {"fn": ngram_jaccard_docs, "sql": NGRAM_JACCARD_DOCS_SQL},
         "simhash_docs": {"fn": simhash_docs, "sql": SIMHASH_DOCS_SQL},
         "fingerprint_docs": {"fn": fingerprint_docs, "sql": FINGERPRINT_DOCS_SQL},
@@ -4977,6 +5035,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
     # displaced query has r1-r4 driver evidence (106/106 union, VERDICT
     # r4 summary).
     priority = [
+        "winnow_dedup_docs",
         "skew_kurt_k_by_type",
         "covar_value_k_by_type",
         "histogram_value_events",

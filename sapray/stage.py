@@ -205,6 +205,8 @@ class StageRegistry:
         return cls
 
     def get(self, name: str) -> type:
+        if name not in self._stages and self is REGISTRY:
+            _ensure_builtin_stages()
         if name not in self._stages:
             raise KeyError(
                 f"unknown stage {name!r}; registered: {sorted(self._stages)}"
@@ -212,7 +214,21 @@ class StageRegistry:
         return self._stages[name]
 
     def names(self) -> list[str]:
+        if self is REGISTRY:
+            _ensure_builtin_stages()
         return sorted(self._stages)
+
+
+def _ensure_builtin_stages() -> None:
+    """Import the engine modules that register built-in stages, so the
+    default REGISTRY is self-contained: ``REGISTRY.get("token_count")``
+    works without the caller having imported ``sapray.text`` first
+    (registration-on-import made lookups import-ORDER-dependent — the
+    registry looked empty in any process that touched sapray.stage
+    before sapray.queries)."""
+    import sapray.dedup  # noqa: F401 — registration on import
+    import sapray.multimodal  # noqa: F401
+    import sapray.text  # noqa: F401
 
 
 #: the default registry; ``@register_stage`` adds to it

@@ -201,43 +201,64 @@ class Fingerprint(Stage):
         n = len(col)
         if n == 0:
             return batch.append_column("fingerprint", pa.array([], pa.int64()))
-        bin_ = pc.cast(pc.fill_null(col, ""), pa.large_binary())
-        if isinstance(bin_, pa.ChunkedArray):
-            bin_ = bin_.combine_chunks()
-        offsets = np.frombuffer(bin_.buffers()[1], dtype=np.int64)[
-            bin_.offset : bin_.offset + n + 1
-        ]
-        data = np.frombuffer(bin_.buffers()[2], dtype=np.uint8)
-        lens = np.diff(offsets)
-        w = self.window
-        padded = np.maximum(lens, w)
-        out_starts = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(padded, out=out_starts[1:])
-        total = int(out_starts[-1])
-        concat = np.zeros(total, dtype=np.uint8)
-        # scatter every doc's bytes to its padded slot in one vectorized copy
-        shift = np.repeat(out_starts[:-1] - offsets[:-1], lens)
-        src = np.arange(offsets[0], offsets[-1], dtype=np.int64)
-        concat[src + shift] = data[offsets[0] : offsets[-1]]
-        # accumulate over the w window positions instead of materializing
-        # an (H, w) product array — O(H) extra memory, not O(H*w): a
-        # multi-MB-document batch would otherwise allocate ~8w bytes per
-        # text byte at once (review finding)
-        concat_u64 = concat.astype(np.uint64)
-        H = total - w + 1
-        hashes = np.zeros(H, dtype=np.uint64)
-        for i in range(w):
-            hashes += concat_u64[i : i + H] * self.pows[i]
-        spans = np.minimum(out_starts[1:], H) - out_starts[:-1]
-        pos_within = np.arange(H, dtype=np.int64) - np.repeat(out_starts[:-1], spans)
-        invalid = pos_within >= np.repeat(padded - w + 1, spans)
-        hashes[invalid] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        hashes, out_starts, lens, _padded = rolling_window_hashes(
+            col, self.window, self.pows
+        )
         fps = np.minimum.reduceat(hashes, out_starts[:-1])
         # empty / null docs fingerprint to 0 (single-doc kernel contract)
         fps[lens == 0] = 0
         return batch.append_column(
             "fingerprint", pa.array(fps.astype(np.int64))
         )
+
+
+def rolling_window_hashes(
+    col: pa.Array, window: int, pows: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared rolling-hash kernel: polynomial window hashes over every
+    document's bytes in ONE pass over the batch's concatenated
+    (zero-padded) buffers — used by :class:`Fingerprint` (global min)
+    and ``dedup.winnow_fingerprint_rows`` (windowed minima).
+
+    Returns ``(hashes, out_starts, lens, padded)``: document *i*'s hash
+    slots are the global range ``out_starts[i]..out_starts[i+1]``
+    (the last document's range is truncated to ``len(hashes)``); its
+    VALID window hashes are the first ``padded[i] - window + 1`` slots,
+    the rest already masked to uint64-max. ``col`` must be non-empty
+    and chunk-combined."""
+    n = len(col)
+    bin_ = pc.cast(pc.fill_null(col, ""), pa.large_binary())
+    if isinstance(bin_, pa.ChunkedArray):
+        bin_ = bin_.combine_chunks()
+    offsets = np.frombuffer(bin_.buffers()[1], dtype=np.int64)[
+        bin_.offset : bin_.offset + n + 1
+    ]
+    data = np.frombuffer(bin_.buffers()[2], dtype=np.uint8)
+    lens = np.diff(offsets)
+    w = window
+    padded = np.maximum(lens, w)
+    out_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(padded, out=out_starts[1:])
+    total = int(out_starts[-1])
+    concat = np.zeros(total, dtype=np.uint8)
+    # scatter every doc's bytes to its padded slot in one vectorized copy
+    shift = np.repeat(out_starts[:-1] - offsets[:-1], lens)
+    src = np.arange(offsets[0], offsets[-1], dtype=np.int64)
+    concat[src + shift] = data[offsets[0] : offsets[-1]]
+    # accumulate over the w window positions instead of materializing
+    # an (H, w) product array — O(H) extra memory, not O(H*w): a
+    # multi-MB-document batch would otherwise allocate ~8w bytes per
+    # text byte at once (review finding)
+    concat_u64 = concat.astype(np.uint64)
+    H = total - w + 1
+    hashes = np.zeros(H, dtype=np.uint64)
+    for i in range(w):
+        hashes += concat_u64[i : i + H] * pows[i]
+    spans = np.minimum(out_starts[1:], H) - out_starts[:-1]
+    pos_within = np.arange(H, dtype=np.int64) - np.repeat(out_starts[:-1], spans)
+    invalid = pos_within >= np.repeat(padded - w + 1, spans)
+    hashes[invalid] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    return hashes, out_starts, lens, padded
 
 
 @register_stage

@@ -354,3 +354,26 @@ def test_semdedup_rejects_out_of_ball(ray_session):
     })
     with pytest.raises(Exception, match="unit ball"):
         semdedup(ray.data.from_arrow(tbl), (0,), scale=400).to_pandas()
+
+
+def test_winnow_batch_matches_reference(ray_session):
+    """Batched winnow_fingerprint_rows reproduces the per-doc reference
+    winnow_fingerprints set on ASCII corpora (the oracle's ord() hash
+    matches UTF-8 bytes only on ASCII, like the fingerprint oracle)."""
+    import ray
+
+    from sapray.dedup import winnow_fingerprint_rows, winnow_fingerprints
+
+    rng = np.random.default_rng(7)
+    docs = []
+    for i in range(60):
+        n = int(rng.integers(0, 120))
+        docs.append("".join(chr(int(c)) for c in rng.integers(32, 127, n)))
+    docs += ["", None, "short", "x" * 16, "y" * 23, "z" * 24]
+    ids = list(range(len(docs)))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": docs}))
+    got = {}
+    for row in winnow_fingerprint_rows(ds, k=16, w=8).take_all():
+        got.setdefault(row["doc_id"], set()).add(row["fp"])
+    for i, t in zip(ids, docs):
+        assert got.get(i, set()) == winnow_fingerprints(t or "", k=16, w=8), i
