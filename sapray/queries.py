@@ -1811,6 +1811,42 @@ def ann_topk_embeddings(sf_dir: str):
     return similarity.brute_force_topk(ds, queries, k=10, concurrency=ops.actor_pool()[1])
 
 
+def quantized_ann_embeddings(sf_dir: str):
+    """Int8-range scalar-quantized dot-product top-k (the 4×-smaller
+    bandwidth path): one combiner pass computes the global scale, every
+    batch quantizes with floor(v·127/gmax) and scores by exact integer
+    matmul — ranking fully deterministic, mirrored floor/scale in SQL."""
+    emb = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    queries = emb.filter(pc.less(emb.column("vec_id"), 5))
+    ds = ops.read_projected(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return similarity.quantized_topk(
+        ds, queries, k=10, concurrency=ops.actor_pool()[1]
+    )
+
+
+QUANTIZED_ANN_EMBEDDINGS_SQL = """
+WITH g AS (
+  SELECT max(abs(x)) AS gmax
+  FROM (SELECT unnest(embedding::DOUBLE[]) AS x FROM embeddings)
+), qv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], v -> floor((v * 127.0) / gmax)) AS qe
+  FROM embeddings, g
+), s AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS score
+  FROM qv a CROSS JOIN qv b
+  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+), r AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 10
+"""
+
+
 ANN_TOPK_EMBEDDINGS_SQL = """
 WITH q AS (
   SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5
@@ -4859,6 +4895,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "fn": stratified_sample_docs, "sql": STRATIFIED_SAMPLE_DOCS_SQL,
         },
         "ann_topk_embeddings": {"fn": ann_topk_embeddings, "sql": ANN_TOPK_EMBEDDINGS_SQL},
+        "quantized_ann_embeddings": {
+            "fn": quantized_ann_embeddings, "sql": QUANTIZED_ANN_EMBEDDINGS_SQL,
+        },
         "ivf_topk_embeddings": {"fn": ivf_topk_embeddings, "sql": IVF_TOPK_EMBEDDINGS_SQL},
         "embedding_neardup": {"fn": embedding_neardup, "sql": EMBEDDING_NEARDUP_SQL},
         "semdedup_embeddings": {
@@ -5036,6 +5075,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
     # r4 summary).
     priority = [
         "winnow_dedup_docs",
+        "quantized_ann_embeddings",
         "skew_kurt_k_by_type",
         "covar_value_k_by_type",
         "histogram_value_events",

@@ -123,6 +123,117 @@ def brute_force_topk(
 
 
 
+class _QuantScorer:
+    """Actor-pool stage: quantized query matrix fetched once per actor;
+    each batch quantizes its vectors with the SAME broadcast scale and
+    does one integer matmul."""
+
+    def __init__(self, qref, query_ids, id_column, vec_column, k, gmax):
+        self.q = ray.get(qref)  # (nq, d) int32
+        self.query_ids = query_ids
+        self.id_column = id_column
+        self.vec_column = vec_column
+        self.k = k
+        self.gmax = gmax
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
+        v = np.floor(
+            (_to_matrix(batch.column(self.vec_column)) * 127.0) / self.gmax
+        ).astype(np.int32)
+        sims = (self.q @ v.T).astype(np.int64)  # (nq, nb) exact ints
+        nq, nb = sims.shape
+        k = min(self.k + 1, nb)  # +1: self-match removed in the reduce
+        out_q, out_n, out_s = [], [], []
+        for i in range(nq):
+            # tie-safe local top-(k+1) under the global (score desc, id)
+            # total order: any global top-k row is in its batch's local
+            # top-(k+1) under the SAME order, so the combiner is lossless
+            order = np.lexsort((ids, -sims[i]))[:k]
+            out_q.append(np.full(k, self.query_ids[i], dtype=np.int64))
+            out_n.append(ids[order])
+            out_s.append(sims[i, order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n).astype(np.int64)),
+            "score": pa.array(np.concatenate(out_s)),
+        })
+
+
+def corpus_abs_max(
+    ds: ray.data.Dataset, vec_column: str = "embedding"
+) -> float:
+    """Global max |element| over an embedding column — ONE combiner
+    pass (one float per batch reaches the driver). The quantization
+    scale; at index-build scale it would be persisted next to the
+    centroids rather than recomputed per query."""
+
+    def batch_absmax(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(vec_column))
+        val = float(np.abs(m).max()) if m.size else 0.0
+        return pa.table({"m": pa.array([val], pa.float64())})
+
+    return float(
+        ds.map_batches(batch_absmax, batch_format="pyarrow").max("m")
+    )
+
+
+def quantized_topk(
+    ds: ray.data.Dataset,
+    queries: pa.Table,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    concurrency: int = 4,
+    gmax: float | None = None,
+) -> ray.data.Dataset:
+    """Scalar-quantized (int8-range) dot-product top-k — the memory/
+    bandwidth scale path next to :func:`brute_force_topk`'s exact
+    cosine: every vector element is quantized to floor(v·127/gmax) with
+    ONE global scale, scores are exact integer dot products, so the
+    ranking is bit-reproducible and SQL-replayable (no float ordering
+    hazard at all). At 100 TB the quantized corpus is 4× smaller than
+    float32 and the int matmul is bandwidth-bound on a quarter of the
+    bytes; the scale is one metadata pass (persisted with a real index).
+
+    Output: (query_id, neighbor_id, rank, score) — rank 1..k by
+    (score desc, neighbor_id), self-matches excluded.
+    """
+    if gmax is None:
+        gmax = corpus_abs_max(ds, vec_column)
+    if gmax <= 0.0:
+        raise ValueError("quantized_topk: corpus is all-zero (gmax == 0)")
+    qids = queries.column(id_column).to_pylist()
+    qm = np.floor(
+        (_to_matrix(queries.column(vec_column)) * 127.0) / gmax
+    ).astype(np.int32)
+    qref = ray.put(qm)
+
+    partials = ds.map_batches(
+        _QuantScorer,
+        fn_constructor_args=(qref, qids, id_column, vec_column, k, gmax),
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+
+    def reduce_query(group: pd.DataFrame) -> pd.DataFrame:
+        qid = int(group["query_id"].iloc[0])
+        g = group[group["neighbor_id"] != qid]
+        g = g.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame({
+            "query_id": np.full(len(g), qid, dtype=np.int64),
+            "neighbor_id": g["neighbor_id"].to_numpy(np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "score": g["score"].to_numpy(np.int64),
+        })
+
+    return partials.groupby("query_id").map_groups(
+        reduce_query, batch_format="pandas"
+    )
+
+
 def _dataset_num_rows(ds: ray.data.Dataset) -> int:
     """Row count from read metadata when statically inferable (free for
     a parquet read); otherwise one counting pass."""
