@@ -3586,6 +3586,103 @@ FROM p GROUP BY event_type, bucket
 """
 
 
+def share_of_total_by_type(sf_dir: str):
+    """RATIO_TO_REPORT / percent-of-total: per-type exact integer cents
+    sum divided by the global sum — the grouped partials fold once, the
+    grand total folds from the SAME partials inside the finalize batch
+    (grouped output is tiny after the combiner), one IEEE division
+    mirrored in the oracle."""
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "x": _cents(batch.column("value")),
+        })
+
+    sums = ops.grouped_aggregate(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        {"sum_cents": ("x", "sum")},
+    )
+
+    # the grouped result is combiner-sized (|event_type| rows); fold the
+    # grand total on the driver side of the tiny table, not the big scan
+    tbl = pa.concat_tables(
+        ray.get(sums.to_arrow_refs()), promote_options="default"
+    )
+    total = pc.sum(tbl.column("sum_cents")).as_py() or 0
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        share = pc.divide(
+            pc.cast(batch.column("sum_cents"), pa.float64()),
+            pa.scalar(float(total)),
+        )
+        return batch.append_column("share", share)
+
+    import ray.data as rd
+
+    return rd.from_arrow(tbl).map_batches(finalize, batch_format="pyarrow")
+
+
+SHARE_OF_TOTAL_BY_TYPE_SQL = """
+WITH p AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events
+), s AS (
+  SELECT event_type, CAST(sum(x) AS BIGINT) AS sum_cents
+  FROM p GROUP BY event_type
+), g AS (SELECT CAST(sum(sum_cents) AS BIGINT) AS total FROM s)
+SELECT event_type, sum_cents, sum_cents::DOUBLE / total::DOUBLE AS share
+FROM s, g
+"""
+
+
+def hash_split_docs(sf_dir: str):
+    """Deterministic train/val/test split — THE corpus-assignment op in
+    a training-data pipeline: split by a multiplicative hash of the
+    STABLE key (Knuth's 2654435761 mod 2^32), not by row position, so
+    membership survives repartitioning/reruns and is reproducible in
+    SQL exactly. 80/10/10 by hash bucket; output is per-(split, lang)
+    counts through the combiner."""
+    ds = ops.read_projected(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang"]
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        b = (h % np.uint64(100)).astype(np.int64)
+        split = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+        return pa.table({
+            "split": pa.array(split),
+            "lang": batch.column("lang"),
+        })
+
+    return ops.grouped_aggregate(
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        ["split", "lang"],
+        {"n_docs": (None, "count")},
+    )
+
+
+HASH_SPLIT_DOCS_SQL = """
+WITH h AS (
+  SELECT lang,
+         ((doc_id::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT)
+           % 100 AS b
+  FROM documents
+), a AS (
+  SELECT CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val' ELSE 'test' END AS split, lang
+  FROM h
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM a GROUP BY split, lang
+"""
+
+
 def mode_event_type_by_user(sf_dir: str):
     """Per-group MODE (most frequent event_type per user, ties broken by
     value) — pure composition: partial-agg grouped count, then the
@@ -5023,6 +5120,12 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "histogram_value_events": {
             "fn": histogram_value_events, "sql": HISTOGRAM_VALUE_EVENTS_SQL,
         },
+        "share_of_total_by_type": {
+            "fn": share_of_total_by_type, "sql": SHARE_OF_TOTAL_BY_TYPE_SQL,
+        },
+        "hash_split_docs": {
+            "fn": hash_split_docs, "sql": HASH_SPLIT_DOCS_SQL,
+        },
         "json_extract_events": {
             "fn": json_extract_events, "sql": JSON_EXTRACT_EVENTS_SQL,
         },
@@ -5076,6 +5179,8 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
     priority = [
         "winnow_dedup_docs",
         "quantized_ann_embeddings",
+        "hash_split_docs",
+        "share_of_total_by_type",
         "skew_kurt_k_by_type",
         "covar_value_k_by_type",
         "histogram_value_events",
