@@ -3683,6 +3683,168 @@ FROM a GROUP BY split, lang
 """
 
 
+def max_concurrent_by_type(sf_dir: str):
+    """Sweep-line interval concurrency: each event opens a 5-minute
+    interval [ts, ts+300s); the max number of simultaneously-open
+    intervals per event type. Explode to ±1 boundary points in the
+    batch (2 small-int rows per event — no payload), ONE keyed exchange,
+    then a vectorized per-partition cumsum sweep with segment maxima.
+    Ends sort before starts at equal timestamps (half-open intervals),
+    the same (t, d) order the oracle's window uses."""
+    from sapray import window as W
+
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["event_type", "ts"])
+    dur = 300_000_000  # 5 min in µs
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch.column("ts"), pa.int64())
+        et = batch.column("event_type")
+        n = len(batch)
+        return pa.table({
+            "event_type": pa.concat_arrays(
+                [et.combine_chunks(), et.combine_chunks()]
+            ),
+            "t": pa.concat_arrays([
+                t.combine_chunks(),
+                pc.add(t, pa.scalar(dur, pa.int64())).combine_chunks(),
+            ]),
+            "d": pa.array(
+                np.concatenate([
+                    np.ones(n, np.int64), np.full(n, -1, np.int64)
+                ])
+            ),
+        })
+
+    pts = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sweep(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "max_concurrent": pa.array([], pa.int64()),
+            })
+        codes = W._key_codes(part, "event_type")
+        t = part.column("t").to_numpy(zero_copy_only=False)
+        d = part.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, t, codes))
+        cs = np.cumsum(d[order])
+        starts = W._run_starts(codes[order])
+        # each type's running count is the global cumsum minus the total
+        # accumulated before its segment (constant within the segment),
+        # so the per-type max is one reduceat minus that prefix
+        prefix = np.concatenate([[0], cs])[starts]
+        seg_max = np.maximum.reduceat(cs, starts) - prefix
+        first = order[starts]
+        return pa.table({
+            "event_type": part.column("event_type").take(pa.array(first)),
+            "max_concurrent": pa.array(seg_max.astype(np.int64)),
+        })
+
+    return W.partitioned_apply(pts, "event_type", sweep)
+
+
+MAX_CONCURRENT_BY_TYPE_SQL = """
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + 300000000 AS t, -1 AS d FROM events
+), c AS (
+  SELECT event_type,
+         sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+)
+SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent
+FROM c GROUP BY event_type
+"""
+
+
+def outliers_value_by_type(sf_dir: str):
+    """Z-score anomaly detection — the broadcast-stats-back-into-the-
+    row-stream pattern: pass 1 folds exact integer (n, Σx, Σx²) per
+    type through the combiner (tiny result), pass 2 re-scans with the
+    per-type mean/std BROADCAST into the batch kernel (no join shuffle)
+    and keeps |z| > 3. Both engines evaluate the identical IEEE
+    mean/std/z expressions over identical exact integers, so the float
+    boundary decides identically; std ≤ 0 / NULL groups drop their rows
+    exactly like SQL's NULL comparison."""
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_type", "event_id", "value"]
+    )
+
+    def prods(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("value"))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "x": x, "xx": pc.multiply(x, x),
+        })
+
+    sums = ops.grouped_aggregate(
+        ds.map_batches(prods, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        {"n": ("x", "count_valid"), "sx": ("x", "sum"), "sxx": ("xx", "sum")},
+    )
+    stats_tbl = pa.concat_tables(
+        ray.get(sums.to_arrow_refs()), promote_options="default"
+    )
+    stats: dict[str, tuple[float, float]] = {}
+    for row in stats_tbl.to_pylist():
+        n, sx, sxx = float(row["n"]), float(row["sx"]), float(row["sxx"])
+        if row["n"] is None or row["n"] < 2:
+            continue
+        var = (n * sxx - sx * sx) / (n * (n - 1.0))
+        if not (var > 0.0):
+            continue
+        stats[row["event_type"]] = (sx / n, float(np.sqrt(var)))
+
+    def zfilter(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").combine_chunks().dictionary_encode()
+        dict_vals = et.dictionary.to_pylist()
+        means = np.array(
+            [stats.get(v, (np.nan, np.nan))[0] for v in dict_vals], np.float64
+        )
+        stds = np.array(
+            [stats.get(v, (np.nan, np.nan))[1] for v in dict_vals], np.float64
+        )
+        codes = et.indices.to_numpy(zero_copy_only=False)
+        x = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        z = (x.astype(np.float64) - means[codes]) / stds[codes]
+        keep = np.abs(z) > 3.0  # NaN compares False, like SQL NULL
+        return pa.table({
+            "event_type": batch.column("event_type").filter(pa.array(keep)),
+            "event_id": batch.column("event_id").filter(pa.array(keep)),
+            "cents": pa.array(x[keep]),
+            "z": pa.array(z[keep]),
+        })
+
+    return ds.map_batches(zfilter, batch_format="pyarrow", zero_copy_batch=True)
+
+
+OUTLIERS_VALUE_BY_TYPE_SQL = """
+WITH p AS (
+  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(x) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sxx
+  FROM p GROUP BY event_type
+), st AS (
+  SELECT event_type, sx::DOUBLE / n::DOUBLE AS mean,
+         CASE WHEN n > 1
+               AND (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                   / (n::DOUBLE * (n::DOUBLE - 1.0)) > 0.0 THEN
+           sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                / (n::DOUBLE * (n::DOUBLE - 1.0))) END AS std
+  FROM s
+), z AS (
+  SELECT p.event_type, p.event_id, p.x AS cents,
+         (p.x::DOUBLE - st.mean) / st.std AS z
+  FROM p JOIN st USING (event_type)
+)
+SELECT event_type, event_id, cents, z FROM z WHERE abs(z) > 3.0
+"""
+
+
 def mode_event_type_by_user(sf_dir: str):
     """Per-group MODE (most frequent event_type per user, ties broken by
     value) — pure composition: partial-agg grouped count, then the
@@ -5126,6 +5288,12 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "hash_split_docs": {
             "fn": hash_split_docs, "sql": HASH_SPLIT_DOCS_SQL,
         },
+        "max_concurrent_by_type": {
+            "fn": max_concurrent_by_type, "sql": MAX_CONCURRENT_BY_TYPE_SQL,
+        },
+        "outliers_value_by_type": {
+            "fn": outliers_value_by_type, "sql": OUTLIERS_VALUE_BY_TYPE_SQL,
+        },
         "json_extract_events": {
             "fn": json_extract_events, "sql": JSON_EXTRACT_EVENTS_SQL,
         },
@@ -5181,6 +5349,8 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "quantized_ann_embeddings",
         "hash_split_docs",
         "share_of_total_by_type",
+        "max_concurrent_by_type",
+        "outliers_value_by_type",
         "skew_kurt_k_by_type",
         "covar_value_k_by_type",
         "histogram_value_events",
