@@ -3845,6 +3845,167 @@ SELECT event_type, event_id, cents, z FROM z WHERE abs(z) > 3.0
 """
 
 
+def weighted_median_value_by_user(sf_dir: str):
+    """Grouped weighted median (lower): smallest cents value whose
+    cumulative k-weight reaches ceil(total/2) per user — ONE exchange,
+    vectorized threshold sweep (window.grouped_weighted_median);
+    integer weights make the selection exact in both engines."""
+    from sapray import window as W
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["user_id", "value", "props"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "v": _cents(batch.column("value")),
+            "w": pc.cast(pc.struct_field(m, "k"), pa.int64()),
+        })
+
+    return W.grouped_weighted_median(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", "v", "w", out_name="wmedian_cents",
+    )
+
+
+WEIGHTED_MEDIAN_VALUE_BY_USER_SQL = """
+WITH p AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS w
+  FROM events
+), c AS (
+  SELECT user_id, v,
+         sum(w) OVER (PARTITION BY user_id ORDER BY v) AS cw,
+         sum(w) OVER (PARTITION BY user_id) AS tw
+  FROM p
+)
+SELECT user_id, CAST(min(v) AS BIGINT) AS wmedian_cents
+FROM c WHERE tw > 0 AND cw >= (tw + 1) // 2
+GROUP BY user_id
+"""
+
+
+def bitwise_agg_by_user(sf_dir: str):
+    """BIT_OR / BIT_AND / BIT_XOR grouped aggregates — associative
+    folds Arrow's hash aggregation lacks: each batch pre-folds its rows
+    per key with reduceat bitwise kernels (a combiner — only one partial
+    row per (key, batch) crosses), then ONE keyed exchange folds the
+    partials with the same kernel. The mask is 1 << (k % 16), so XOR is
+    a parity fingerprint and OR a seen-set."""
+    from sapray import window as W
+
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "props"])
+
+    def fold(t: pa.Table, cols: tuple[str, ...]) -> pa.Table:
+        codes = W._key_codes(t, "user_id")
+        order = np.lexsort((codes,))
+        starts = W._run_starts(codes[order])
+        out = {"user_id": t.column("user_id").take(pa.array(order[starts]))}
+        for name, op in zip(cols, (np.bitwise_or, np.bitwise_and,
+                                   np.bitwise_xor)):
+            v = t.column(name if name in t.column_names else "m").to_numpy(
+                zero_copy_only=False
+            )
+            out[name] = pa.array(op.reduceat(v[order], starts))
+        return pa.table(out)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        mask = pc.shift_left(pa.scalar(1, pa.int64()), _mod(k, 16))
+        t = pa.table({"user_id": batch.column("user_id"), "m": mask})
+        if t.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "bor": pa.array([], pa.int64()),
+                "band": pa.array([], pa.int64()),
+                "bxor": pa.array([], pa.int64()),
+            })
+        return fold(t, ("bor", "band", "bxor"))
+
+    partials = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "bor": pa.array([], pa.int64()),
+                "band": pa.array([], pa.int64()),
+                "bxor": pa.array([], pa.int64()),
+            })
+        return fold(t, ("bor", "band", "bxor"))
+
+    return W.partitioned_apply(partials, "user_id", final)
+
+
+BITWISE_AGG_BY_USER_SQL = """
+WITH p AS (
+  SELECT user_id,
+         (1::BIGINT << (CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                             AS BIGINT) % 16)) AS m
+  FROM events
+)
+SELECT user_id, CAST(bit_or(m) AS BIGINT) AS bor,
+       CAST(bit_and(m) AS BIGINT) AS band,
+       CAST(bit_xor(m) AS BIGINT) AS bxor
+FROM p GROUP BY user_id
+"""
+
+
+def bool_agg_by_user(sf_dir: str):
+    """BOOL_OR / BOOL_AND as max/min of 0-1 indicators through the
+    existing partial-agg combiner — no new shuffle primitive: any
+    boolean aggregate is an extreme of its indicator."""
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["user_id", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("value"))
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "over": pc.cast(
+                pc.greater(x, pa.scalar(10_000, pa.int64())), pa.int8()
+            ),
+            "pos": pc.cast(
+                pc.greater(x, pa.scalar(0, pa.int64())), pa.int8()
+            ),
+        })
+
+    agg = ops.grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        {"any_over_100": ("over", "max"), "all_positive": ("pos", "min")},
+    )
+
+    def to_bool(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "any_over_100": pc.cast(
+                pc.equal(batch.column("any_over_100"), pa.scalar(1)),
+                pa.bool_(),
+            ),
+            "all_positive": pc.cast(
+                pc.equal(batch.column("all_positive"), pa.scalar(1)),
+                pa.bool_(),
+            ),
+        })
+
+    return agg.map_batches(to_bool, batch_format="pyarrow")
+
+
+BOOL_AGG_BY_USER_SQL = """
+WITH p AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x FROM events
+)
+SELECT user_id, bool_or(x > 10000) AS any_over_100,
+       bool_and(x > 0) AS all_positive
+FROM p GROUP BY user_id
+"""
+
+
 def mode_event_type_by_user(sf_dir: str):
     """Per-group MODE (most frequent event_type per user, ties broken by
     value) — pure composition: partial-agg grouped count, then the
@@ -5291,6 +5452,16 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "max_concurrent_by_type": {
             "fn": max_concurrent_by_type, "sql": MAX_CONCURRENT_BY_TYPE_SQL,
         },
+        "weighted_median_value_by_user": {
+            "fn": weighted_median_value_by_user,
+            "sql": WEIGHTED_MEDIAN_VALUE_BY_USER_SQL,
+        },
+        "bitwise_agg_by_user": {
+            "fn": bitwise_agg_by_user, "sql": BITWISE_AGG_BY_USER_SQL,
+        },
+        "bool_agg_by_user": {
+            "fn": bool_agg_by_user, "sql": BOOL_AGG_BY_USER_SQL,
+        },
         "outliers_value_by_type": {
             "fn": outliers_value_by_type, "sql": OUTLIERS_VALUE_BY_TYPE_SQL,
         },
@@ -5351,6 +5522,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "share_of_total_by_type",
         "max_concurrent_by_type",
         "outliers_value_by_type",
+        "weighted_median_value_by_user",
+        "bitwise_agg_by_user",
+        "bool_agg_by_user",
         "skew_kurt_k_by_type",
         "covar_value_k_by_type",
         "histogram_value_events",

@@ -1064,3 +1064,60 @@ def trailing_counts(
         return out.append_column(out_name, pa.array(counts))
 
     return partitioned_apply(ds, key, kernel, num_partitions)
+
+
+def grouped_weighted_median(
+    ds: ray.data.Dataset,
+    key: "str | tuple[str, ...]",
+    value_column: str,
+    weight_column: str,
+    out_name: str = "wmedian",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Lower weighted median per key: the smallest value whose
+    cumulative weight (values ascending) reaches ceil(total/2).
+
+    ONE hash exchange, then a vectorized per-partition sweep — sort by
+    (key, value), segmented cumulative weights, the first
+    threshold-crossing row per key via a reduceat arg-min — no per-key
+    Python. Integer weights keep the selection EXACT, so the SQL replay
+    (windowed cumulative weight + min-over-threshold) matches
+    bit-for-bit; keys whose total weight is 0 are dropped, mirroring
+    the oracle's WHERE tw > 0."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            **{k: pa.array([], t.schema.field(k).type)
+               for k in _key_tuple(key)},
+            out_name: pa.array([], t.schema.field(value_column).type),
+        })
+        if t.num_rows == 0:
+            return empty
+        codes = _key_codes(t, key)
+        v = t.column(value_column).to_numpy(zero_copy_only=False)
+        w = (
+            t.column(weight_column)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.lexsort((v, codes))
+        c_s, w_s = codes[order], w[order]
+        n = len(c_s)
+        starts = _run_starts(c_s)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        cw = np.cumsum(w_s)
+        seg_cw = cw - np.repeat(np.concatenate([[0], cw])[starts], lens)
+        tw = np.add.reduceat(w_s, starts)
+        thresh = np.repeat((tw + 1) // 2, lens)
+        sat = np.where(seg_cw >= thresh, np.arange(n), n)
+        first = np.minimum.reduceat(sat, starts)
+        have = (first < n) & (tw > 0)
+        sel = pa.array(order[first[have]])
+        key_rows = pa.array(order[starts[have]])
+        out = {
+            k: t.column(k).take(key_rows) for k in _key_tuple(key)
+        }
+        out[out_name] = t.column(value_column).take(sel)
+        return pa.table(out)
+
+    return partitioned_apply(ds, key, kernel, num_partitions)

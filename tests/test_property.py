@@ -1028,3 +1028,40 @@ def test_grouped_mad_fuzz_vs_duckdb(ray_session):
                    for a, b in zip(ga, ea)), f"trial {trial}"
         if 6 in got.index:
             assert pd.isna(got.loc[6, "mad"])
+
+
+def test_weighted_median_fuzz_vs_duckdb(ray_session):
+    """Randomized grouped weighted median (lower) vs DuckDB's cumulative
+    threshold formulation, including zero weights, all-zero-weight keys
+    (dropped), and heavy value ties."""
+    import duckdb
+
+    from sapray.window import grouped_weighted_median
+
+    rng = np.random.default_rng(83)
+    for trial in range(3):
+        n = int(rng.integers(20, 160))
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 5, n), pa.int64()),
+            "v": pa.array(rng.integers(-4, 5, n), pa.int64()),
+            "w": pa.array(rng.integers(0, 4, n), pa.int64()),
+        })
+        got = (
+            grouped_weighted_median(
+                ray.data.from_arrow(t), "k", "v", "w",
+                out_name="m", num_partitions=3,
+            )
+            .to_pandas().set_index("k")["m"].sort_index()
+        )
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute("""
+            WITH c AS (
+              SELECT k, v, sum(w) OVER (PARTITION BY k ORDER BY v) AS cw,
+                     sum(w) OVER (PARTITION BY k) AS tw
+              FROM t
+            )
+            SELECT k, min(v) AS m FROM c
+            WHERE tw > 0 AND cw >= (tw + 1) // 2
+            GROUP BY k ORDER BY k""").fetch_df().set_index("k")["m"]
+        assert got.tolist() == exp.tolist(), f"trial {trial}"
