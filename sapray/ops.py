@@ -2388,3 +2388,56 @@ def profile_columns(
     merged["n_distinct"] = merged["n_distinct"].fillna(0).astype("int64")
     merged = merged.sort_values("col_name").reset_index(drop=True)
     return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def kmv_distinct_sketch(
+    ds: ray.data.Dataset, column: str, k: int = 64
+) -> ray.data.Dataset:
+    """KMV / bottom-k distinct-count sketch (Bar-Yossef et al. 2002):
+    keep the ``k`` smallest DISTINCT hashes of the key; the estimator is
+    the order statistic ``(k-1)·2^64 / h_k``. The distributed shape is
+    the HLL pattern — a per-batch bottom-k combiner means at most ``k``
+    8-byte hashes per batch reach the driver fold — but unlike HLL the
+    whole sketch is EXACTLY SQL-replayable: the multiplicative hash
+    (odd Fibonacci multiplier mod 2^64) is a bijection and the k-th
+    minimum is an exact selection, so engine and oracle agree
+    bit-for-bit on both the sketch and the float estimate.
+
+    Keys must be non-negative integers (the oracle's HUGEINT modulo
+    follows the dividend's sign, numpy's uint64 cast wraps). When fewer
+    than ``k`` distinct keys exist the sketch IS the exact set and the
+    estimate is that exact count.
+    """
+    mult = np.uint64(11400714819323198485)
+
+    def bottom(batch: pa.Table) -> pa.Table:
+        v = (
+            batch.column(column)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        h = np.unique(v * mult)  # wraps mod 2^64; unique sorts unsigned
+        return pa.table({"h": pa.array(h[:k])})
+
+    parts = ds.map_batches(bottom, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables(
+        ray.get(parts.to_arrow_refs()), promote_options="default"
+    )
+    u = np.unique(tbl.column("h").to_numpy(zero_copy_only=False))
+    sk = u[:k]
+    n_seen = int(len(sk))
+    if n_seen == 0:
+        est, hk = 0.0, 0
+    elif n_seen < k:
+        est, hk = float(n_seen), int(sk[-1].astype(np.int64))
+    else:
+        hkf = float(sk[-1])
+        est = (float(k - 1) * 18446744073709551616.0) / hkf
+        hk = int(sk[-1].astype(np.int64))
+    out = pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_seen": pa.array([n_seen], pa.int64()),
+        "hk": pa.array([hk], pa.int64()),
+        "est_distinct": pa.array([est], pa.float64()),
+    })
+    return ray.data.from_arrow(out)

@@ -4006,6 +4006,83 @@ FROM p GROUP BY user_id
 """
 
 
+def topk_with_ties_events(sf_dir: str):
+    """Top-3 WITH TIES per user (RANK() <= 3, ties included — the SQL
+    semantics ROW_NUMBER top-k silently drops): the rank_functions
+    sweep's tie-sharing rank, filtered. Many ties by construction (k is
+    a small int), so the result genuinely differs from row-number
+    top-k."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["user_id", "event_id", "props"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "k": pc.cast(pc.struct_field(m, "k"), pa.int64()),
+        })
+
+    out = window.rank_functions(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", "k", "event_id", descending=True,
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.less_equal(batch.column("rank"), pa.scalar(3))
+        ).select(["user_id", "event_id", "k", "rank"])
+
+    return out.map_batches(keep, batch_format="pyarrow")
+
+
+TOPK_WITH_TIES_EVENTS_SQL = """
+WITH p AS (
+  SELECT user_id, event_id,
+         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+  FROM events
+), r AS (
+  SELECT user_id, event_id, k,
+         RANK() OVER (PARTITION BY user_id ORDER BY k DESC) AS rank
+  FROM p
+)
+SELECT user_id, event_id, k, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+def kmv_distinct_events(sf_dir: str):
+    """KMV bottom-64 distinct sketch over event_id — the exactly-
+    replayable cousin of the HLL gate: per-batch bottom-k combiner,
+    driver fold of at most 64 hashes per batch, order-statistic
+    estimator mirrored in SQL bit-for-bit."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["event_id"])
+    return ops.kmv_distinct_sketch(ds, "event_id", k=64)
+
+
+KMV_DISTINCT_EVENTS_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT ((event_id::HUGEINT * 11400714819323198485::HUGEINT)
+                   % 18446744073709551616::HUGEINT) AS h
+  FROM events
+), b AS (
+  SELECT h FROM h ORDER BY h LIMIT 64
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_seen, max(h) AS hku FROM b
+)
+SELECT 64::BIGINT AS k, n_seen,
+       {_uint64_to_bigint_sql('COALESCE(hku, 0::HUGEINT)')} AS hk,
+       CASE WHEN n_seen = 0 THEN 0.0
+            WHEN n_seen < 64 THEN n_seen::DOUBLE
+            ELSE (63.0 * 18446744073709551616.0) / hku::DOUBLE
+       END AS est_distinct
+FROM s
+"""
+
+
 def mode_event_type_by_user(sf_dir: str):
     """Per-group MODE (most frequent event_type per user, ties broken by
     value) — pure composition: partial-agg grouped count, then the
@@ -5462,6 +5539,12 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "bool_agg_by_user": {
             "fn": bool_agg_by_user, "sql": BOOL_AGG_BY_USER_SQL,
         },
+        "topk_with_ties_events": {
+            "fn": topk_with_ties_events, "sql": TOPK_WITH_TIES_EVENTS_SQL,
+        },
+        "kmv_distinct_events": {
+            "fn": kmv_distinct_events, "sql": KMV_DISTINCT_EVENTS_SQL,
+        },
         "outliers_value_by_type": {
             "fn": outliers_value_by_type, "sql": OUTLIERS_VALUE_BY_TYPE_SQL,
         },
@@ -5525,6 +5608,8 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "weighted_median_value_by_user",
         "bitwise_agg_by_user",
         "bool_agg_by_user",
+        "topk_with_ties_events",
+        "kmv_distinct_events",
         "skew_kurt_k_by_type",
         "covar_value_k_by_type",
         "histogram_value_events",

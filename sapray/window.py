@@ -223,7 +223,8 @@ def rank_functions(
         val_end = vends[np.cumsum(new_val) - 1] if len(codes) else pos
         cume = (val_end - run_start) / np.maximum(n, 1)
         return (
-            t.append_column("dense_rank", pa.array(dense + 1))
+            t.append_column("rank", pa.array(rank_ties))
+            .append_column("dense_rank", pa.array(dense + 1))
             .append_column("percent_rank", pa.array(pct, pa.float64()))
             .append_column("ntile", pa.array(tile))
             .append_column("cume_dist", pa.array(cume, pa.float64()))

@@ -474,11 +474,13 @@ def test_rank_functions_fuzz_vs_duckdb(ray_session):
         con = duckdb.connect()
         con.register("t", t.to_pandas())
         exp = con.execute("""
-            SELECT id, DENSE_RANK() OVER w AS dr, PERCENT_RANK() OVER w AS pr,
+            SELECT id, RANK() OVER w AS rk,
+                   DENSE_RANK() OVER w AS dr, PERCENT_RANK() OVER w AS pr,
                    NTILE(3) OVER (PARTITION BY k ORDER BY v NULLS LAST, id) AS nt,
                    CUME_DIST() OVER w AS cd
             FROM t WINDOW w AS (PARTITION BY k ORDER BY v NULLS LAST)
             ORDER BY id""").fetch_df().set_index("id")
+        assert got["rank"].tolist() == exp["rk"].tolist(), f"trial {trial}"
         assert got["dense_rank"].tolist() == exp["dr"].tolist(), f"trial {trial}"
         assert got["percent_rank"].tolist() == exp["pr"].tolist(), f"trial {trial}"
         assert got["ntile"].tolist() == exp["nt"].tolist(), f"trial {trial}"
