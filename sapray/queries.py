@@ -4083,6 +4083,82 @@ FROM s
 """
 
 
+def first_last_ignore_nulls_events(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE with IGNORE NULLS — the SQL variant the
+    plain boundary gather can't express: nulls injected deterministically
+    (k % 7 == 0), the kernel's reduceat arg-extreme skips them, all-NULL
+    partitions stay NULL. Exact selections, bit-exact doubles."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"),
+        columns=["user_id", "event_id", "ts", "value", "props"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        x = _cents(batch.column("value"))
+        v = pc.if_else(
+            pc.equal(_mod(k, 7), pa.scalar(0, pa.int64())),
+            pa.nulls(len(batch), pa.int64()), x,
+        )
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "ts": batch.column("ts"),
+            "v": v,
+        })
+
+    out = window.first_last_value(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", "ts", "event_id", "v",
+        first_name="first_nn", last_name="last_nn", ignore_nulls=True,
+    )
+    return out.select_columns(["user_id", "event_id", "first_nn", "last_nn"])
+
+
+FIRST_LAST_IGNORE_NULLS_EVENTS_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                   AS BIGINT) % 7 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS v
+  FROM events
+)
+SELECT user_id, event_id,
+       FIRST_VALUE(v IGNORE NULLS) OVER w AS first_nn,
+       LAST_VALUE(v IGNORE NULLS) OVER w AS last_nn
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def string_agg_distinct_events(sf_dir: str):
+    """string_agg(DISTINCT type ORDER BY type) per user — pure
+    composition: the distributed distinct pair exchange feeds the
+    zero-copy ListArray string_agg; ordering by the value itself makes
+    DISTINCT + ORDER BY legal in both engines."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    pairs = ops.distinct(ds, ["user_id", "event_type"])
+    return window.string_agg(
+        pairs, "user_id", "event_type", "event_type",
+        sep=",", out_name="types",
+    )
+
+
+STRING_AGG_DISTINCT_EVENTS_SQL = """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+FROM events GROUP BY user_id
+"""
+
+
 def mode_event_type_by_user(sf_dir: str):
     """Per-group MODE (most frequent event_type per user, ties broken by
     value) — pure composition: partial-agg grouped count, then the
@@ -5545,6 +5621,14 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "kmv_distinct_events": {
             "fn": kmv_distinct_events, "sql": KMV_DISTINCT_EVENTS_SQL,
         },
+        "first_last_ignore_nulls_events": {
+            "fn": first_last_ignore_nulls_events,
+            "sql": FIRST_LAST_IGNORE_NULLS_EVENTS_SQL,
+        },
+        "string_agg_distinct_events": {
+            "fn": string_agg_distinct_events,
+            "sql": STRING_AGG_DISTINCT_EVENTS_SQL,
+        },
         "outliers_value_by_type": {
             "fn": outliers_value_by_type, "sql": OUTLIERS_VALUE_BY_TYPE_SQL,
         },
@@ -5610,6 +5694,8 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "bool_agg_by_user",
         "topk_with_ties_events",
         "kmv_distinct_events",
+        "first_last_ignore_nulls_events",
+        "string_agg_distinct_events",
         "skew_kurt_k_by_type",
         "covar_value_k_by_type",
         "histogram_value_events",

@@ -242,13 +242,21 @@ def first_last_value(
     first_name: str = "first_val",
     last_name: str = "last_val",
     num_partitions: int | None = None,
+    ignore_nulls: bool = False,
 ) -> ray.data.Dataset:
     """FIRST_VALUE / LAST_VALUE OVER (PARTITION BY key ORDER BY order,
     tiebreak ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     — exact selections gathered from each key run's boundary rows, so
-    float columns compare bit-exactly across engines."""
+    float columns compare bit-exactly across engines.
+
+    ``ignore_nulls=True`` is SQL's IGNORE NULLS: the first/last NON-NULL
+    value in the frame (NULL when the whole partition is NULL) — the
+    boundary gather becomes a reduceat arg-extreme over the valid mask,
+    still no per-key Python."""
 
     def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         codes = _key_codes(t, key)
         ov = t.column(order_column).to_numpy(zero_copy_only=False)
         tie = t.column(tiebreak_column).to_numpy(zero_copy_only=False)
@@ -265,8 +273,29 @@ def first_last_value(
         starts = _run_starts(codes)
         ends = np.concatenate([starts[1:], [n]])
         run_id = np.searchsorted(starts, np.arange(n), side="right") - 1
-        first = vals.take(pa.array(starts[run_id]))
-        last = vals.take(pa.array(ends[run_id] - 1))
+        if not ignore_nulls:
+            first = vals.take(pa.array(starts[run_id]))
+            last = vals.take(pa.array(ends[run_id] - 1))
+            return (
+                t.append_column(first_name, first)
+                .append_column(last_name, last)
+            )
+        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        pos = np.arange(n, dtype=np.int64)
+        fidx = np.minimum.reduceat(np.where(valid, pos, n), starts)
+        lidx = np.maximum.reduceat(np.where(valid, pos, -1), starts)
+        has = fidx < n
+        # all-NULL runs gather slot 0 then get masked back to NULL
+        first = pc.if_else(
+            pa.array(has[run_id]),
+            vals.take(pa.array(np.where(has, fidx, 0)[run_id])),
+            pa.nulls(n, vals.type),
+        )
+        last = pc.if_else(
+            pa.array(has[run_id]),
+            vals.take(pa.array(np.where(has, lidx, 0)[run_id])),
+            pa.nulls(n, vals.type),
+        )
         return t.append_column(first_name, first).append_column(last_name, last)
 
     return partitioned_apply(ds, key, kernel, num_partitions)
