@@ -143,6 +143,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "dup_ngram_remove_docs",
         "semdedup_embeddings",
         "mad_value_by_user",
+        "winnow_dedup_docs",
+        "quantized_ann_embeddings",
     ]
     reg = Q.registry(os.path.basename(os.path.normpath(sf_dir)))
     out: dict[str, float] = {}

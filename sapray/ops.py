@@ -2423,6 +2423,10 @@ def kmv_distinct_sketch(
     tbl = pa.concat_tables(
         ray.get(parts.to_arrow_refs()), promote_options="default"
     )
+    if "h" not in tbl.column_names:
+        # an all-empty input yields zero-COLUMN blocks (empty blocks
+        # bypass the UDF — the dedup_keep_best_docs lesson)
+        tbl = pa.table({"h": pa.array([], pa.uint64())})
     u = np.unique(tbl.column("h").to_numpy(zero_copy_only=False))
     sk = u[:k]
     n_seen = int(len(sk))

@@ -208,3 +208,33 @@ def test_rollup_schemaless_empty_raises_actionable(ray_session):
         ops.rollup_aggregate(ds, ["g"], spec)
     with pytest.raises(ValueError, match="no schema"):
         ops.grouping_sets_aggregate(ds, ["g"], [("g",), ()], spec)
+
+
+def test_round5_new_ops_empty(ray_session):
+    """Round-5 additions follow the same SQL empty-input contract:
+    winnow / weighted median / bitwise fold / sweep-line emit zero rows;
+    the KMV sketch emits its one summary row with the exact-count branch
+    (n_seen = 0, est 0.0)."""
+    from sapray import dedup, ops
+    from sapray.window import grouped_weighted_median
+
+    docs = ray.data.from_arrow(_empty_docs())
+    assert dedup.winnow_fingerprint_rows(docs).count() == 0
+    assert dedup.winnow_pairs(docs).count() == 0
+
+    wm = ray.data.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "v": pa.array([], pa.int64()),
+        "w": pa.array([], pa.int64()),
+    }))
+    assert grouped_weighted_median(
+        wm, "k", "v", "w", num_partitions=2
+    ).count() == 0
+
+    kmv = ops.kmv_distinct_sketch(
+        ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())})),
+        "x", k=8,
+    ).take_all()
+    assert kmv == [
+        {"k": 8, "n_seen": 0, "hk": 0, "est_distinct": 0.0}
+    ]
