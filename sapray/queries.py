@@ -4159,6 +4159,98 @@ FROM events GROUP BY user_id
 """
 
 
+def rolling_z_events(sf_dir: str):
+    """Rolling z-score over a ROWS window (per user, last 10 events):
+    windowed Σx and Σx² integer prefix-sums in ONE per-partition sweep,
+    then the closed-form sample-variance z — streaming stddev OVER would
+    never hash-match across engines, but identical IEEE arithmetic over
+    identical exact integer window sums does (the var/corr recipe lifted
+    into a moving frame)."""
+    from sapray import window as W
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    )
+    preceding = 9
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "ts": batch.column("ts"),
+            "x": _cents(batch.column("value")),
+        })
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "z": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        codes = W._key_codes(t, "user_id")
+        ov = t.column("ts").to_numpy(zero_copy_only=False)
+        tie = t.column("event_id").to_numpy(zero_copy_only=False)
+        idx = np.lexsort((tie, ov, codes))
+        t = t.take(pa.array(idx))
+        codes = codes[idx]
+        n = len(codes)
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.cumsum(x)
+        cs2 = np.cumsum(x * x)
+        starts = W._run_starts(codes)
+        pos = np.arange(n, dtype=np.int64)
+        run_start = starts[np.searchsorted(starts, pos, side="right") - 1]
+        fstart = np.maximum(run_start, pos - preceding)
+        sx = cs - np.where(fstart > 0, cs[fstart - 1], 0)
+        sxx = cs2 - np.where(fstart > 0, cs2[fstart - 1], 0)
+        cnt = (pos - fstart + 1).astype(np.float64)
+        sxf, sxxf, xf = (
+            sx.astype(np.float64), sxx.astype(np.float64),
+            x.astype(np.float64),
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = (cnt * sxxf - sxf * sxf) / (cnt * (cnt - 1.0))
+            z = (xf - (sxf / cnt)) / np.sqrt(var)
+        ok = (cnt > 1.0) & (var > 0.0)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "z": pa.array(np.where(ok, z, np.nan), pa.float64(), mask=~ok),
+        })
+
+    return W.partitioned_apply(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", kernel,
+    )
+
+
+ROLLING_Z_EVENTS_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+), w AS (
+  SELECT user_id, event_id, x,
+         CAST(sum(x) OVER fr AS BIGINT) AS sx,
+         CAST(sum(x*x) OVER fr AS BIGINT) AS sxx,
+         CAST(count(*) OVER fr AS BIGINT) AS cnt
+  FROM p
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       CASE WHEN cnt > 1
+             AND (cnt::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                 / (cnt::DOUBLE * (cnt::DOUBLE - 1.0)) > 0.0 THEN
+         (x::DOUBLE - (sx::DOUBLE / cnt::DOUBLE))
+         / sqrt((cnt::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                / (cnt::DOUBLE * (cnt::DOUBLE - 1.0)))
+       END AS z
+FROM w
+"""
+
+
 def mode_event_type_by_user(sf_dir: str):
     """Per-group MODE (most frequent event_type per user, ties broken by
     value) — pure composition: partial-agg grouped count, then the
@@ -5629,6 +5721,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
             "fn": string_agg_distinct_events,
             "sql": STRING_AGG_DISTINCT_EVENTS_SQL,
         },
+        "rolling_z_events": {
+            "fn": rolling_z_events, "sql": ROLLING_Z_EVENTS_SQL,
+        },
         "outliers_value_by_type": {
             "fn": outliers_value_by_type, "sql": OUTLIERS_VALUE_BY_TYPE_SQL,
         },
@@ -5696,6 +5791,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "kmv_distinct_events",
         "first_last_ignore_nulls_events",
         "string_agg_distinct_events",
+        "rolling_z_events",
         "skew_kurt_k_by_type",
         "covar_value_k_by_type",
         "histogram_value_events",
