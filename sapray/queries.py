@@ -563,24 +563,21 @@ def winnow_dedup_docs(sf_dir: str):
     return pairs
 
 
-def _winnow_sql() -> str:
-    """DuckDB recomputation of winnowing: the same rolling k-gram hash
-    as the fingerprint oracle, windowed min over 8 consecutive hashes
-    (full windows only), DISTINCT per doc, df-capped, pair-counted."""
+def _winnow_pairs_cte(source: str) -> str:
+    """The winnowing pair computation as chained CTE bodies over a
+    ``source`` CTE exposing (doc_id, text) — shared by the standalone
+    gate and the release-composite oracle. The final CTE is ``wpairs``:
+    the same rolling k-gram hash as the fingerprint oracle, windowed min
+    over 8 consecutive hashes (full windows only), DISTINCT per doc,
+    df-capped, pair-counted at threshold 2."""
     m = 1 << 64
     terms = " + ".join(
         f"ord(substring(text, i+{j}, 1))::HUGEINT * {pow(1099511628211, j, m)}::HUGEINT"
         for j in range(16)
     )
-    return f"""
-WITH aug AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text || ' near dup tail' AS text
-  FROM documents WHERE doc_id % 3 = 0
-), pos AS (
+    return f"""pos AS (
   SELECT doc_id, text, unnest(generate_series(1, length(text) - 15)) AS i
-  FROM aug
+  FROM {source}
 ), h AS (
   SELECT doc_id, i, length(text) - 15 AS nh,
          ({terms}) % 18446744073709551616::HUGEINT AS h
@@ -598,9 +595,21 @@ WITH aug AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sel a JOIN df USING (fp) JOIN sel b USING (fp)
   WHERE a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
-FROM p GROUP BY id_a, id_b HAVING count(*) >= 2
+), wpairs AS (
+  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM p GROUP BY id_a, id_b HAVING count(*) >= 2
+)"""
+
+
+def _winnow_sql() -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' near dup tail' AS text
+  FROM documents WHERE doc_id % 3 = 0
+), {_winnow_pairs_cte('aug')}
+SELECT id_a, id_b, n_shared FROM wpairs
 """
 
 
@@ -4251,6 +4260,71 @@ FROM w
 """
 
 
+def release_corpus_docs(sf_dir: str):
+    """The canonical training-data RELEASE flow as one gated composite:
+    length-filter -> winnowing near-dup dedup (keep the LOWEST doc_id of
+    every near-dup pair) -> deterministic hash split -> per-(split,
+    lang) counts and char budgets. The dup set is combiner-sized (pair
+    ids only) and broadcast back into the row stream — content never
+    enters an all-to-all; the only exchanges are the winnow fp route and
+    the final tiny groupby."""
+    filtered = ops.read_projected(
+        _p(sf_dir, "documents"),
+        columns=["doc_id", "text", "lang", "n_chars"],
+    ).filter(expr="n_chars >= 200")
+
+    pairs = dedup.winnow_pairs(filtered, k=16, w=8, df_cap=64, min_shared=2)
+    dup_tbl = pa.concat_tables(
+        ray.get(pairs.to_arrow_refs()), promote_options="default"
+    )
+    dup_ids = (
+        set(dup_tbl.column("id_b").to_pylist())
+        if "id_b" in dup_tbl.column_names else set()
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ids, np.fromiter(dup_ids, np.int64, len(dup_ids)))
+        batch = batch.filter(pa.array(keep))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        b = (h % np.uint64(100)).astype(np.int64)
+        split = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+        return pa.table({
+            "split": pa.array(split),
+            "lang": batch.column("lang"),
+            "n_chars": batch.column("n_chars"),
+        })
+
+    return ops.grouped_aggregate(
+        filtered.map_batches(assign, batch_format="pyarrow"),
+        ["split", "lang"],
+        {"n_docs": (None, "count"), "sum_chars": ("n_chars", "sum")},
+    )
+
+
+RELEASE_CORPUS_DOCS_SQL = f"""
+WITH filt AS (
+  SELECT doc_id, text, lang, n_chars FROM documents WHERE n_chars >= 200
+), {_winnow_pairs_cte('filt')},
+surv AS (
+  SELECT doc_id, lang, n_chars FROM filt
+  WHERE doc_id NOT IN (SELECT id_b FROM wpairs)
+), a AS (
+  SELECT CASE WHEN ((doc_id::HUGEINT * 2654435761::HUGEINT)
+                    % 4294967296::HUGEINT) % 100 < 80 THEN 'train'
+              WHEN ((doc_id::HUGEINT * 2654435761::HUGEINT)
+                    % 4294967296::HUGEINT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         lang, n_chars
+  FROM surv
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM a GROUP BY split, lang
+"""
+
+
 def mode_event_type_by_user(sf_dir: str):
     """Per-group MODE (most frequent event_type per user, ties broken by
     value) — pure composition: partial-agg grouped count, then the
@@ -5724,6 +5798,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "rolling_z_events": {
             "fn": rolling_z_events, "sql": ROLLING_Z_EVENTS_SQL,
         },
+        "release_corpus_docs": {
+            "fn": release_corpus_docs, "sql": RELEASE_CORPUS_DOCS_SQL,
+        },
         "outliers_value_by_type": {
             "fn": outliers_value_by_type, "sql": OUTLIERS_VALUE_BY_TYPE_SQL,
         },
@@ -5792,6 +5869,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "first_last_ignore_nulls_events",
         "string_agg_distinct_events",
         "rolling_z_events",
+        "release_corpus_docs",
         "skew_kurt_k_by_type",
         "covar_value_k_by_type",
         "histogram_value_events",
