@@ -1366,9 +1366,12 @@ def exact_global_quantiles(
     No full materialization, no global sort; the driver holds at most
     ``collect_cap`` values per bucket.
 
-    Returns the elements at index ``floor(q * (n-1))`` of the sorted
-    column (``quantile_disc`` semantics, exact selection — bit-identical
-    across engines for float columns).
+    Returns the elements at index ``ceil(q·n) - 1`` of the sorted column
+    — SQL-standard PERCENTILE_DISC (the smallest value whose cume_dist
+    reaches q), DuckDB's quantile_disc. Exact selection — bit-identical
+    across engines for float columns. (The previous ``floor(q·(n-1))``
+    convention silently agreed only when q·n was integral — the gates'
+    round row counts masked it; round-5 value_bands caught it.)
     """
     if any(not (0.0 <= q <= 1.0) for q in qs):
         raise ValueError("q must be in [0, 1]")
@@ -1377,7 +1380,7 @@ def exact_global_quantiles(
         # SQL: a quantile over zero non-null values is NULL — a pushdown
         # filter matching nothing must not crash the pipeline
         return [None] * len(qs)
-    ranks = [int(np.floor(q * (n - 1))) for q in qs]
+    ranks = [max(int(np.ceil(q * n)) - 1, 0) for q in qs]
     return _exact_select_ranks(
         ds, column, ranks, lo, hi, n, num_buckets, collect_cap
     )

@@ -4325,6 +4325,80 @@ FROM a GROUP BY split, lang
 """
 
 
+def value_bands_by_type(sf_dir: str):
+    """Percentile bands (p10/p50/p90) per type from ONE exchange and ONE
+    sort (window.grouped_quantiles) — three quantile_disc selections
+    that would otherwise cost a shuffle each. Exact selections, exact
+    integer cents."""
+    from sapray import window as W
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "x": _cents(batch.column("value")),
+        })
+
+    return W.grouped_quantiles(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "x", (0.1, 0.5, 0.9), ("p10", "p50", "p90"),
+    )
+
+
+VALUE_BANDS_BY_TYPE_SQL = """
+WITH p AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events
+)
+SELECT event_type,
+       CAST(quantile_disc(x, 0.1) AS BIGINT) AS p10,
+       CAST(quantile_disc(x, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(x, 0.9) AS BIGINT) AS p90
+FROM p GROUP BY event_type
+"""
+
+
+def rolling_minmax_events(sf_dir: str):
+    """Rolling MIN/MAX over the last 10 events per user — sliding
+    extremes by accumulated-offset passes (the winnow trick), run-start
+    clamped; exact integer selections."""
+    from sapray import window as W
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "ts": batch.column("ts"),
+            "x": _cents(batch.column("value")),
+        })
+
+    out = W.rolling_min_max(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", "ts", "event_id", "x", preceding=9,
+    )
+    return out.select_columns(["user_id", "event_id", "roll_min", "roll_max"])
+
+
+ROLLING_MINMAX_EVENTS_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(min(x) OVER fr AS BIGINT) AS roll_min,
+       CAST(max(x) OVER fr AS BIGINT) AS roll_max
+FROM p
+WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+
+
 def mode_event_type_by_user(sf_dir: str):
     """Per-group MODE (most frequent event_type per user, ties broken by
     value) — pure composition: partial-agg grouped count, then the
@@ -5801,6 +5875,12 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "release_corpus_docs": {
             "fn": release_corpus_docs, "sql": RELEASE_CORPUS_DOCS_SQL,
         },
+        "value_bands_by_type": {
+            "fn": value_bands_by_type, "sql": VALUE_BANDS_BY_TYPE_SQL,
+        },
+        "rolling_minmax_events": {
+            "fn": rolling_minmax_events, "sql": ROLLING_MINMAX_EVENTS_SQL,
+        },
         "outliers_value_by_type": {
             "fn": outliers_value_by_type, "sql": OUTLIERS_VALUE_BY_TYPE_SQL,
         },
@@ -5870,6 +5950,8 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "string_agg_distinct_events",
         "rolling_z_events",
         "release_corpus_docs",
+        "value_bands_by_type",
+        "rolling_minmax_events",
         "skew_kurt_k_by_type",
         "covar_value_k_by_type",
         "histogram_value_events",

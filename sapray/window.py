@@ -600,8 +600,10 @@ def grouped_quantile(
     out_name: str = "quantile",
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """Exact discrete quantile per key (``quantile_disc`` semantics: the
-    element at index ``floor(q * (n-1))`` of the key's sorted values).
+    """Exact discrete quantile per key — SQL-standard PERCENTILE_DISC:
+    the element at index ``ceil(q·n) - 1`` of the key's sorted values
+    (the smallest value whose cume_dist reaches q; DuckDB's
+    quantile_disc).
 
     One hash exchange, then a vectorized per-partition sweep: sort by
     (key, value), locate each key run, gather the run's quantile
@@ -632,7 +634,9 @@ def grouped_quantile(
         codes_s = codes[idx]
         starts = _run_starts(codes_s)
         ends = np.concatenate([starts[1:], [len(codes_s)]])
-        sel = starts + np.floor(q * (ends - starts - 1)).astype(np.int64)
+        sel = starts + np.maximum(
+            np.ceil(q * (ends - starts)).astype(np.int64) - 1, 0
+        )
         pick = pa.array(idx[sel])
         have = codes_s[starts]
         pos_in = np.searchsorted(have, roster_codes)
@@ -1149,5 +1153,134 @@ def grouped_weighted_median(
         }
         out[out_name] = t.column(value_column).take(sel)
         return pa.table(out)
+
+    return partitioned_apply(ds, key, kernel, num_partitions)
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    key: "str | tuple[str, ...]",
+    value_column: str,
+    qs: "tuple[float, ...]",
+    out_names: "tuple[str, ...]",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Several exact discrete quantiles per key from ONE exchange and
+    ONE sort — the percentile-band shape (p10/p50/p90) that would
+    otherwise cost one shuffle per quantile. Same NULL semantics as
+    :func:`grouped_quantile` (NULL values ignored; all-NULL groups emit
+    NULL bands); every output is an exact selection, so floats compare
+    bit-exactly."""
+    import pyarrow.compute as pc
+
+    if len(qs) != len(out_names):
+        raise ValueError("qs and out_names must pair up")
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError("q must be in [0, 1]")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        vtype = t.schema.field(value_column).type
+        key_cols = _key_tuple(key)
+        if t.num_rows == 0:
+            return pa.table({
+                **{k: pa.array([], t.schema.field(k).type) for k in key_cols},
+                **{o: pa.array([], vtype) for o in out_names},
+            })
+        codes = _key_codes(t, key)
+        vals = t.column(value_column).to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(vals) if vals.dtype.kind == "f" else np.ones(
+            len(vals), dtype=bool
+        )
+        all_idx = np.lexsort((codes,))
+        roster_starts = _run_starts(codes[all_idx])
+        roster_rows = pa.array(all_idx[roster_starts])
+        roster_codes = codes[all_idx][roster_starts]
+        vidx = np.nonzero(valid)[0]
+        idx = vidx[np.lexsort((vals[vidx], codes[vidx]))]
+        codes_s = codes[idx]
+        starts = _run_starts(codes_s)
+        ends = np.concatenate([starts[1:], [len(codes_s)]])
+        have = codes_s[starts] if len(starts) else codes_s
+        pos_in = np.searchsorted(have, roster_codes)
+        safe = np.minimum(pos_in, max(len(have) - 1, 0))
+        found = (
+            (pos_in < len(have)) & (have[safe] == roster_codes)
+            if len(have)
+            else np.zeros(len(roster_codes), dtype=bool)
+        )
+        out = {k: t.column(k).take(roster_rows) for k in key_cols}
+        for q, name in zip(qs, out_names):
+            if len(starts):
+                sel = starts + np.maximum(
+                    np.ceil(q * (ends - starts)).astype(np.int64) - 1, 0
+                )
+                vals_have = t.column(value_column).take(
+                    pa.array(idx[sel])
+                ).combine_chunks()
+                out[name] = pc.if_else(
+                    pa.array(found),
+                    vals_have.take(pa.array(safe)),
+                    pa.nulls(len(roster_codes), vtype),
+                )
+            else:
+                out[name] = pa.nulls(len(roster_codes), vtype)
+        return pa.table(out)
+
+    return partitioned_apply(ds, key, kernel, num_partitions)
+
+
+def rolling_min_max(
+    ds: ray.data.Dataset,
+    key: "str | tuple[str, ...]",
+    order_column: str,
+    tiebreak_column: str,
+    value_column: str,
+    preceding: int,
+    min_name: str = "roll_min",
+    max_name: str = "roll_max",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """MIN/MAX(value) OVER (PARTITION BY key ORDER BY order, tiebreak
+    ROWS BETWEEN ``preceding`` PRECEDING AND CURRENT ROW) — rolling
+    extremes by the winnow trick: ``preceding+1`` accumulated offset
+    passes over the partition-sorted array (O(n·w), w the frame width —
+    right for the small frames dashboards use; a monotonic-deque kernel
+    is the O(n) path if frames grow to thousands). Exact selections,
+    bit-exact floats; frame starts clamp at each key run's boundary via
+    per-offset run-membership masks."""
+    if preceding < 0:
+        raise ValueError("preceding must be >= 0")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        vtype = t.schema.field(value_column).type
+        if t.num_rows == 0:
+            return (
+                t.append_column(min_name, pa.array([], vtype))
+                .append_column(max_name, pa.array([], vtype))
+            )
+        codes = _key_codes(t, key)
+        ov = t.column(order_column).to_numpy(zero_copy_only=False)
+        tie = t.column(tiebreak_column).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((tie, ov, codes))
+        t = t.take(pa.array(idx))
+        codes = codes[idx]
+        n = len(codes)
+        x = t.column(value_column).to_numpy(zero_copy_only=False)
+        starts = _run_starts(codes)
+        pos = np.arange(n, dtype=np.int64)
+        run_start = starts[np.searchsorted(starts, pos, side="right") - 1]
+        mn = x.copy()
+        mx = x.copy()
+        for o in range(1, preceding + 1):
+            # offset-o predecessor, masked where it crosses a run start
+            in_frame = pos - o >= run_start
+            src = np.where(in_frame, pos - o, pos)
+            np.minimum(mn, np.where(in_frame, x[src], mn), out=mn)
+            np.maximum(mx, np.where(in_frame, x[src], mx), out=mx)
+        return (
+            t.append_column(min_name, pa.array(mn))
+            .append_column(max_name, pa.array(mx))
+        )
 
     return partitioned_apply(ds, key, kernel, num_partitions)

@@ -139,7 +139,9 @@ def test_grouped_quantile_matches_numpy(ray_session):
         df = t.to_pandas()
         for k, g in df.groupby("k"):
             vals = np.sort(g["v"].to_numpy())
-            assert out.loc[k] == vals[int(np.floor(q * (len(vals) - 1)))]
+            # SQL PERCENTILE_DISC: smallest value whose cume_dist >= q
+            sel = max(int(np.ceil(q * len(vals))) - 1, 0)
+            assert out.loc[k] == vals[sel]
 
 
 def test_streaming_sessionize_matches_batch(ray_session):
@@ -1067,3 +1069,44 @@ def test_weighted_median_fuzz_vs_duckdb(ray_session):
             WHERE tw > 0 AND cw >= (tw + 1) // 2
             GROUP BY k ORDER BY k""").fetch_df().set_index("k")["m"]
         assert got.tolist() == exp.tolist(), f"trial {trial}"
+
+
+def test_quantile_disc_convention_fuzz_vs_duckdb(ray_session):
+    """PERCENTILE_DISC convention (ceil(q*n)-1 — smallest value whose
+    cume_dist reaches q) at NON-median quantiles and non-round group
+    sizes: the old floor(q*(n-1)) agreed with DuckDB only when q*n was
+    integral, which the round row counts of the main gates masked."""
+    import duckdb
+
+    from sapray import ops
+    from sapray.window import grouped_quantile
+
+    rng = np.random.default_rng(11)
+    for trial in range(2):
+        n = int(rng.integers(21, 123))  # deliberately not round
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 5, n), pa.int64()),
+            "v": pa.array(rng.integers(-50, 50, n), pa.int64()),
+        })
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        for q in (0.1, 0.25, 0.75, 0.9):
+            got = (
+                grouped_quantile(
+                    ray.data.from_arrow(t), "k", "v", q, num_partitions=3
+                )
+                .to_pandas().set_index("k")["quantile"].sort_index()
+            )
+            exp = con.execute(
+                "SELECT k, quantile_disc(v, ?) AS q FROM t GROUP BY k ORDER BY k",
+                [q],
+            ).fetch_df().set_index("k")["q"]
+            assert got.tolist() == exp.tolist(), f"trial {trial} q={q}"
+        gg = ops.exact_global_quantiles(
+            ray.data.from_arrow(t), "v", [0.1, 0.75, 0.9]
+        )
+        ge = con.execute(
+            "SELECT quantile_disc(v, 0.1), quantile_disc(v, 0.75),"
+            " quantile_disc(v, 0.9) FROM t"
+        ).fetchone()
+        assert [int(x) for x in gg] == [int(x) for x in ge], f"trial {trial}"
