@@ -145,6 +145,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "mad_value_by_user",
         "winnow_dedup_docs",
         "quantized_ann_embeddings",
+        "edit_distance_parts",
+        "iqr_outliers_by_type",
+        "minmax_norm_events",
     ]
     reg = Q.registry(os.path.basename(os.path.normpath(sf_dir)))
     out: dict[str, float] = {}

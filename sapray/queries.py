@@ -5596,6 +5596,236 @@ FROM last WHERE last_op <> 'D'
 
 
 # --------------------------------------------------------------------------
+# string-similarity / conditional-aggregate / robust-stats family (round 5)
+# --------------------------------------------------------------------------
+
+
+def edit_distance_parts(sf_dir: str):
+    """Row-pairwise Levenshtein distance (DuckDB ``levenshtein``
+    semantics) between p_name and p_type — text.levenshtein_batch: the
+    two-row DP runs its character loop once per BATCH with length-B
+    numpy vectors inside, over concatenated-buffer byte matrices (no
+    per-row Python on the data columns). Exact integer distances."""
+    from sapray import text
+
+    ds = ops.read_projected(
+        _p(sf_dir, "part"), columns=["p_partkey", "p_name", "p_type"]
+    )
+
+    def dist(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "edit_dist",
+            text.levenshtein_batch(
+                batch.column("p_name"), batch.column("p_type")
+            ),
+        )
+
+    return ds.map_batches(dist, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EDIT_DISTANCE_PARTS_SQL = """
+SELECT p_partkey, p_name, p_type, levenshtein(p_name, p_type) AS edit_dist
+FROM part
+"""
+
+
+def conditional_agg_events(sf_dir: str):
+    """SQL FILTER-clause aggregates (``count(*) FILTER (WHERE …)``,
+    ``sum(x) FILTER (WHERE …)``) — masked partial columns fold through
+    the ONE-exchange combiner; a carried match-count partial restores
+    SQL's NULL for a SUM whose filter matched no rows (the same
+    valid-count discipline as AVG). Exact integer cents."""
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("value"))
+        big = pc.greater(x, pa.scalar(10000, pa.int64()))
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "click": pc.cast(
+                pc.equal(batch.column("event_type"), pa.scalar("click")),
+                pa.int64(),
+            ),
+            "bigx": pc.if_else(big, x, pa.scalar(0, pa.int64())),
+            "nbig": pc.cast(big, pa.int64()),
+        })
+
+    agg = ops.grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        {
+            "n_click": ("click", "sum"),
+            "__big_raw": ("bigx", "sum"),
+            "__n_big": ("nbig", "sum"),
+            "n_total": (None, "count"),
+        },
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "n_click": batch.column("n_click"),
+            "big_cents": pc.if_else(
+                pc.greater(batch.column("__n_big"), 0),
+                batch.column("__big_raw"),
+                pa.nulls(batch.num_rows, pa.int64()),
+            ),
+            "n_total": batch.column("n_total"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+CONDITIONAL_AGG_EVENTS_SQL = """
+WITH p AS (
+  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(sum(x) FILTER (WHERE x > 10000) AS BIGINT) AS big_cents,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM p GROUP BY user_id
+"""
+
+
+def iqr_outliers_by_type(sf_dir: str):
+    """Tukey-fence outlier counts per type: q1/q3 are exact
+    quantile_disc selections from ONE exchange+sort
+    (window.grouped_quantiles); the 1.5·IQR fence test stays in exact
+    integer space (2x < 5·q1 − 3·q3, both fences scaled by 2) and the
+    per-type counts fold through the combiner — no float enters any
+    comparison. The tiny per-type fence table rides into the count
+    stage as an index_in lookup, not a join."""
+    from sapray import window as W
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "x": _cents(batch.column("value")),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    q = pa.concat_tables(
+        ray.get(
+            W.grouped_quantiles(
+                prepped, "event_type", "x", (0.25, 0.75), ("q1", "q3")
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    types = q.column("event_type").combine_chunks()
+    if len(types) == 0:
+        return ray.data.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n_outliers": pa.array([], pa.int64()),
+            "n_total": pa.array([], pa.int64()),
+        }))
+    q1 = q.column("q1").to_numpy(zero_copy_only=False)
+    q3 = q.column("q3").to_numpy(zero_copy_only=False)
+    lo2, hi2 = 5 * q1 - 3 * q3, 5 * q3 - 3 * q1  # 2·(q1−1.5·IQR), 2·(q3+1.5·IQR)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ix = pc.fill_null(
+            pc.index_in(batch.column("event_type"), value_set=types), 0
+        ).to_numpy(zero_copy_only=False)
+        x2 = 2 * batch.column("x").to_numpy(zero_copy_only=False)
+        out = (x2 < lo2[ix]) | (x2 > hi2[ix])
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "is_out": pa.array(out.astype(np.int64)),
+        })
+
+    return ops.grouped_aggregate(
+        prepped.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        {"n_outliers": ("is_out", "sum"), "n_total": (None, "count")},
+    )
+
+
+IQR_OUTLIERS_BY_TYPE_SQL = """
+WITH p AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events
+), q AS (
+  SELECT event_type,
+         CAST(quantile_disc(x, 0.25) AS BIGINT) AS q1,
+         CAST(quantile_disc(x, 0.75) AS BIGINT) AS q3
+  FROM p GROUP BY event_type
+)
+SELECT p.event_type,
+       CAST(count(*) FILTER (
+         WHERE 2 * x < 5 * q1 - 3 * q3 OR 2 * x > 5 * q3 - 3 * q1
+       ) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM p JOIN q USING (event_type)
+GROUP BY p.event_type
+"""
+
+
+def minmax_norm_events(sf_dir: str):
+    """Grouped min-max normalization: per-type min/max are EXACT double
+    selections folded through the combiner, broadcast into the per-row
+    pass as an index_in lookup; the normalization is ONE shared IEEE
+    expression ((v−mn)/(mx−mn): sub, sub, div in the same order) on
+    both engines, so the float64 output hash-compares bit-exactly (the
+    percent_rank recipe). Constant groups (mx == mn) emit NULL like the
+    oracle's CASE guard (Arrow 0/0 = NaN but DuckDB = NULL)."""
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    mm = ops.grouped_aggregate(
+        ds, ["event_type"], {"mn": ("value", "min"), "mx": ("value", "max")}
+    )
+    tbl = pa.concat_tables(
+        ray.get(mm.to_arrow_refs()), promote_options="default"
+    )
+    types = tbl.column("event_type").combine_chunks()
+    mn = tbl.column("mn").to_numpy(zero_copy_only=False)
+    mx = tbl.column("mx").to_numpy(zero_copy_only=False)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        base = batch.select(["event_id", "event_type"])
+        if batch.num_rows == 0 or len(types) == 0:
+            return base.append_column(
+                "norm", pa.nulls(batch.num_rows, pa.float64())
+            )
+        ix = pc.fill_null(
+            pc.index_in(batch.column("event_type"), value_set=types), 0
+        ).to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        bmn, bmx = mn[ix], mx[ix]
+        denom = bmx - bmn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nv = (v - bmn) / denom
+        out = pc.if_else(
+            pa.array(denom == 0.0),
+            pa.nulls(batch.num_rows, pa.float64()),
+            pa.array(nv, pa.float64()),
+        )
+        return base.append_column("norm", out)
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+MINMAX_NORM_EVENTS_SQL = """
+WITH m AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN m.mx = m.mn THEN NULL
+            ELSE (e.value - m.mn) / (m.mx - m.mn) END AS norm
+FROM events e JOIN m USING (event_type)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5643,6 +5873,18 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "quality_docs": {"fn": quality_docs, "sql": QUALITY_DOCS_SQL},
         "stage_pipeline_docs": {
             "fn": stage_pipeline_docs, "sql": STAGE_PIPELINE_DOCS_SQL,
+        },
+        "edit_distance_parts": {
+            "fn": edit_distance_parts, "sql": EDIT_DISTANCE_PARTS_SQL,
+        },
+        "conditional_agg_events": {
+            "fn": conditional_agg_events, "sql": CONDITIONAL_AGG_EVENTS_SQL,
+        },
+        "iqr_outliers_by_type": {
+            "fn": iqr_outliers_by_type, "sql": IQR_OUTLIERS_BY_TYPE_SQL,
+        },
+        "minmax_norm_events": {
+            "fn": minmax_norm_events, "sql": MINMAX_NORM_EVENTS_SQL,
         },
         "skip_events": {"fn": skip_events, "sql": SKIP_EVENTS_SQL},
         "odata_pushdown_events": {
@@ -5968,6 +6210,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "odata_empty_result_events",
         "dup_ngram_spans_docs",
         "dup_ngram_remove_docs",
+        "edit_distance_parts",
+        "conditional_agg_events",
+        "iqr_outliers_by_type",
+        "minmax_norm_events",
         "intersect_all_users",
         "dedup_keep_best_docs",
         "weighted_sample_docs",

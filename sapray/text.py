@@ -563,3 +563,106 @@ def analyze_documents(
         .map_batches(QualityScore, batch_format="pyarrow", concurrency=pool)
         .map_batches(TokenCount, batch_format="pyarrow", concurrency=pool)
     )
+
+
+# --------------------------------------------------------------------------
+# string similarity: batched Levenshtein edit distance
+# --------------------------------------------------------------------------
+
+
+def _padded_bytes(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(B, Lmax) uint8 matrix of each string's utf-8 bytes (0-padded) +
+    per-row byte lengths — built from the Arrow value buffer with offset
+    arithmetic (no per-row Python slicing). NULL rows come back with
+    length 0; callers mask them out."""
+    out_rows: list[np.ndarray] = []
+    out_lens: list[np.ndarray] = []
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+    for chunk in chunks:
+        n = len(chunk)
+        if n == 0:
+            continue
+        t = chunk.type
+        off_dtype = (
+            np.int64
+            if (pa.types.is_large_string(t) or pa.types.is_large_binary(t))
+            else np.int32
+        )
+        bufs = chunk.buffers()
+        offsets = np.frombuffer(
+            bufs[1], dtype=off_dtype, count=n + 1 + chunk.offset
+        )[chunk.offset:].astype(np.int64)
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.zeros(0, np.uint8)
+        )
+        lens = offsets[1:] - offsets[:-1]
+        if chunk.null_count:
+            valid = pc.is_valid(chunk).to_numpy(zero_copy_only=False)
+            lens = np.where(valid, lens, 0)
+        lmax = int(lens.max()) if n else 0
+        idx = offsets[:-1, None] + np.arange(max(lmax, 1), dtype=np.int64)
+        ok = idx < (offsets[:-1] + lens)[:, None]
+        mat = np.where(
+            ok, data[np.minimum(idx, max(len(data) - 1, 0))], 0
+        ).astype(np.uint8)
+        out_rows.append(mat)
+        out_lens.append(lens)
+    if not out_rows:
+        return np.zeros((0, 1), np.uint8), np.zeros(0, np.int64)
+    lmax = max(m.shape[1] for m in out_rows)
+    out_rows = [
+        np.pad(m, ((0, 0), (0, lmax - m.shape[1]))) for m in out_rows
+    ]
+    return np.concatenate(out_rows), np.concatenate(out_lens)
+
+
+def levenshtein_batch(
+    a: pa.Array | pa.ChunkedArray, b: pa.Array | pa.ChunkedArray
+) -> pa.Array:
+    """Row-pairwise Levenshtein distance (unit ins/del/sub costs, the
+    DuckDB ``levenshtein`` semantics) over two string columns.
+
+    Vectorized over the BATCH dimension: the classic two-row DP runs
+    its La x Lb character loop once per batch with length-B numpy
+    vectors inside — no per-row Python loop over the data columns (the
+    :mod:`sapray.hashing` concatenated-buffer discipline). Cost is
+    O(Lmax_a * Lmax_b) vector ops per batch, so it is meant for short
+    identifier-ish strings (names, types, brands); for long documents
+    use the n-gram Jaccard / MinHash family instead.
+
+    Byte-level comparison: exact for ASCII; multi-byte utf-8 rows
+    diverge from character-level distance (documented caveat).
+    NULL in either input yields NULL (SQL semantics).
+    """
+    am, alen = _padded_bytes(a)
+    bm, blen = _padded_bytes(b)
+    nrows = am.shape[0]
+    if nrows == 0:
+        return pa.array([], pa.int64())
+    la, lb = am.shape[1], bm.shape[1]
+    # rolling DP rows over b's positions, vector over the batch
+    prev = np.broadcast_to(
+        np.arange(lb + 1, dtype=np.int64), (nrows, lb + 1)
+    ).copy()
+    # rows shorter than i keep their final answer: freeze via mask
+    ans = np.where(alen == 0, blen, 0).astype(np.int64)
+    for i in range(1, la + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        achar = am[:, i - 1][:, None]  # (B, 1)
+        cost = (achar != bm).astype(np.int64)  # (B, lb)
+        for j in range(1, lb + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost[:, j - 1],
+            )
+        done = alen == i
+        if done.any():
+            ans[done] = cur[done, blen[done]]
+        prev = cur
+    a_null = pc.is_null(a if isinstance(a, pa.Array) else a.combine_chunks())
+    b_null = pc.is_null(b if isinstance(b, pa.Array) else b.combine_chunks())
+    out = pa.array(ans, pa.int64())
+    return pc.if_else(pc.or_(a_null, b_null), pa.nulls(nrows, pa.int64()), out)

@@ -1,0 +1,81 @@
+"""Batched Levenshtein kernel vs DuckDB's levenshtein() — differential
+fuzz over random ASCII strings plus NULL / empty / chunk-boundary edges.
+
+The kernel is pure numpy (no Ray session needed): the DP loops over
+character positions with length-B vectors inside, decoding the Arrow
+string column via concatenated-buffer offset arithmetic.
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sapray.text import levenshtein_batch
+
+
+def _oracle(pairs):
+    con = duckdb.connect()
+    tbl = pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.string()),
+        "b": pa.array([p[1] for p in pairs], pa.string()),
+    })
+    con.register("t", tbl)
+    return [
+        r[0]
+        for r in con.sql("SELECT levenshtein(a, b) FROM t").fetchall()
+    ]
+
+
+def test_known_distances():
+    a = pa.array(["kitten", "flaw", "", "abc", "same", "abcdef"])
+    b = pa.array(["sitting", "lawn", "abc", "", "same", "abcdef"])
+    assert levenshtein_batch(a, b).to_pylist() == [3, 2, 3, 3, 0, 0]
+
+
+def test_null_propagates():
+    a = pa.array(["x", None, None, "y"])
+    b = pa.array([None, "x", None, "y"])
+    assert levenshtein_batch(a, b).to_pylist() == [None, None, None, 0]
+
+
+def test_empty_input():
+    e = pa.array([], pa.string())
+    assert levenshtein_batch(e, e).to_pylist() == []
+
+
+def test_large_string_width():
+    a = pa.array(["kitten", "flaw"], pa.large_string())
+    b = pa.array(["sitting", "lawn"], pa.large_string())
+    assert levenshtein_batch(a, b).to_pylist() == [3, 2]
+
+
+def test_chunked_and_sliced_input():
+    a = pa.chunked_array([
+        pa.array(["kitten", "ab"]), pa.array(["xyz", ""])
+    ])
+    b = pa.chunked_array([
+        pa.array(["sitting", "ba"]), pa.array(["xy", "q"])
+    ])
+    assert levenshtein_batch(a, b).to_pylist() == [3, 2, 1, 1]
+    # sliced chunks exercise the chunk.offset arithmetic
+    base = pa.array(["pad", "kitten", "flaw"])
+    assert levenshtein_batch(base.slice(1), pa.array(["sitting", "lawn"])
+                             ).to_pylist() == [3, 2]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_vs_duckdb(seed):
+    rng = np.random.default_rng(seed)
+    alpha = list("abcdefgh XYZ018#")
+    pairs = []
+    for _ in range(300):
+        la, lb = rng.integers(0, 24, size=2)
+        pairs.append((
+            "".join(rng.choice(alpha, la)),
+            "".join(rng.choice(alpha, lb)),
+        ))
+    got = levenshtein_batch(
+        pa.array([p[0] for p in pairs]), pa.array([p[1] for p in pairs])
+    ).to_pylist()
+    assert got == _oracle(pairs)
