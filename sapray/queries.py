@@ -5825,6 +5825,47 @@ FROM events e JOIN m USING (event_type)
 """
 
 
+def centered_sum_events(sf_dir: str):
+    """Centered ROWS frame: SUM(cents) OVER (PARTITION BY user ORDER BY
+    ts, event_id ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) —
+    window.rows_window_sum with a ``following`` bound: one prefix sum
+    indexed at both clamped frame edges, exact int64 end to end."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "cents": _cents(batch.column("value")),
+        })
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = window.rows_window_sum(
+        ds, "user_id", "ts", "event_id", "cents", preceding=3,
+        following=3, out_name="sum_centered7",
+    )
+    return out.select_columns(["event_id", "user_id", "sum_centered7"])
+
+
+CENTERED_SUM_EVENTS_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(cents) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+       ) AS BIGINT) AS sum_centered7
+FROM p
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5885,6 +5926,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "minmax_norm_events": {
             "fn": minmax_norm_events, "sql": MINMAX_NORM_EVENTS_SQL,
+        },
+        "centered_sum_events": {
+            "fn": centered_sum_events, "sql": CENTERED_SUM_EVENTS_SQL,
         },
         "skip_events": {"fn": skip_events, "sql": SKIP_EVENTS_SQL},
         "odata_pushdown_events": {
@@ -6214,6 +6258,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "conditional_agg_events",
         "iqr_outliers_by_type",
         "minmax_norm_events",
+        "centered_sum_events",
         "intersect_all_users",
         "dedup_keep_best_docs",
         "weighted_sample_docs",

@@ -999,11 +999,13 @@ def rows_window_sum(
     preceding: int,
     out_name: str = "rows_sum",
     num_partitions: int | None = None,
+    following: int = 0,
 ) -> ray.data.Dataset:
     """SUM(value) OVER (PARTITION BY key ORDER BY order, tiebreak ROWS
-    BETWEEN ``preceding`` PRECEDING AND CURRENT ROW) — the fixed-ROW-count
-    frame (the RANGE twin is ``windowed_agg``): one cumsum minus its
-    k-shifted self per partition, clamped at each key run's start.
+    BETWEEN ``preceding`` PRECEDING AND ``following`` FOLLOWING) — the
+    fixed-ROW-count frame (the RANGE twin is ``windowed_agg``): one
+    cumsum indexed at both clamped frame edges per partition
+    (``following=0`` is the classic trailing CURRENT ROW frame).
     Integral values only (exact int64 prefix sums, values < 2^53 when
     the column is nullable — nulls surface through float64). NULL values
     contribute nothing, and a frame of only NULLs yields NULL — SQL SUM
@@ -1011,6 +1013,8 @@ def rows_window_sum(
     every later frame in the partition — review finding)."""
     if preceding < 0:
         raise ValueError("preceding must be >= 0")
+    if following < 0:
+        raise ValueError("following must be >= 0")
 
     def kernel(t: pa.Table) -> pa.Table:
         codes = _key_codes(t, key)
@@ -1029,14 +1033,20 @@ def rows_window_sum(
         vcnt = np.cumsum(valid.astype(np.int64))
         starts = _run_starts(codes)
         pos = np.arange(n, dtype=np.int64)
-        run_start = starts[np.searchsorted(starts, pos, side="right") - 1]
-        # frame start = max(run_start, pos - preceding); sum = csum[pos]
-        # - csum[start-1] (np.where already yields 0 at frame_start == 0)
+        run_id = np.searchsorted(starts, pos, side="right") - 1
+        run_start = starts[run_id]
+        ends = (
+            np.concatenate([starts[1:], [n]]) if len(starts) else starts
+        )
+        # frame = [max(run_start, pos-preceding), min(run_end-1,
+        # pos+following)]; sum = csum[end] - csum[start-1] (np.where
+        # already yields 0 at frame_start == 0)
         frame_start = np.maximum(run_start, pos - preceding)
+        frame_end = np.minimum(ends[run_id] - 1, pos + following)
         before = np.where(frame_start > 0, csum[frame_start - 1], 0)
         n_before = np.where(frame_start > 0, vcnt[frame_start - 1], 0)
-        sums = csum - before
-        frame_valid = vcnt - n_before
+        sums = csum[frame_end] - before
+        frame_valid = vcnt[frame_end] - n_before
         # all-NULL frame -> NULL via a validity mask (no float round trip
         # — int64 exactness survives above 2^53 on the no-null path)
         arr = pa.array(sums, pa.int64(), mask=frame_valid == 0)

@@ -823,6 +823,49 @@ def test_rows_window_sum_null_values(ray_session):
         window.rows_window_sum(
             ray.data.from_arrow(t), "k", "o", "i", "v", preceding=-1
         )
+    with pytest.raises(ValueError, match="following"):
+        window.rows_window_sum(
+            ray.data.from_arrow(t), "k", "o", "i", "v", preceding=1,
+            following=-1,
+        )
+
+
+def test_rows_window_sum_following_vs_duckdb(ray_session):
+    """Centered / forward ROWS frames (following > 0) match DuckDB over
+    randomized ragged partitions with NULL values."""
+    import duckdb
+
+    from sapray import window
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 12, n), pa.int64()),
+        "o": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "i": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(
+            [None if rng.random() < 0.15 else int(x)
+             for x in rng.integers(-50, 50, n)],
+            pa.int64(),
+        ),
+    })
+    for prec, foll in ((3, 3), (0, 2), (2, 0), (5, 1)):
+        got = window.rows_window_sum(
+            ray.data.from_arrow(t), "k", "o", "i", "v",
+            preceding=prec, following=foll, out_name="s",
+            num_partitions=3,
+        ).to_pandas().sort_values("i")["s"].reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.sql(f"""
+            SELECT i, sum(v) OVER (
+              PARTITION BY k ORDER BY o, i
+              ROWS BETWEEN {prec} PRECEDING AND {foll} FOLLOWING
+            ) AS s FROM t ORDER BY i
+        """).df()["s"]
+        assert ((got == want) | (got.isna() & want.isna())).all(), (
+            prec, foll,
+        )
 
 
 def test_unpivot_rejects_collisions_and_empty(ray_session):
