@@ -5866,6 +5866,76 @@ FROM p
 """
 
 
+def rolling_median_events(sf_dir: str):
+    """Rolling MEDIAN over the last 10 events per user — quantile_disc
+    0.5 over a ROWS frame (window.rolling_quantile_disc): one strided
+    trailing-window matrix + one axis-1 sort per partition, the
+    ceil(q·w)−1 selection indexed by valid window size. Exact integer
+    selection end to end."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "cents": _cents(batch.column("value")),
+        })
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = window.rolling_quantile_disc(
+        ds, "user_id", "ts", "event_id", "cents", q=0.5, preceding=9,
+        out_name="med10",
+    )
+    return out.select_columns(["event_id", "user_id", "med10"])
+
+
+ROLLING_MEDIAN_EVENTS_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(quantile_disc(cents, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS med10
+FROM p
+"""
+
+
+def running_distinct_events(sf_dir: str):
+    """Running COUNT(DISTINCT event_type) per user in event order —
+    window.running_distinct: one extra lexsort by (key, value, position)
+    marks first occurrences, flags cumsum within the key run. The
+    distinct-coverage curve (how fast each user's behavior diversifies)."""
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    out = window.running_distinct(
+        ds, "user_id", "ts", "event_id", "event_type",
+        out_name="n_types_seen",
+    )
+    return out.select_columns(["event_id", "user_id", "n_types_seen"])
+
+
+RUNNING_DISTINCT_EVENTS_SQL = """
+SELECT event_id, user_id,
+       CAST(count(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_types_seen
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5929,6 +5999,13 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "centered_sum_events": {
             "fn": centered_sum_events, "sql": CENTERED_SUM_EVENTS_SQL,
+        },
+        "rolling_median_events": {
+            "fn": rolling_median_events, "sql": ROLLING_MEDIAN_EVENTS_SQL,
+        },
+        "running_distinct_events": {
+            "fn": running_distinct_events,
+            "sql": RUNNING_DISTINCT_EVENTS_SQL,
         },
         "skip_events": {"fn": skip_events, "sql": SKIP_EVENTS_SQL},
         "odata_pushdown_events": {
@@ -6259,6 +6336,8 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "iqr_outliers_by_type",
         "minmax_norm_events",
         "centered_sum_events",
+        "rolling_median_events",
+        "running_distinct_events",
         "intersect_all_users",
         "dedup_keep_best_docs",
         "weighted_sample_docs",

@@ -1294,3 +1294,134 @@ def rolling_min_max(
         )
 
     return partitioned_apply(ds, key, kernel, num_partitions)
+
+
+def rolling_quantile_disc(
+    ds: ray.data.Dataset,
+    key: "str | tuple[str, ...]",
+    order_column: str,
+    tiebreak_column: str,
+    value_column: str,
+    q: float,
+    preceding: int,
+    out_name: str = "rolling_q",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """quantile_disc(value, q) OVER (PARTITION BY key ORDER BY order,
+    tiebreak ROWS BETWEEN ``preceding`` PRECEDING AND CURRENT ROW) — the
+    moving robust-stats frame (rolling median at q=0.5).
+
+    One strided trailing-window matrix per partition batch (n x k,
+    k = preceding+1, via ``sliding_window_view`` over a front-padded
+    copy): positions before the key run's start and NULL/NaN values
+    take an above-everything sentinel, ONE axis-1 sort, then the
+    ceil(q·w)−1 selection indexed per row by the VALID window size w
+    (the discrete-quantile convention both engines share). O(n·k·log k)
+    per partition — meant for small fixed frames; the output is an
+    exact selection, never arithmetic, so it hash-compares bit-exactly
+    for any dtype."""
+    import pyarrow.compute as pc
+
+    if not (0.0 < q <= 1.0):
+        raise ValueError("q must be in (0, 1]")
+    if preceding < 0:
+        raise ValueError("preceding must be >= 0")
+    k = preceding + 1
+
+    def kernel(t: pa.Table) -> pa.Table:
+        vtype = t.schema.field(value_column).type
+        codes = _key_codes(t, key)
+        ov = t.column(order_column).to_numpy(zero_copy_only=False)
+        tie = t.column(tiebreak_column).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((tie, ov, codes))
+        t = t.take(pa.array(idx))
+        codes = codes[idx]
+        n = len(codes)
+        if n == 0:
+            return t.append_column(out_name, pa.array([], vtype))
+        raw = t.column(value_column).to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(raw) if raw.dtype.kind == "f" else np.ones(n, bool)
+        if raw.dtype.kind == "f" and pa.types.is_integer(vtype):
+            # nullable int column surfaced as float64: keep int exactness
+            work = np.where(valid, raw, 0).astype(np.int64)
+            sentinel = np.iinfo(np.int64).max
+        elif raw.dtype.kind in "iu":
+            work = raw
+            sentinel = np.iinfo(raw.dtype).max
+        else:
+            work = raw.astype(np.float64)
+            sentinel = np.inf
+        masked = np.where(valid, work, sentinel)
+        pad = np.full(k - 1, sentinel, dtype=masked.dtype)
+        win = np.lib.stride_tricks.sliding_window_view(
+            np.concatenate([pad, masked]), k
+        )
+        pos = np.arange(n, dtype=np.int64)
+        starts = _run_starts(codes)
+        run_start = starts[np.searchsorted(starts, pos, side="right") - 1]
+        # column j of row r holds position r-k+1+j; blank pre-run slots
+        colpos = pos[:, None] - (k - 1) + np.arange(k)[None, :]
+        win = np.where(colpos < run_start[:, None], sentinel, win)
+        win.sort(axis=1)
+        # valid window size w: prefix-sum of validity clamped at run start
+        vcnt = np.cumsum(valid.astype(np.int64))
+        frame_start = np.maximum(run_start, pos - preceding)
+        w = vcnt - np.where(frame_start > 0, vcnt[frame_start - 1], 0)
+        sel = np.maximum(np.ceil(q * w).astype(np.int64) - 1, 0)
+        res = win[pos, sel]
+        arr = pa.array(res, mask=w == 0)
+        return t.append_column(out_name, pc.cast(arr, vtype))
+
+    return partitioned_apply(ds, key, kernel, num_partitions)
+
+
+def running_distinct(
+    ds: ray.data.Dataset,
+    key: "str | tuple[str, ...]",
+    order_column: str,
+    tiebreak_column: str,
+    value_column: str,
+    out_name: str = "running_distinct",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """count(DISTINCT value) OVER (PARTITION BY key ORDER BY order,
+    tiebreak ROWS UNBOUNDED PRECEDING) — the running-distinct curve
+    (e.g. distinct event types seen so far per user).
+
+    Vectorized: dictionary-encode the value column, ONE extra lexsort
+    by (key, value, position) marks each (key, value)'s FIRST
+    order-position occurrence, scatter the flags back and cumsum within
+    the key run. NULL values never count (SQL DISTINCT-aggregate
+    semantics)."""
+    import pyarrow.compute as pc
+
+    def kernel(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        ov = t.column(order_column).to_numpy(zero_copy_only=False)
+        tie = t.column(tiebreak_column).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((tie, ov, codes))
+        t = t.take(pa.array(idx))
+        codes = codes[idx]
+        n = len(codes)
+        if n == 0:
+            return t.append_column(out_name, pa.array([], pa.int64()))
+        enc = t.column(value_column).combine_chunks().dictionary_encode()
+        vi = enc.indices
+        if vi.null_count > 0:
+            vi = pc.fill_null(vi, -1)
+        vcodes = vi.to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.arange(n, dtype=np.int64)
+        sidx = np.lexsort((pos, vcodes, codes))
+        k2, v2 = codes[sidx], vcodes[sidx]
+        first = np.ones(n, dtype=bool)
+        first[1:] = (k2[1:] != k2[:-1]) | (v2[1:] != v2[:-1])
+        flag = np.zeros(n, dtype=np.int64)
+        flag[sidx] = first
+        flag[vcodes == -1] = 0  # NULLs never count toward DISTINCT
+        csum = np.cumsum(flag)
+        starts = _run_starts(codes)
+        run_start = starts[np.searchsorted(starts, pos, side="right") - 1]
+        out = csum - np.where(run_start > 0, csum[run_start - 1], 0)
+        return t.append_column(out_name, pa.array(out))
+
+    return partitioned_apply(ds, key, kernel, num_partitions)

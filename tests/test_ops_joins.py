@@ -934,3 +934,74 @@ def test_drop_empty_blocks_all_empty_keeps_schema(ray_session):
     out = ops.drop_empty_blocks(ray.data.from_arrow(t))
     assert out.count() == 0
     assert set(out.schema().names) == {"node", "cluster_id"}
+
+
+def test_rolling_quantile_disc_vs_duckdb(ray_session):
+    """Moving quantile_disc over trailing ROWS frames matches DuckDB
+    across q values and frame widths on ragged NULL-bearing partitions."""
+    import duckdb
+
+    from sapray import window
+
+    rng = np.random.default_rng(11)
+    n = 400
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 10, n), pa.int64()),
+        "o": pa.array(rng.integers(0, 50, n), pa.int64()),
+        "i": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(
+            [None if rng.random() < 0.12 else int(x)
+             for x in rng.integers(-100, 100, n)],
+            pa.int64(),
+        ),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    for q, prec in ((0.5, 9), (0.25, 4), (0.9, 6), (1.0, 3)):
+        got = window.rolling_quantile_disc(
+            ray.data.from_arrow(t), "k", "o", "i", "v", q=q,
+            preceding=prec, out_name="m", num_partitions=3,
+        ).to_pandas().sort_values("i")["m"].reset_index(drop=True)
+        want = con.sql(f"""
+            SELECT i, quantile_disc(v, {q}) OVER (
+              PARTITION BY k ORDER BY o, i
+              ROWS BETWEEN {prec} PRECEDING AND CURRENT ROW
+            ) AS m FROM t ORDER BY i
+        """).df()["m"]
+        assert ((got == want) | (got.isna() & want.isna())).all(), (q, prec)
+    with pytest.raises(ValueError, match="q must"):
+        window.rolling_quantile_disc(
+            ray.data.from_arrow(t), "k", "o", "i", "v", q=0.0, preceding=1
+        )
+
+
+def test_running_distinct_vs_duckdb(ray_session):
+    """Running COUNT(DISTINCT) matches DuckDB, including NULL values
+    (never counted) and string value columns."""
+    import duckdb
+
+    from sapray import window
+
+    rng = np.random.default_rng(13)
+    n = 300
+    vals = [None if rng.random() < 0.1 else f"t{rng.integers(0, 6)}"
+            for _ in range(n)]
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 8, n), pa.int64()),
+        "o": pa.array(rng.integers(0, 60, n), pa.int64()),
+        "i": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(vals, pa.string()),
+    })
+    got = window.running_distinct(
+        ray.data.from_arrow(t), "k", "o", "i", "v", out_name="c",
+        num_partitions=3,
+    ).to_pandas().sort_values("i")["c"].reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql("""
+        SELECT i, count(DISTINCT v) OVER (
+          PARTITION BY k ORDER BY o, i
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS c FROM t ORDER BY i
+    """).df()["c"]
+    assert (got == want).all()
