@@ -5936,6 +5936,64 @@ FROM events
 """
 
 
+def familiarity_docs(sf_dir: str):
+    """Corpus-frequency familiarity / OOV scoring — the pretraining-data
+    quality signal "how much of this document is common vocabulary":
+    per doc, total tokens, tokens outside the top-``_VOCAB_K`` corpus
+    vocabulary, and the OOV ratio. The vocabulary comes from the same
+    combiner-built term stats as tfidf_docs, broadcast as an ``is_in``
+    value set (never a shuffle join); the ratio divides two exact small
+    ints so the float64 hash-matches bit-exactly."""
+    tf_ds, vocab = _term_stats(sf_dir)
+    vocab_words = vocab.column("word").combine_chunks()
+
+    def flag(batch: pa.Table) -> pa.Table:
+        oov = pc.invert(pc.is_in(batch.column("word"), value_set=vocab_words))
+        tf = batch.column("tf")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "tf": tf,
+            "oov_tf": pc.if_else(oov, tf, pa.scalar(0, pa.int64())),
+        })
+
+    agg = ops.grouped_aggregate(
+        tf_ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True),
+        ["doc_id"],
+        {"n_tokens": ("tf", "sum"), "n_oov": ("oov_tf", "sum")},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ratio = pc.divide(
+            pc.cast(batch.column("n_oov"), pa.float64()),
+            pc.cast(batch.column("n_tokens"), pa.float64()),
+        )
+        return batch.append_column("oov_ratio", ratio)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+FAMILIARITY_DOCS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY doc_id, word
+), stats AS (
+  SELECT word, sum(tf)::BIGINT AS cnt FROM tf GROUP BY word
+), vocab AS (
+  SELECT word, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+  FROM stats QUALIFY rank <= {_VOCAB_K}
+)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.word IS NULL THEN tf.tf ELSE 0 END)
+            AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.word IS NULL THEN tf.tf ELSE 0 END) AS DOUBLE)
+         / CAST(sum(tf.tf) AS DOUBLE) AS oov_ratio
+FROM tf LEFT JOIN vocab v USING (word)
+GROUP BY tf.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6006,6 +6064,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "running_distinct_events": {
             "fn": running_distinct_events,
             "sql": RUNNING_DISTINCT_EVENTS_SQL,
+        },
+        "familiarity_docs": {
+            "fn": familiarity_docs, "sql": FAMILIARITY_DOCS_SQL,
         },
         "skip_events": {"fn": skip_events, "sql": SKIP_EVENTS_SQL},
         "odata_pushdown_events": {
@@ -6338,6 +6399,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "centered_sum_events",
         "rolling_median_events",
         "running_distinct_events",
+        "familiarity_docs",
         "intersect_all_users",
         "dedup_keep_best_docs",
         "weighted_sample_docs",
