@@ -5994,6 +5994,84 @@ GROUP BY tf.doc_id
 """
 
 
+def hopping_window_events(sf_dir: str):
+    """Hopping (sliding) window aggregate: 1-hour windows advancing every
+    15 minutes — each event lands in exactly 4 overlapping windows. The
+    missing sibling of tumbling (events_hourly) and trailing
+    (trailing_window_events): per batch the event's 15-min bucket is
+    floored ONCE and the 4 window memberships materialize as shifted
+    column copies (vectorized concat, no row loop), then the counts/sums
+    fold through the one-exchange combiner. Windows with no events are
+    absent on both engines; exact integer cents."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["ts", "value"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        w0 = pc.floor_temporal(batch.column("ts"), multiple=15, unit="minute")
+        x = _cents(batch.column("value"))
+        parts = [
+            pa.table({
+                "window_start": pc.subtract(
+                    w0, pa.scalar(i * 15 * 60 * 1_000_000, pa.duration("us"))
+                ),
+                "x": x,
+            })
+            for i in range(4)
+        ]
+        return pa.concat_tables(parts)
+
+    return ops.grouped_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        ["window_start"],
+        {"n": (None, "count"), "sum_cents": ("x", "sum")},
+    )
+
+
+HOPPING_WINDOW_EVENTS_SQL = """
+WITH p AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS w0,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+), e AS (
+  SELECT w0 - (i * INTERVAL '15 minutes') AS window_start, x
+  FROM p, (VALUES (0), (1), (2), (3)) t(i)
+)
+SELECT window_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_cents
+FROM e GROUP BY window_start
+"""
+
+
+def damerau_distance_parts(sf_dir: str):
+    """Row-pairwise FULL Damerau-Levenshtein (DuckDB
+    ``damerau_levenshtein`` — unrestricted transpositions) between
+    p_name and p_brand — text.damerau_levenshtein_batch: the i×j DP cube
+    runs once per batch with length-B vectors and a (B, 256)
+    last-occurrence byte table. Exact integer distances."""
+    from sapray import text
+
+    ds = ops.read_projected(
+        _p(sf_dir, "part"), columns=["p_partkey", "p_name", "p_brand"]
+    )
+
+    def dist(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "dl_dist",
+            text.damerau_levenshtein_batch(
+                batch.column("p_name"), batch.column("p_brand")
+            ),
+        )
+
+    return ds.map_batches(dist, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DAMERAU_DISTANCE_PARTS_SQL = """
+SELECT p_partkey, p_name, p_brand,
+       damerau_levenshtein(p_name, p_brand) AS dl_dist
+FROM part
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6067,6 +6145,12 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "familiarity_docs": {
             "fn": familiarity_docs, "sql": FAMILIARITY_DOCS_SQL,
+        },
+        "hopping_window_events": {
+            "fn": hopping_window_events, "sql": HOPPING_WINDOW_EVENTS_SQL,
+        },
+        "damerau_distance_parts": {
+            "fn": damerau_distance_parts, "sql": DAMERAU_DISTANCE_PARTS_SQL,
         },
         "skip_events": {"fn": skip_events, "sql": SKIP_EVENTS_SQL},
         "odata_pushdown_events": {
@@ -6400,6 +6484,8 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "rolling_median_events",
         "running_distinct_events",
         "familiarity_docs",
+        "hopping_window_events",
+        "damerau_distance_parts",
         "intersect_all_users",
         "dedup_keep_best_docs",
         "weighted_sample_docs",

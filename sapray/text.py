@@ -666,3 +666,56 @@ def levenshtein_batch(
     b_null = pc.is_null(b if isinstance(b, pa.Array) else b.combine_chunks())
     out = pa.array(ans, pa.int64())
     return pc.if_else(pc.or_(a_null, b_null), pa.nulls(nrows, pa.int64()), out)
+
+
+def damerau_levenshtein_batch(
+    a: pa.Array | pa.ChunkedArray, b: pa.Array | pa.ChunkedArray
+) -> pa.Array:
+    """Row-pairwise FULL (unrestricted) Damerau-Levenshtein distance —
+    the DuckDB ``damerau_levenshtein`` semantics (Lowrance-Wagner:
+    transposed characters may drift apart, so e.g. CA→ABC is 2, where
+    the restricted/OSA variant says 3).
+
+    Batched like :func:`levenshtein_batch`: the i×j character loop runs
+    once per batch with length-B numpy vectors inside; the per-symbol
+    last-occurrence table ``da`` is a (B, 256) byte-alphabet matrix and
+    the full DP cube is (B, La+2, Lb+2) int64 — meant for SHORT
+    identifier-ish strings (the cube is the memory cost of the
+    unrestricted transposition lookback). Byte-level: exact for ASCII.
+    NULL in either input yields NULL."""
+    am, alen = _padded_bytes(a)
+    bm, blen = _padded_bytes(b)
+    nrows = am.shape[0]
+    if nrows == 0:
+        return pa.array([], pa.int64())
+    la, lb = am.shape[1], bm.shape[1]
+    maxdist = la + lb + 1
+    d = np.full((nrows, la + 2, lb + 2), maxdist, dtype=np.int64)
+    d[:, 1, 1:] = np.arange(lb + 1)
+    d[:, 1:, 1] = np.arange(la + 1)
+    da = np.zeros((nrows, 256), dtype=np.int64)
+    rows = np.arange(nrows)
+    for i in range(1, la + 1):
+        ai = am[:, i - 1].astype(np.int64)
+        db = np.zeros(nrows, dtype=np.int64)
+        for j in range(1, lb + 1):
+            bj = bm[:, j - 1].astype(np.int64)
+            k = da[rows, bj]
+            last_db = db
+            eq = ai == bj
+            cost = (~eq).astype(np.int64)
+            db = np.where(eq, j, db)
+            trans = d[rows, k, last_db] + (i - k) + (j - last_db) - 1
+            val = np.minimum(
+                np.minimum(d[:, i, j] + cost, d[:, i + 1, j] + 1),
+                np.minimum(d[:, i, j + 1] + 1, trans),
+            )
+            d[:, i + 1, j + 1] = val
+        da[rows, ai] = i
+    ans = d[rows, alen + 1, blen + 1]
+    a_null = pc.is_null(a if isinstance(a, pa.Array) else a.combine_chunks())
+    b_null = pc.is_null(b if isinstance(b, pa.Array) else b.combine_chunks())
+    return pc.if_else(
+        pc.or_(a_null, b_null), pa.nulls(nrows, pa.int64()),
+        pa.array(ans, pa.int64()),
+    )

@@ -79,3 +79,48 @@ def test_fuzz_vs_duckdb(seed):
         pa.array([p[0] for p in pairs]), pa.array([p[1] for p in pairs])
     ).to_pylist()
     assert got == _oracle(pairs)
+
+
+# ---------------------------------------------------------------------------
+# full (unrestricted) Damerau-Levenshtein
+# ---------------------------------------------------------------------------
+
+
+def test_damerau_known_distances():
+    from sapray.text import damerau_levenshtein_batch as dl
+
+    a = pa.array(["CA", "ab", "kitten", "", None, "same"])
+    b = pa.array(["ABC", "ba", "sitting", "xy", "q", "same"])
+    # CA->ABC is 2 under FULL DL (3 under restricted/OSA) — the
+    # distinguishing case for DuckDB's damerau_levenshtein semantics
+    assert dl(a, b).to_pylist() == [2, 1, 3, 2, None, 0]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_damerau_fuzz_vs_duckdb(seed):
+    from sapray.text import damerau_levenshtein_batch as dl
+
+    rng = np.random.default_rng(seed)
+    # small alphabet maximizes transposition collisions
+    alpha = list("abcd")
+    pairs = []
+    for _ in range(300):
+        la, lb = rng.integers(0, 14, size=2)
+        pairs.append((
+            "".join(rng.choice(alpha, la)),
+            "".join(rng.choice(alpha, lb)),
+        ))
+    got = dl(
+        pa.array([p[0] for p in pairs]), pa.array([p[1] for p in pairs])
+    ).to_pylist()
+    con = duckdb.connect()
+    tbl = pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.string()),
+        "b": pa.array([p[1] for p in pairs], pa.string()),
+    })
+    con.register("t", tbl)
+    want = [
+        r[0]
+        for r in con.sql("SELECT damerau_levenshtein(a, b) FROM t").fetchall()
+    ]
+    assert got == want
