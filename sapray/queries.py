@@ -6072,6 +6072,35 @@ FROM part
 """
 
 
+def jaccard_similarity_parts(sf_dir: str):
+    """Row-pairwise character-set Jaccard (DuckDB ``jaccard``) between
+    p_name and p_type — text.charset_jaccard_batch: two (B, 256)
+    byte-presence bitmaps from one flat scatter each, AND/OR row sums,
+    ONE float64 division of exact small ints (bit-identical to the
+    oracle's double division)."""
+    from sapray import text
+
+    ds = ops.read_projected(
+        _p(sf_dir, "part"), columns=["p_partkey", "p_name", "p_type"]
+    )
+
+    def sim(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "jac",
+            text.charset_jaccard_batch(
+                batch.column("p_name"), batch.column("p_type")
+            ),
+        )
+
+    return ds.map_batches(sim, batch_format="pyarrow", zero_copy_batch=True)
+
+
+JACCARD_SIMILARITY_PARTS_SQL = """
+SELECT p_partkey, p_name, p_type, jaccard(p_name, p_type) AS jac
+FROM part
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6151,6 +6180,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         },
         "damerau_distance_parts": {
             "fn": damerau_distance_parts, "sql": DAMERAU_DISTANCE_PARTS_SQL,
+        },
+        "jaccard_similarity_parts": {
+            "fn": jaccard_similarity_parts,
+            "sql": JACCARD_SIMILARITY_PARTS_SQL,
         },
         "skip_events": {"fn": skip_events, "sql": SKIP_EVENTS_SQL},
         "odata_pushdown_events": {
@@ -6486,12 +6519,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "familiarity_docs",
         "hopping_window_events",
         "damerau_distance_parts",
-        "intersect_all_users",
-        "dedup_keep_best_docs",
-        "weighted_sample_docs",
-        "stage_pipeline_docs",
-        "skip_events",
-        "odata_pushdown_events",
+        "jaccard_similarity_parts",
         "cdc_replay_flagship",
         "cdc_replay_delta",
         "cdc_point_lookup",

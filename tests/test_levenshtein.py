@@ -124,3 +124,45 @@ def test_damerau_fuzz_vs_duckdb(seed):
         for r in con.sql("SELECT damerau_levenshtein(a, b) FROM t").fetchall()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# character-set Jaccard (DuckDB jaccard)
+# ---------------------------------------------------------------------------
+
+
+def test_charset_jaccard_known():
+    from sapray.text import charset_jaccard_batch as j
+
+    a = pa.array(["abc", "aa", "abcdefg", "", None])
+    b = pa.array(["bcd", "a", "efghijk", "x", "y"])
+    got = j(a, b).to_pylist()
+    assert got[0] == 0.5 and got[1] == 1.0
+    assert got[2] == 3 / 11
+    assert got[3] is None and got[4] is None  # empty / NULL -> NULL
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_charset_jaccard_fuzz_vs_duckdb(seed):
+    from sapray.text import charset_jaccard_batch as j
+
+    rng = np.random.default_rng(seed)
+    alpha = list("abcdefgh XYZ018#")
+    pairs = []
+    for _ in range(300):
+        la, lb = rng.integers(1, 24, size=2)  # DuckDB rejects empties
+        pairs.append((
+            "".join(rng.choice(alpha, la)),
+            "".join(rng.choice(alpha, lb)),
+        ))
+    got = j(
+        pa.array([p[0] for p in pairs]), pa.array([p[1] for p in pairs])
+    ).to_pylist()
+    con = duckdb.connect()
+    tbl = pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.string()),
+        "b": pa.array([p[1] for p in pairs], pa.string()),
+    })
+    con.register("t", tbl)
+    want = [r[0] for r in con.sql("SELECT jaccard(a, b) FROM t").fetchall()]
+    assert got == want  # bit-exact: same small-int double division
