@@ -6101,6 +6101,67 @@ FROM part
 """
 
 
+def retention_cohorts_events(sf_dir: str):
+    """Retention cohort analysis — the classic product-analytics matrix:
+    users grouped by FIRST-active day (cohort), counted on each later
+    active day offset. Distinct (user, day) pairs via the one-exchange
+    combiner distinct, first day per user via the combiner min, joined
+    back on user_id with the partitioned hash join (BOTH sides scale
+    with the user count — no broadcast of an unbounded side), then one
+    grouped count. Exact integer day offsets and counts."""
+    ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+        })
+
+    # distinct ends in map_groups, whose empty hash partitions emit
+    # zero-column blocks the native hash join rejects (flaky only at
+    # high CPU counts — the dedup_keep_best_docs regression); drop them
+    # right before the join
+    ud = ops.drop_empty_blocks(ops.distinct(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "day"],
+    ))
+    first = ops.grouped_aggregate(
+        ud, ["user_id"], {"cohort_day": ("day", "min")}
+    )
+    joined = ops.shuffle_join(ud, first, "user_id", "user_id", how="inner")
+
+    def offs(batch: pa.Table) -> pa.Table:
+        cohort = pc.cast(batch.column("cohort_day"), pa.timestamp("us"))
+        day = pc.cast(batch.column("day"), pa.timestamp("us"))
+        return pa.table({
+            "cohort_day": cohort,
+            "offset_days": pc.cast(
+                pc.days_between(cohort, day), pa.int64()
+            ),
+        })
+
+    return ops.grouped_aggregate(
+        joined.map_batches(offs, batch_format="pyarrow", zero_copy_batch=True),
+        ["cohort_day", "offset_days"],
+        {"n_users": (None, "count")},
+    )
+
+
+RETENTION_COHORTS_EVENTS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+), f AS (
+  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, d.day) AS BIGINT) AS offset_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY f.cohort_day, offset_days
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6184,6 +6245,10 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "jaccard_similarity_parts": {
             "fn": jaccard_similarity_parts,
             "sql": JACCARD_SIMILARITY_PARTS_SQL,
+        },
+        "retention_cohorts_events": {
+            "fn": retention_cohorts_events,
+            "sql": RETENTION_COHORTS_EVENTS_SQL,
         },
         "skip_events": {"fn": skip_events, "sql": SKIP_EVENTS_SQL},
         "odata_pushdown_events": {
@@ -6520,6 +6585,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "hopping_window_events",
         "damerau_distance_parts",
         "jaccard_similarity_parts",
+        "retention_cohorts_events",
         "cdc_replay_flagship",
         "cdc_replay_delta",
         "cdc_point_lookup",
