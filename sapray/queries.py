@@ -5642,12 +5642,15 @@ def conditional_agg_events(sf_dir: str):
     def prep(batch: pa.Table) -> pa.Table:
         x = _cents(batch.column("value"))
         big = pc.greater(x, pa.scalar(10000, pa.int64()))
+        # equal(NULL, 'click') is null; COUNT(*) FILTER treats a null
+        # predicate as false, so fold nulls to false BEFORE the cast
+        # (an all-null-type user must count 0, not NULL — review finding)
+        click = pc.fill_null(
+            pc.equal(batch.column("event_type"), pa.scalar("click")), False
+        )
         return pa.table({
             "user_id": batch.column("user_id"),
-            "click": pc.cast(
-                pc.equal(batch.column("event_type"), pa.scalar("click")),
-                pa.int64(),
-            ),
+            "click": pc.cast(click, pa.int64()),
             "bigx": pc.if_else(big, x, pa.scalar(0, pa.int64())),
             "nbig": pc.cast(big, pa.int64()),
         })
@@ -5706,12 +5709,21 @@ def iqr_outliers_by_type(sf_dir: str):
     )
 
     def prep(batch: pa.Table) -> pa.Table:
+        # NULL-typed rows never match the oracle's JOIN USING
+        # (event_type) — drop them here so neither the fences nor the
+        # counts see them (review finding)
+        batch = batch.filter(pc.is_valid(batch.column("event_type")))
         return pa.table({
             "event_type": batch.column("event_type"),
             "x": _cents(batch.column("value")),
         })
 
-    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    # the prepped stream is consumed twice (fence build + count pass);
+    # materialize so the parquet scan and cents prep run once
+    # (queries.py precedent: curate's reused base — review finding)
+    prepped = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     q = pa.concat_tables(
         ray.get(
             W.grouped_quantiles(
@@ -5779,6 +5791,17 @@ def minmax_norm_events(sf_dir: str):
     ds = ops.read_projected(
         _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     )
+
+    def drop_null_type(batch: pa.Table) -> pa.Table:
+        # the oracle's JOIN USING (event_type) drops NULL-typed rows;
+        # mirror it (review finding)
+        return batch.filter(pc.is_valid(batch.column("event_type")))
+
+    # consumed twice (min/max build + per-row pass): materialize the
+    # pruned scan so it executes once (review finding)
+    ds = ds.map_batches(
+        drop_null_type, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     mm = ops.grouped_aggregate(
         ds, ["event_type"], {"mn": ("value", "min"), "mx": ("value", "max")}
     )
@@ -5803,8 +5826,13 @@ def minmax_norm_events(sf_dir: str):
         denom = bmx - bmn
         with np.errstate(divide="ignore", invalid="ignore"):
             nv = (v - bmn) / denom
+        # NULL value -> NULL norm (SQL NULL arithmetic), not a non-null
+        # NaN: to_numpy surfaces Arrow nulls as NaN (review finding).
+        # Use the validity bitmap, not isnan — a GENUINE NaN value stays
+        # non-null in DuckDB's arithmetic too
+        null_in = pc.is_null(batch.column("value"))
         out = pc.if_else(
-            pa.array(denom == 0.0),
+            pc.or_(pa.array(denom == 0.0), null_in),
             pa.nulls(batch.num_rows, pa.float64()),
             pa.array(nv, pa.float64()),
         )

@@ -602,10 +602,17 @@ def _padded_bytes(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarr
             valid = pc.is_valid(chunk).to_numpy(zero_copy_only=False)
             lens = np.where(valid, lens, 0)
         lmax = int(lens.max()) if n else 0
+        if len(data) == 0 or lmax == 0:
+            # all-NULL / all-empty chunk: no bytes to gather (a fancy
+            # index into a size-0 buffer raises — review finding)
+            mat = np.zeros((n, max(lmax, 1)), np.uint8)
+            out_rows.append(mat)
+            out_lens.append(lens)
+            continue
         idx = offsets[:-1, None] + np.arange(max(lmax, 1), dtype=np.int64)
         ok = idx < (offsets[:-1] + lens)[:, None]
         mat = np.where(
-            ok, data[np.minimum(idx, max(len(data) - 1, 0))], 0
+            ok, data[np.minimum(idx, len(data) - 1)], 0
         ).astype(np.uint8)
         out_rows.append(mat)
         out_lens.append(lens)

@@ -166,3 +166,21 @@ def test_charset_jaccard_fuzz_vs_duckdb(seed):
     con.register("t", tbl)
     want = [r[0] for r in con.sql("SELECT jaccard(a, b) FROM t").fetchall()]
     assert got == want  # bit-exact: same small-int double division
+
+
+def test_all_null_and_all_empty_columns():
+    """An all-NULL or all-empty-string column has a ZERO-length Arrow
+    data buffer; the offset gather must not index into it (review
+    finding: IndexError killed the whole map_batches task)."""
+    from sapray.text import charset_jaccard_batch, damerau_levenshtein_batch
+
+    nulls = pa.array([None, None], pa.string())
+    vals = pa.array(["x", "y"])
+    assert levenshtein_batch(nulls, vals).to_pylist() == [None, None]
+    assert levenshtein_batch(vals, nulls).to_pylist() == [None, None]
+    assert damerau_levenshtein_batch(nulls, vals).to_pylist() == [None, None]
+    assert charset_jaccard_batch(nulls, vals).to_pylist() == [None, None]
+    empties = pa.array(["", ""], pa.string())
+    assert levenshtein_batch(empties, vals).to_pylist() == [1, 1]
+    assert levenshtein_batch(empties, empties).to_pylist() == [0, 0]
+    assert charset_jaccard_batch(empties, vals).to_pylist() == [None, None]
