@@ -1318,8 +1318,13 @@ def rolling_quantile_disc(
     ceil(q·w)−1 selection indexed per row by the VALID window size w
     (the discrete-quantile convention both engines share). O(n·k·log k)
     per partition — meant for small fixed frames; the output is an
-    exact selection, never arithmetic, so it hash-compares bit-exactly
-    for any dtype."""
+    exact selection, never arithmetic, so integer and NaN-free float
+    columns hash-compare bit-exactly. Caveats (shared with the
+    grouped_quantile family): NaN float values are treated as NULL
+    (excluded) — DuckDB orders NaN GREATEST inside quantile_disc, so
+    NaN-bearing float columns diverge from the oracle; and a NULLABLE
+    int column surfaces through float64, losing exactness above 2^53
+    (the rows_window_sum caveat)."""
     import pyarrow.compute as pc
 
     if not (0.0 < q <= 1.0):
