@@ -148,6 +148,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "edit_distance_parts",
         "iqr_outliers_by_type",
         "minmax_norm_events",
+        "rolling_median_events",
+        "familiarity_docs",
+        "hopping_window_events",
+        "damerau_distance_parts",
+        "retention_cohorts_events",
     ]
     reg = Q.registry(os.path.basename(os.path.normpath(sf_dir)))
     out: dict[str, float] = {}
