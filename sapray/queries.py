@@ -6136,46 +6136,56 @@ FROM part
 def retention_cohorts_events(sf_dir: str):
     """Retention cohort analysis — the classic product-analytics matrix:
     users grouped by FIRST-active day (cohort), counted on each later
-    active day offset. Distinct (user, day) pairs via the one-exchange
-    combiner distinct, first day per user via the combiner min, joined
-    back on user_id with the partitioned hash join (BOTH sides scale
-    with the user count — no broadcast of an unbounded side), then one
-    grouped count. Exact integer day offsets and counts."""
+    active day offset. ONE keyed exchange: events hash-route on user_id
+    (per-batch local (user, day) dedup shrinks the exchange first) and
+    the per-partition kernel dedups (user, day), reads each user run's
+    first day as the cohort, and emits integer day offsets — no
+    aggregate-then-join, no second exchange; the (cohort, offset) counts
+    then fold through the tiny combiner groupby. Exact integers."""
+    from sapray import window
+
     ds = ops.read_projected(_p(sf_dir, "events"), columns=["user_id", "ts"])
 
     def prep(batch: pa.Table) -> pa.Table:
-        return pa.table({
+        t = pa.table({
             "user_id": batch.column("user_id"),
             "day": pc.floor_temporal(batch.column("ts"), unit="day"),
         })
+        # local dedup: only distinct (user, day) pairs enter the exchange
+        return t.group_by(["user_id", "day"]).aggregate([])
 
-    # distinct ends in map_groups, whose empty hash partitions emit
-    # zero-column blocks the native hash join rejects (flaky only at
-    # high CPU counts — the dedup_keep_best_docs regression); drop them
-    # right before the join
-    ud = ops.drop_empty_blocks(ops.distinct(
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
-        ["user_id", "day"],
-    ))
-    first = ops.grouped_aggregate(
-        ud, ["user_id"], {"cohort_day": ("day", "min")}
-    )
-    joined = ops.shuffle_join(ud, first, "user_id", "user_id", how="inner")
-
-    def offs(batch: pa.Table) -> pa.Table:
-        cohort = pc.cast(batch.column("cohort_day"), pa.timestamp("us"))
-        day = pc.cast(batch.column("day"), pa.timestamp("us"))
+    def kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "cohort_day": pa.array([], pa.timestamp("us")),
+                "offset_days": pa.array([], pa.int64()),
+            })
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)  # datetime64[us]
+        idx = np.lexsort((d, u))
+        u2, d2 = u[idx], d[idx]
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (u2[1:] != u2[:-1]) | (d2[1:] != d2[:-1])
+        u3, d3 = u2[keep], d2[keep]
+        starts = np.flatnonzero(
+            np.concatenate([[True], u3[1:] != u3[:-1]])
+        )
+        run_id = np.searchsorted(starts, np.arange(len(u3)), side="right") - 1
+        cohort = d3[starts][run_id]  # first (min) day per user run
+        offs = (d3 - cohort).astype("timedelta64[us]").astype(np.int64)
+        offs //= 86_400_000_000
         return pa.table({
-            "cohort_day": cohort,
-            "offset_days": pc.cast(
-                pc.days_between(cohort, day), pa.int64()
-            ),
+            "cohort_day": pa.array(cohort),
+            "offset_days": pa.array(offs, pa.int64()),
         })
 
+    routed = window.partitioned_apply(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", kernel,
+    )
     return ops.grouped_aggregate(
-        joined.map_batches(offs, batch_format="pyarrow", zero_copy_batch=True),
-        ["cohort_day", "offset_days"],
-        {"n_users": (None, "count")},
+        routed, ["cohort_day", "offset_days"], {"n_users": (None, "count")}
     )
 
 
