@@ -6204,6 +6204,101 @@ GROUP BY f.cohort_day, offset_days
 """
 
 
+def posting_lists_docs(sf_dir: str):
+    """Inverted-index construction: for every vocabulary term, the
+    comma-joined sorted posting list of documents containing it — the
+    IR-shaped output (term → doc ids) a search/dedup index needs. The
+    (doc, word, tf) stream filters against the broadcast vocab value
+    set, then ONE keyed exchange + the zero-copy ListArray slice /
+    binary_join kernel (window.string_agg) builds each list without
+    per-group Python."""
+    from sapray import window
+
+    tf_ds, vocab = _term_stats(sf_dir)
+    vocab_words = vocab.column("word").combine_chunks()
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("word"), value_set=vocab_words)
+        b = batch.filter(keep)
+        return pa.table({
+            "word": b.column("word"),
+            "doc_id": b.column("doc_id"),
+            "sid": pc.cast(b.column("doc_id"), pa.string()),
+        })
+
+    return window.string_agg(
+        tf_ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True),
+        "word", "sid", "doc_id", sep=",", out_name="postings",
+    )
+
+
+POSTING_LISTS_DOCS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY doc_id, word
+), stats AS (
+  SELECT word, sum(tf)::BIGINT AS cnt FROM tf GROUP BY word
+), vocab AS (
+  SELECT word, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+  FROM stats QUALIFY rank <= {_VOCAB_K}
+)
+SELECT tf.word,
+       string_agg(CAST(tf.doc_id AS VARCHAR), ',' ORDER BY tf.doc_id)
+         AS postings
+FROM tf JOIN vocab v USING (word)
+GROUP BY tf.word
+"""
+
+
+def vocab_topn_by_lang_docs(sf_dir: str):
+    """Per-language vocabulary: top-5 words by total frequency within
+    each language (count desc, word asc) — the grouped sibling of the
+    corpus-wide vocab_topn_docs. Tokenization attaches the language per
+    gram position, (lang, word) counts fold through the combiner, and
+    the combiner-first grouped top-k truncates blocks locally before
+    the one keyed exchange."""
+    from sapray import text as T
+    from sapray import window
+
+    ds = ops.read_projected(
+        _p(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parent, words = T.word_ngrams(batch, "text", 1)
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": pa.array(langs[parent]),
+            "word": pa.array(words.astype(str), pa.string()),
+        })
+
+    counts = ops.grouped_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "word"],
+        {"cnt": (None, "count")},
+    )
+    out = window.grouped_topk(
+        counts, key="lang", order_column="cnt", tiebreak_column="word",
+        top_n=5, descending=True,
+    )
+    return out.select_columns(["lang", "word", "cnt", "rnk"])
+
+
+VOCAB_TOPN_BY_LANG_DOCS_SQL = """
+WITH w AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT lang, word, count(*)::BIGINT AS cnt FROM w GROUP BY lang, word
+), r AS (
+  SELECT lang, word, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rnk
+  FROM c
+)
+SELECT lang, word, cnt, rnk FROM r WHERE rnk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6295,6 +6390,13 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "retention_cohorts_events": {
             "fn": retention_cohorts_events,
             "sql": RETENTION_COHORTS_EVENTS_SQL,
+        },
+        "posting_lists_docs": {
+            "fn": posting_lists_docs, "sql": POSTING_LISTS_DOCS_SQL,
+        },
+        "vocab_topn_by_lang_docs": {
+            "fn": vocab_topn_by_lang_docs,
+            "sql": VOCAB_TOPN_BY_LANG_DOCS_SQL,
         },
         "skip_events": {"fn": skip_events, "sql": SKIP_EVENTS_SQL},
         "odata_pushdown_events": {
@@ -6632,6 +6734,8 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "damerau_distance_parts",
         "jaccard_similarity_parts",
         "retention_cohorts_events",
+        "posting_lists_docs",
+        "vocab_topn_by_lang_docs",
         "cdc_replay_flagship",
         "cdc_replay_delta",
         "cdc_point_lookup",
