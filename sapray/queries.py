@@ -6299,6 +6299,107 @@ SELECT lang, word, cnt, rnk FROM r WHERE rnk <= 5
 """
 
 
+def collocations_docs(sf_dir: str):
+    """Collocation extraction: top-50 bigrams by scaled lift
+    (c_ab·N / (c_a·c_b), the PMI argument) with support ≥ 5 — the
+    corpus-statistics step behind multi-word-expression vocabularies.
+    Bigram and unigram counts fold through the combiner; the unigram
+    table broadcasts as an index_in lookup into the scoring pass (at a
+    scale where the vocabulary outgrows a broadcast, swap the lookup
+    for ops.shuffle_join on w1/w2). The lift stays EXACT integer
+    (·1000 then floor-divide) so no float enters the comparison;
+    (lift desc, bigram asc) is a total order, so the LIMIT boundary is
+    deterministic on both engines."""
+    from sapray import text as T
+
+    ds = ops.read_projected(_p(sf_dir, "documents"), columns=["text"])
+
+    def bigrams(batch: pa.Table) -> pa.Table:
+        _, grams = T.word_ngrams(batch, "text", 2)
+        return pa.table({"bigram": pa.array(grams.astype(str), pa.string())})
+
+    def unigrams(batch: pa.Table) -> pa.Table:
+        _, grams = T.word_ngrams(batch, "text", 1)
+        return pa.table({"word": pa.array(grams.astype(str), pa.string())})
+
+    cb = ops.grouped_aggregate(
+        ds.map_batches(bigrams, batch_format="pyarrow", zero_copy_batch=True),
+        ["bigram"], {"c_ab": (None, "count")},
+    )
+    cu = pa.concat_tables(
+        ray.get(
+            ops.grouped_aggregate(
+                ds.map_batches(
+                    unigrams, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["word"], {"c": (None, "count")},
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    words = cu.column("word").combine_chunks()
+    counts = cu.column("c").to_numpy(zero_copy_only=False)
+    total = int(counts.sum())
+
+    def score(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater_equal(batch.column("c_ab"), pa.scalar(5, pa.int64()))
+        )
+        if batch.num_rows == 0:
+            return pa.table({
+                "bigram": pa.array([], pa.string()),
+                "c_ab": pa.array([], pa.int64()),
+                "lift_scaled": pa.array([], pa.int64()),
+            })
+        parts = pc.split_pattern(batch.column("bigram"), pattern=" ")
+        i1 = pc.fill_null(
+            pc.index_in(pc.list_element(parts, 0), value_set=words), 0
+        ).to_numpy(zero_copy_only=False)
+        i2 = pc.fill_null(
+            pc.index_in(pc.list_element(parts, 1), value_set=words), 0
+        ).to_numpy(zero_copy_only=False)
+        cab = batch.column("c_ab").to_numpy(zero_copy_only=False)
+        lift = (cab * total * 1000) // (counts[i1] * counts[i2])
+        return pa.table({
+            "bigram": batch.column("bigram"),
+            "c_ab": batch.column("c_ab"),
+            "lift_scaled": pa.array(lift, pa.int64()),
+        })
+
+    scored = cb.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return ops.topk(
+        scored, keys=["lift_scaled", "bigram"], descending=[True, False], k=50
+    )
+
+
+COLLOCATIONS_DOCS_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), b AS (
+  SELECT word, lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM w
+), cb AS (
+  SELECT word || ' ' || nxt AS bigram, count(*)::BIGINT AS c_ab
+  FROM b WHERE nxt IS NOT NULL GROUP BY bigram
+), cu AS (
+  SELECT word, count(*)::BIGINT AS c FROM w GROUP BY word
+), n AS (
+  SELECT count(*)::BIGINT AS nn FROM w
+)
+SELECT cb.bigram, cb.c_ab,
+       CAST(cb.c_ab * n.nn * 1000 // (u1.c * u2.c) AS BIGINT) AS lift_scaled
+FROM cb
+CROSS JOIN n
+JOIN cu u1 ON string_split(cb.bigram, ' ')[1] = u1.word
+JOIN cu u2 ON string_split(cb.bigram, ' ')[2] = u2.word
+WHERE cb.c_ab >= 5
+ORDER BY lift_scaled DESC, cb.bigram
+LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6397,6 +6498,9 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "vocab_topn_by_lang_docs": {
             "fn": vocab_topn_by_lang_docs,
             "sql": VOCAB_TOPN_BY_LANG_DOCS_SQL,
+        },
+        "collocations_docs": {
+            "fn": collocations_docs, "sql": COLLOCATIONS_DOCS_SQL,
         },
         "skip_events": {"fn": skip_events, "sql": SKIP_EVENTS_SQL},
         "odata_pushdown_events": {
@@ -6736,6 +6840,7 @@ def registry(sf_name: str = "sf0.01") -> dict[str, dict]:
         "retention_cohorts_events",
         "posting_lists_docs",
         "vocab_topn_by_lang_docs",
+        "collocations_docs",
         "cdc_replay_flagship",
         "cdc_replay_delta",
         "cdc_point_lookup",
